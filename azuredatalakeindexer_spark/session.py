@@ -1,7 +1,9 @@
 """SparkSession factory tuned for this engine.
 
-Local testing runs on ``local[N]``; the same settings are the ones that matter
-on a real cluster: AQE for runtime re-planning and skew-join handling,
+Local testing runs on ``local[N]``; on a real cluster the master comes from
+spark-submit and is NOT overridden here (we only set ``.master`` when no
+master is already configured).  The settings below are the ones that matter at
+100 TB scale: AQE for runtime re-planning and skew-join splitting,
 partition-size-driven scan splits, UTC session time, and Arrow for the few
 Pandas-UDF code paths (multimodal decode).
 """
@@ -10,26 +12,41 @@ from __future__ import annotations
 
 import os
 
+from pyspark import SparkConf
 from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "adls-indexer", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = SparkSession.builder.appName(app_name)
+    # Respect an externally-configured master (spark-submit --master, an
+    # active session, or MASTER env); only default to local[N] when absent.
+    if not SparkConf().contains("spark.master") and not os.environ.get("MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+        # One shuffle partition per core locally; a cluster keeps its own
+        # setting (2-3x total cores) or lets AQE coalesce.
+        builder = builder.config("spark.sql.shuffle.partitions", str(cpus))
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder
         # AQE: coalesce tiny shuffle partitions, split skewed ones at runtime.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # One shuffle partition per core locally; a cluster would use 2-3x cores.
-        .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # RFC-4648 base64 (no MIME \r\n chunking) so surrogate keys match C#
+        # Convert.ToBase64String (reference PathIndexModel.cs:13).  The
+        # functions in functions/keys.py also strip CRLF defensively in case
+        # this session was built elsewhere.
+        .config("spark.sql.legacy.chunkBase64String.enabled", "false")
         # Parquet scan pushdown is on by default; pin it explicitly since the
         # engine's incremental-watermark semantics rely on it (SURVEY §4).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
+        # reader rejects by default; read as int64 nanos and convert in
+        # sources.fixtures.load_table (values are µs-aligned — verified).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1,0 +1,155 @@
+"""Adapters from the driver's TPC-H-ish fixture tables onto the reference's
+logical tables (SURVEY §1, FIXTURES.md §5).
+
+The reference's tables (path index, lake listing, blob events, deleted paths)
+don't exist as parquet fixtures, so they are DERIVED deterministically from
+``orders`` / ``events`` with pure column expressions.  Every derivation here
+has a matching DuckDB CTE in ``__spark_entry__.oracle_sql`` — keep the two in
+sync (tests/test_oracle_parity.py replays every query against DuckDB).
+
+Path shapes mirror the reference's synthetic corpus generator
+(``partition_{i}/customer_{j}/document_{k}.json``, reference
+SearchIndexerTest/DataLakeWriter.cs:13-21); filesystems mirror the two
+containers used by the console harness (reference SearchIndexerTest/
+Program.cs and foo.bicep storage layout).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from azuredatalakeindexer_spark.functions.keys import (
+    path_interpolate,
+    path_key,
+    url_encode_path,
+)
+
+#: incremental watermark literal used by the deterministic test queries —
+#: mid-range of the orders.o_orderdate span (1995-01-01 .. 2001-08-01) so the
+#: P6 predicate selects a strict subset (FIXTURES.md §1).
+WATERMARK = "1998-07-01 00:00:00"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver fixture table (TESTDATA.md).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark reads as int64
+    nanos under ``spark.sql.legacy.parquet.nanosAsLong`` (set by the session
+    factory); every value is µs-aligned, so converting via ``timestamp_micros``
+    is lossless and matches DuckDB's ``ts::TIMESTAMP``.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def build_path_index(orders: DataFrame) -> DataFrame:
+    """Derive the path-index table (PathIndexModel, reference
+    PathIndexModel.cs:9-26) from ``orders``.
+
+    One lake file per order; ``lastModified`` (the incremental watermark
+    column, PathIndexModel.cs:24-25) is the order date so watermark filters
+    select deterministic subsets.
+    """
+    path = path_interpolate(
+        F.col("o_orderkey") % 10, F.col("o_custkey"), F.col("o_orderkey")
+    )
+    fs = F.when(F.col("o_orderkey") % 2 == 0, F.lit("stuff-large")).otherwise(
+        F.lit("stuff-archive")
+    )
+    enc = url_encode_path(path)
+    return orders.select(
+        path_key(fs, enc).alias("key"),
+        enc.alias("pathUrlEncoded"),
+        fs.alias("filesystem"),
+        F.col("o_orderdate").alias("fileLastModified"),
+        F.col("o_orderdate").alias("lastModified"),
+    )
+
+
+def build_listing(orders: DataFrame) -> DataFrame:
+    """Derive a recursive lake listing (PathItem rows: name, isDirectory,
+    lastModified — reference DataLakePathClientExtension.cs:47-58) from
+    ``orders``: every file plus its two ancestor directories."""
+    file_name = path_interpolate(
+        F.col("o_orderkey") % 10, F.col("o_custkey"), F.col("o_orderkey")
+    )
+    files = orders.select(
+        file_name.alias("name"),
+        F.lit(False).alias("isDirectory"),
+        F.col("o_orderdate").alias("lastModified"),
+    )
+    customer_dirs = (
+        orders.select(
+            F.format_string(
+                "partition_%s/customer_%s",
+                (F.col("o_orderkey") % 10).cast("string"),
+                F.col("o_custkey").cast("string"),
+            ).alias("name")
+        )
+        .distinct()
+        .select("name", F.lit(True).alias("isDirectory"), F.lit(WATERMARK).cast("timestamp").alias("lastModified"))
+    )
+    partition_dirs = (
+        orders.select(
+            F.format_string(
+                "partition_%s", (F.col("o_orderkey") % 10).cast("string")
+            ).alias("name")
+        )
+        .distinct()
+        .select("name", F.lit(True).alias("isDirectory"), F.lit(WATERMARK).cast("timestamp").alias("lastModified"))
+    )
+    return files.unionByName(customer_dirs).unionByName(partition_dirs)
+
+
+def build_blob_events(events: DataFrame) -> DataFrame:
+    """Derive a blob-event batch (BlobEvent, reference BlobEventModel.cs:5-102)
+    from ``events``.
+
+    ``document_{event_id % 50}`` deliberately collides paths so one batch
+    carries multiple events per blob — exercising the last-writer-wins dedup
+    window (SURVEY §2.5) exactly like Service Bus redelivery does for the
+    reference (PathIndexerFunc.cs:23-35).  ``error`` events become
+    BlobDeleted; everything else BlobCreated (foo.bicep:184-206 wires the two
+    event types to two queues).
+    """
+    fs = F.when(F.col("user_id") % 2 == 0, F.lit("stuff-large")).otherwise(
+        F.lit("stuff-archive")
+    )
+    path = path_interpolate(
+        F.col("user_id") % 10, F.col("user_id"), F.col("event_id") % 50
+    )
+    url = F.concat_ws(
+        "/", F.lit("https:"), F.lit(""), F.lit("acct.dfs.core.windows.net"), fs, path
+    )
+    return events.select(
+        F.col("event_id"),
+        F.when(F.col("event_type") == "error", F.lit("Microsoft.Storage.BlobDeleted"))
+        .otherwise(F.lit("Microsoft.Storage.BlobCreated"))
+        .alias("eventType"),
+        F.col("ts").alias("eventTime"),
+        url.alias("url"),
+        F.md5(F.col("event_id").cast("string")).alias("eTag"),
+        (F.col("value") * 1000).cast("bigint").alias("contentLength"),
+    )
+
+
+def build_deleted_paths(orders: DataFrame) -> DataFrame:
+    """Derive the deleted-paths index (reference Program.cs:65, intended
+    anti-join semantics per SURVEY §2.3 J2): every 7th order's file."""
+    return build_path_index(orders.where(F.col("o_orderkey") % 7 == 0))
