@@ -73,7 +73,12 @@ def minhash_signature(grams: Column, num_hashes: int) -> Column:
     Null-safe: an empty shingle set yields nulls in the signature (callers
     filter docs with too little text before banding).
     """
-    sig = [F.array_min(F.transform(grams, lambda g, i=i: portable_hash64(g, i))) for i in range(num_hashes)]
+    def hasher(seed: int):
+        # NB: a 2-arg lambda (``lambda g, i=seed``) would receive the ARRAY
+        # INDEX as its second argument from F.transform — closure required
+        return lambda g: portable_hash64(g, seed)
+
+    sig = [F.array_min(F.transform(grams, hasher(i))) for i in range(num_hashes)]
     return F.array(*sig)
 
 

@@ -1,0 +1,77 @@
+"""Size-aware batch planning (A5) and the oversize-document filter (P11).
+
+The reference's ``BatchingUploader`` (reference BatchingUploader.cs:11-103)
+packs documents into upload batches greedily: flush at ``maxBatchCount`` docs
+(BatchingUploader.cs:89-92) or when adding a doc would exceed
+``maxBatchSizeBytes`` (:80-83); documents larger than ``maxDocumentSizeBytes``
+are dropped and counted ``FailedTooLarge`` (:73-77).  Limits:
+63 MiB batch / 16 MiB doc / 1000 docs (Models/DatalakeIndexerOptions.cs:9-13).
+
+Spark shape: batching is a *planning* computation — a prefix-sum window per
+upload worker — not an imperative loop.  Work is first split across
+``n_workers`` deterministic hash buckets (the analog of the reference's 4
+uploader threads, DatalakeIndexerOptions.cs:7), then packed within each
+bucket, so the window never sees more than 1/n_workers of the data and the
+whole plan stays distributed at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+#: reference defaults (Models/DatalakeIndexerOptions.cs:5-13)
+MAX_DOCUMENT_BATCH_SIZE_BYTES = 63 * 1024 * 1024
+MAX_DOCUMENT_SIZE_BYTES = 16 * 1024 * 1024
+DOCUMENT_BATCH_SIZE = 1000
+
+
+def oversize_filter(
+    df: DataFrame, size: Column, max_doc_bytes: int = MAX_DOCUMENT_SIZE_BYTES
+) -> tuple[DataFrame, DataFrame]:
+    """P11: split into (uploadable, failed_too_large) by serialized size
+    (reference BatchingUploader.cs:71-77)."""
+    tagged = df.withColumn("_doc_bytes", size)
+    kept = tagged.where(F.col("_doc_bytes") <= max_doc_bytes).drop("_doc_bytes")
+    dropped = tagged.where(F.col("_doc_bytes") > max_doc_bytes).drop("_doc_bytes")
+    return kept, dropped
+
+
+def plan_batches(
+    df: DataFrame,
+    size: Column,
+    order_col: str,
+    max_batch_bytes: int = MAX_DOCUMENT_BATCH_SIZE_BYTES,
+    max_batch_count: int = DOCUMENT_BATCH_SIZE,
+    n_workers: int = 1,
+    worker_key: str | None = None,
+) -> DataFrame:
+    """A5: assign every document a ``(worker, batch_id)``.
+
+    Within each worker, documents are ordered by ``order_col`` and packed by
+    a prefix-sum: ``batch_id = max(floor((cum_bytes - size) / max_bytes),
+    floor((rank-1) / max_count))``.  For uniform document sizes this is
+    byte-for-byte the reference's greedy packing (its unit-test cases,
+    BatchingUploaderTests.cs:11-102); for variable sizes it is a deterministic
+    plan-ahead approximation of the sequential greedy loop (documented
+    divergence — an exact greedy would serialize the whole stream).
+
+    ``n_workers=1`` reproduces the reference's single uploader stream for the
+    boundary tests; production uses e.g. 4 (DatalakeIndexerOptions.cs:7) or
+    one per output partition.
+    """
+    out = df.withColumn("_doc_bytes", size)
+    if n_workers > 1:
+        wk = F.pmod(F.xxhash64(F.col(worker_key or order_col)), F.lit(n_workers))
+    else:
+        wk = F.lit(0)
+    out = out.withColumn("worker", wk)
+    w = Window.partitionBy("worker").orderBy(order_col)
+    cum = F.sum("_doc_bytes").over(w)
+    rank = F.row_number().over(w)
+    by_bytes = F.floor((cum - F.col("_doc_bytes")) / F.lit(max_batch_bytes))
+    by_count = F.floor((rank - F.lit(1)) / F.lit(max_batch_count))
+    return (
+        out.withColumn("batch_id", F.greatest(by_bytes, by_count))
+        .drop("_doc_bytes")
+    )

@@ -1,0 +1,274 @@
+"""Deduplication operators for the training-data pipeline.
+
+Beyond the reference's per-key last-writer-wins dedup (W1,
+operators/upsert.py), a 100 TB document corpus needs *content* dedup.  Every
+operator here is banded/bucketed: candidate generation is always an equi-join
+on a derived bucket key — never an all-pairs ``crossJoin`` — so the shuffle
+is proportional to (docs × bands), not docs².
+
+Hashing uses :func:`azuredatalakeindexer_spark.functions.text.portable_hash64`
+(md5-derived) so the DuckDB correctness oracle replays the exact pipeline in
+SQL.  Pure Catalyst expressions throughout; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from azuredatalakeindexer_spark.functions.text import (
+    band_key,
+    minhash_signature,
+    portable_hash64,
+    tokens,
+    word_ngrams,
+)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content, smallest id survives.
+
+    One shuffle on the 128-bit content hash; map-side partial aggregation
+    keeps the shuffle at one row per distinct hash per partition.
+    """
+    norm = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        docs.select(F.col(id_col), norm.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _shingled(docs: DataFrame, text_col: str, id_col: str, shingle: int) -> DataFrame:
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col), F.array_distinct(word_ngrams(toks, shingle)).alias("grams")
+    ).where(F.size("grams") > 0)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs.
+
+    shingle → minhash signature → band → bucket equi-join (the classic
+    banding scheme, MMDS ch.3): docs agreeing on any band of the signature
+    become a candidate pair.  The join key is ``(band_id, band_hash)`` — a
+    plain hash-shuffle equi-join.  Hot buckets (boilerplate shingles) are
+    AQE-skew-split; the band hash is 128-bit so false fusion is negligible.
+
+    Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``.
+    """
+    band_size = num_hashes // bands
+    sh = _shingled(docs, text_col, id_col, shingle)
+    sig = sh.select(F.col(id_col), minhash_signature(F.col("grams"), num_hashes).alias("sig"))
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_key(F.col("sig"), b, band_size).alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over bucket-generated candidates.
+
+    Candidates come from sharing at least one *rare* shingle (document
+    frequency ≤ ``max_doc_freq``): common boilerplate shingles are dropped
+    before the self-join, which caps the per-key fan-out — the standard
+    "stop-shingle" guard that keeps the join linear-ish at corpus scale.
+    Jaccard is then computed exactly from shared-shingle counts:
+    ``|A∩B| / (|A| + |B| - |A∩B|)``.
+
+    Returns ``(id_a, id_b, jaccard)`` for pairs ≥ threshold.
+    """
+    sh = _shingled(docs, text_col, id_col, shingle)
+    sizes = sh.select(F.col(id_col), F.size("grams").alias("n_grams"))
+    exploded = sh.select(F.col(id_col), F.explode("grams").alias("gram"))
+    rare = (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_doc_freq)
+        .select("gram")
+    )
+    filtered = exploded.join(rare, "gram")
+    shared = (
+        filtered.alias("l")
+        .join(
+            filtered.alias("r"),
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash (Charikar 2002): sign of the per-bit vote sum over
+    token hashes.
+
+    Implemented as explode → groupBy(doc) with ``bits`` conditional sums —
+    one shuffle, map-side combined, no UDFs.  Returns ``(id, simhash)``.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    hashed = tok.select(F.col(id_col), portable_hash64(F.col("tok"), seed=99).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Pigeonhole banding: with the fingerprint split into ``chunks`` equal bit
+    blocks, any pair within ``max_hamming < chunks`` differing bits agrees on
+    at least one block — so candidates come from an equi-join on
+    ``(block_id, block_value)``, then the exact Hamming distance
+    (``bit_count(a XOR b)``) filters.  Returns ``(id_a, id_b, hamming)``.
+    """
+    assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
+    chunk_bits = bits // chunks
+    sh = simhash_docs(docs, text_col, id_col, bits)
+    blocks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("block"),
+                    F.shiftright(F.col("simhash"), c * chunk_bits)
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    .alias("bv"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block", "blk.bv")
+    pairs = (
+        blocks.alias("l")
+        .join(
+            blocks.alias("r"),
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    sign_dims: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with sign-bucket candidate
+    generation.
+
+    Bucket = the sign pattern of the first ``sign_dims`` dimensions (a fixed
+    axis-aligned random-hyperplane LSH).  Near-identical vectors agree on
+    almost all signs, so true near-dups nearly always share the bucket; the
+    exact cosine filter runs only within buckets — an equi-join, not a cross
+    product.
+    """
+    from azuredatalakeindexer_spark.operators.similarity import cosine_expr, sign_bucket
+
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), sign_dims).alias("bucket"),
+    )
+    pairs = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs

@@ -1,0 +1,107 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns plus a
+metadata struct; decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched ``mapInPandas`` stages (the ONLY Python-side operators in the
+engine — everything else is Catalyst expressions).  The decode libraries
+(PIL/ffmpeg/etc.) are not in this container, so the decode body is STUBBED
+behind ``fake=True`` with a deterministic byte-level feature extractor; the
+Spark-side plumbing — schema, Arrow batch shape, partitioning — is real and
+tested (tests/test_multimodal.py).
+
+At 100 TB the pattern matters more than the stub: binary payloads are read
+with the ``binaryFile`` source (no driver involvement), batches stream
+through Arrow with ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounding
+executor memory, and metadata-only stages never touch the payload column
+(column pruning drops it at the scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: payload + typed metadata (SURVEY north-star: "binary columns with typed
+#: metadata")
+MULTIMODAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("byte_len", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("mime", StringType(), True),
+        StructField("byte_len", LongType(), True),
+        StructField("magic_hex", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build a multimodal table from the documents fixture: the UTF-8 bytes of
+    the text stand in for an opaque media payload (deterministic fake)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.to_binary(F.col(text_col), F.lit("utf-8")).alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(F.col(text_col)).cast("long").alias("byte_len"),
+    )
+
+
+def extract_features(mm: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode / feature-extract via Arrow-batched ``mapInPandas``.
+
+    ``fake=True`` (default in this container) derives deterministic features
+    from raw bytes: magic prefix, fake width/height from byte content.  With
+    ``fake=False`` the real decoder would run (PIL/av) — not available here,
+    so it raises ``NotImplementedError`` by design.
+    """
+
+    def _decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/av, not present in this "
+                    "container; use fake=True (deterministic byte features)"
+                )
+            payloads = pdf["payload"]
+            magic = payloads.map(lambda b: b[:4].hex() if b is not None else None)
+            width = payloads.map(lambda b: (len(b) % 640) + 1 if b is not None else None)
+            height = payloads.map(lambda b: ((len(b) * 7) % 480) + 1 if b is not None else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "byte_len": pdf["byte_len"],
+                    "magic_hex": magic,
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                }
+            )
+
+    return mm.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+def metadata_only(mm: DataFrame) -> DataFrame:
+    """Metadata projection that provably never reads payload bytes — the
+    column-pruning fast path (check ``ReadSchema`` in the plan)."""
+    return mm.select("doc_id", "mime", "byte_len")

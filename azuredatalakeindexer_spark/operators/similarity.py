@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two strategies, per the north-star spec:
+
+- :func:`brute_force_topk` — the exactness baseline: score every (query,
+  corpus) pair.  The query set is broadcast, so the corpus streams through a
+  BroadcastNestedLoopJoin — linear in |corpus| x |queries| with NO shuffle of
+  the corpus; correct for any data but |queries| must be small.
+- :func:`lsh_bucketed_topk` — the scale path: sign-bucket LSH restricts
+  scoring to the query's bucket (an equi-join).  Approximate (recall < 1)
+  but the per-query cost drops by ~2^sign_dims.
+
+All arithmetic is double-precision Catalyst expressions (``zip_with`` +
+``aggregate``) — JVM-side, no UDFs, bit-reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (left-to-right fold, IEEE-deterministic)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def sign_bucket(vec: Column, sign_dims: int) -> Column:
+    """Axis-aligned random-hyperplane LSH bucket: the sign pattern of the
+    first ``sign_dims`` dimensions packed into an integer.
+
+    For isotropically-distributed embeddings each hyperplane halves the
+    space, giving ~2^sign_dims balanced buckets; correlated dimensions
+    degrade balance, which AQE skew-splitting absorbs.
+    """
+    bits = [
+        F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(sign_dims)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set over the corpus scan.
+
+    Shuffle analysis: scoring is shuffle-free (broadcast nested-loop); the
+    only shuffle is the final top-k window, whose input is already reduced to
+    (|corpus| × |queries|) scored id-pairs — at 100 TB the corpus never moves.
+    Ordering ties broken by corpus id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        F.col("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sign_dims: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only within the query's sign bucket.
+
+    Equi-join on the bucket key (broadcast query side) — per-query work is
+    |corpus| / 2^sign_dims in expectation.  Recall is traded for throughput;
+    multi-probe (flipping low-confidence bits) can be layered on by unioning
+    additional probe buckets into the (tiny) query side.
+    """
+    cb = corpus.withColumn("_bucket", sign_bucket(F.col(vec_col), sign_dims))
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        sign_bucket(F.col(vec_col), sign_dims).alias("_bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "_bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -52,9 +52,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     factory); every value is µs-aligned, so converting via ``timestamp_micros``
     is lossless and matches DuckDB's ``ts::TIMESTAMP``.
     """
+    if name == "events":
+        # tolerate sessions built without the factory (e.g. the driver's)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer DIV, not `/`: double division of ~1.7e18 ns loses the last
+        # microsecond (53-bit mantissa), diverging from DuckDB's ts::TIMESTAMP
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 
@@ -145,7 +150,9 @@ def build_blob_events(events: DataFrame) -> DataFrame:
         F.col("ts").alias("eventTime"),
         url.alias("url"),
         F.md5(F.col("event_id").cast("string")).alias("eTag"),
-        (F.col("value") * 1000).cast("bigint").alias("contentLength"),
+        # round before the int cast: double*1000 can land at 9639.9999…,
+        # and cast() truncation would then diverge between engines
+        F.round(F.col("value") * 1000, 0).cast("bigint").alias("contentLength"),
     )
 
 

@@ -1,0 +1,6 @@
+from azuredatalakeindexer_spark.streaming.events import (
+    run_event_stream_upsert,
+    stream_events,
+)
+
+__all__ = ["stream_events", "run_event_stream_upsert"]
