@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, Observation
 def observe_reads(df: DataFrame, failed_predicate) -> tuple[DataFrame, Observation]:
     """A2: count mapped vs failed documents on the flowing rows
     (reference DataLakeIndexer.cs:63-64, 95-101)."""
-    obs = Observation("read_metrics")
+    import uuid
+
+    # metric names must be unique per session
+    obs = Observation(f"read_metrics_{uuid.uuid4().hex}")
     out = df.observe(
         obs,
         F.count(F.lit(1)).alias("documentReadCount"),

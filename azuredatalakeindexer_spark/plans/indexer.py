@@ -74,7 +74,10 @@ def run_document_indexer(
     paths_count = paths.count()
 
     docs = read_json_documents(spark, lake_root, TEST_INDEX_SCHEMA)
-    obs = Observation("read_metrics")
+    # metric names must be unique per session → suffix each run
+    import uuid
+
+    obs = Observation(f"read_metrics_{uuid.uuid4().hex}")
     docs = docs.observe(
         obs,
         F.count(F.lit(1)).alias("documentReadCount"),

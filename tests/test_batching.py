@@ -1,0 +1,72 @@
+"""Boundary-math tests replicating the reference's unit-test surface.
+
+- BatchingUploaderTests.cs:12-32  — 3 docs @ batch=2 → 2 batches, all processed
+- BatchingUploaderTests.cs:34-56  — 4 docs @ batch=2 → exactly 2 batches
+- BatchingUploaderTests.cs:58-77  — 1 doc → 1 batch
+- BatchingUploaderTests.cs:79-102 — byte cap forces one doc per batch
+- PathIndexClientTests.cs:13-23   — empty listing → zero batches
+- PathIndexClientTests.cs:26-46   — 1000 paths → 1 batch
+- PathIndexClientTests.cs:48-68   — 1001 paths → 2 batches
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from azuredatalakeindexer_spark.operators.batching import oversize_filter, plan_batches
+
+
+def _docs(spark, n, size=10):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(size).alias("sz")
+    )
+
+
+def _n_batches(df):
+    return df.select("worker", "batch_id").distinct().count()
+
+
+def test_three_docs_batch_two(spark):
+    out = plan_batches(_docs(spark, 3), F.col("sz"), "doc_id", max_batch_count=2, max_batch_bytes=10**9)
+    assert _n_batches(out) == 2
+    assert out.count() == 3  # ProcessedCount == 3
+
+
+def test_four_docs_batch_two(spark):
+    out = plan_batches(_docs(spark, 4), F.col("sz"), "doc_id", max_batch_count=2, max_batch_bytes=10**9)
+    assert _n_batches(out) == 2
+
+
+def test_single_doc_single_batch(spark):
+    out = plan_batches(_docs(spark, 1), F.col("sz"), "doc_id")
+    assert _n_batches(out) == 1
+
+
+def test_byte_cap_forces_one_doc_per_batch(spark):
+    # each doc 100 bytes, cap 100 → adding a second would overflow → 4 batches
+    out = plan_batches(
+        _docs(spark, 4, size=100), F.col("sz"), "doc_id", max_batch_bytes=100, max_batch_count=1000
+    )
+    assert _n_batches(out) == 4
+
+
+def test_empty_input_zero_batches(spark):
+    out = plan_batches(_docs(spark, 0), F.col("sz"), "doc_id")
+    assert out.count() == 0
+
+
+def test_rebuild_buffer_1000_boundary(spark):
+    for n, expected in ((1000, 1), (1001, 2)):
+        out = plan_batches(
+            _docs(spark, n), F.col("sz"), "doc_id", max_batch_count=1000, max_batch_bytes=10**12
+        )
+        assert _n_batches(out) == expected, n
+
+
+def test_oversize_filter_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 2000), (3, 15)], "doc_id long, sz int"
+    )
+    kept, dropped = oversize_filter(docs, F.col("sz"), max_doc_bytes=100)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    assert [r["doc_id"] for r in dropped.collect()] == [2]  # FailedTooLarge

@@ -1,0 +1,103 @@
+"""Dedup + similarity operators: semantic truths and plan-shape guarantees
+(banded equi-joins — NEVER a cartesian product)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from azuredatalakeindexer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_docs,
+    simhash_pairs,
+)
+from azuredatalakeindexer_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from azuredatalakeindexer_spark.sources.fixtures import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),     # near dup of 0
+        (3, "completely different words about spark window aggregation plans"),
+        (4, "another unrelated document mentioning parquet bloom filters only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, near_dup_docs):
+    out = exact_dedup(near_dup_docs)
+    groups = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert groups[0] == 2          # 0 and 1 collapse, min id survives
+    assert out.count() == 4
+
+
+def test_minhash_finds_near_dups(spark, near_dup_docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(near_dup_docs).collect()}
+    assert (0, 1) in pairs          # identical docs always collide
+    assert (0, 2) in pairs          # one-word edit keeps most shingles
+    assert (3, 4) not in pairs      # unrelated docs don't
+
+
+def test_simhash_identical_docs_same_fp(spark, near_dup_docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_docs(near_dup_docs).collect()}
+    assert fp[0] == fp[1]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(near_dup_docs).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_ngram_jaccard_scores(spark, near_dup_docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(near_dup_docs, threshold=0.1, max_doc_freq=10).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out[(0, 2)] < 1.0
+
+
+def test_brute_force_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") == 0)
+    out = brute_force_topk(emb, q, k=2)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked == [1, 2]  # cosine order: 1 (≈0.99) > 2 (0.0) > 3 (-1)
+
+
+def test_no_cartesian_product_in_banded_joins(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for df in (
+        minhash_lsh_pairs(docs),
+        simhash_pairs(docs),
+        ngram_jaccard_pairs(docs),
+        lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 3)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_is_broadcast_not_shuffle(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") < 3))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the deliberate baseline: corpus streams through a broadcast NL join —
+    # the corpus itself is never shuffled for scoring
+    assert "BroadcastNestedLoopJoin" in plan

@@ -1,0 +1,65 @@
+"""Structured Streaming path (T1-T4, T7): availableNow drain, LWW merge,
+batch-split invariance, idempotent re-run."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from azuredatalakeindexer_spark.sources.fixtures import build_blob_events, load_table
+from azuredatalakeindexer_spark.streaming.events import run_event_stream_upsert
+from tests.conftest import SF_DIR
+
+
+def _run(spark, tmp, n_files: int, suffix: str):
+    ev = build_blob_events(load_table(spark, SF_DIR, "events"))
+    events_dir = os.path.join(tmp, f"events_{suffix}")
+    ev.repartition(n_files).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    pi = os.path.join(tmp, f"pi_{suffix}")
+    dl = os.path.join(tmp, f"dl_{suffix}")
+    ck = os.path.join(tmp, f"ck_{suffix}")
+    run_event_stream_upsert(
+        spark, events_dir, schema, pi, dl, ck,
+        now="2024-06-01 00:00:00", max_files_per_trigger=1,
+    )
+    return pi, dl, ck
+
+
+def test_stream_drains_and_dedups(spark, tmp_path):
+    pi, dl, _ = _run(spark, str(tmp_path), 3, "a")
+    out = spark.read.parquet(pi)
+    assert out.count() > 0
+    assert out.groupBy("key").count().where(F.col("count") > 1).count() == 0
+    deleted = spark.read.parquet(dl)
+    assert deleted.count() > 0  # T2: BlobDeleted events land in the deleted index
+
+
+def test_batch_split_invariance(spark, tmp_path):
+    """1 micro-batch vs 4 micro-batches must converge to the same table."""
+    pi1, _, _ = _run(spark, str(tmp_path), 1, "one")
+    pi4, _, _ = _run(spark, str(tmp_path), 4, "four")
+    a = spark.read.parquet(pi1).drop("lastModified")
+    b = spark.read.parquet(pi4).drop("lastModified")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_rerun_is_idempotent(spark, tmp_path):
+    """T4: at-least-once redelivery is safe — re-processing the same events
+    yields the same index (deterministic key + LWW merge)."""
+    pi, _, ck = _run(spark, str(tmp_path), 2, "r1")
+    before = spark.read.parquet(pi).count()
+    ev = build_blob_events(load_table(spark, SF_DIR, "events"))
+    events_dir = os.path.join(str(tmp_path), "events_r1")
+    schema = spark.read.parquet(events_dir).schema
+    # fresh checkpoint → the stream re-reads everything (simulated redelivery)
+    run_event_stream_upsert(
+        spark, events_dir, schema, pi,
+        os.path.join(str(tmp_path), "dl_r1"),
+        os.path.join(str(tmp_path), "ck_r1b"),
+        now="2024-06-01 00:00:00",
+    )
+    assert spark.read.parquet(pi).count() == before
