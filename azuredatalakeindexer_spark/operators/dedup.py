@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from azuredatalakeindexer_spark.operators.util import ensure_parallelism
 from azuredatalakeindexer_spark.functions.text import (
     band_key,
     minhash_signature,
@@ -32,6 +33,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     keeps the shuffle at one row per distinct hash per partition.
     """
     norm = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    docs = ensure_parallelism(docs)
     return (
         docs.select(F.col(id_col), norm.alias("content_hash"))
         .groupBy("content_hash")
@@ -40,6 +42,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _shingled(docs: DataFrame, text_col: str, id_col: str, shingle: int) -> DataFrame:
+    docs = ensure_parallelism(docs)
     toks = tokens(F.col(text_col))
     return docs.select(
         F.col(id_col), F.array_distinct(word_ngrams(toks, shingle)).alias("grams")
@@ -162,7 +165,7 @@ def simhash_docs(
     Implemented as explode → groupBy(doc) with ``bits`` conditional sums —
     one shuffle, map-side combined, no UDFs.  Returns ``(id, simhash)``.
     """
-    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = ensure_parallelism(docs).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     hashed = tok.select(F.col(id_col), portable_hash64(F.col("tok"), seed=99).alias("h"))
     votes = [
         F.sum(

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from azuredatalakeindexer_spark.operators.util import ensure_parallelism
 from azuredatalakeindexer_spark.functions.text import (
     char_fingerprint,
     regex_tokens,
@@ -35,6 +36,7 @@ LANG_LEXICONS: dict[str, list[str]] = {
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: argmax of per-language lexicon hit counts,
     first-listed language wins ties (deterministic)."""
+    docs = ensure_parallelism(docs)
     toks = tokens(F.col(text_col))
     out = docs.select(F.col(id_col), toks.alias("_toks"))
     for lang, lex in LANG_LEXICONS.items():
@@ -59,6 +61,7 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Features mirror the usual pretraining filters (Gopher/C4 rules):
     token count, mean token length, stopword ratio, non-alnum ratio.
     """
+    docs = ensure_parallelism(docs)
     toks = tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col),
@@ -86,6 +89,7 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace tokens and BPE-ish regex tokens."""
+    docs = ensure_parallelism(docs)
     toks = tokens(F.col(text_col))
     rtoks = regex_tokens(F.col(text_col))
     return docs.select(
@@ -99,6 +103,7 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprinting: order-sensitive rolling hash + normalized
     char-prefix md5 (cheap exact-dup key)."""
+    docs = ensure_parallelism(docs)
     toks = tokens(F.col(text_col))
     return docs.select(
         F.col(id_col),
