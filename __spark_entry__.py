@@ -512,6 +512,15 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_index_ddl(spark, sf):
+    """S7: the reflection step of index DDL — field capabilities from the
+    typed model's metadata (Utils.cs:23-44, PathIndexModel.cs:12-25)."""
+    from azuredatalakeindexer_spark.schemas import PATH_INDEX_SCHEMA
+    from azuredatalakeindexer_spark.sources.ddl import index_field_capabilities
+
+    return index_field_capabilities(spark, PATH_INDEX_SCHEMA)
+
+
 def q_stream_upsert_events(spark, sf):
     """T1-T4: real Structured Streaming run — readStream over the derived
     blob-event batch, foreachBatch LWW merge, availableNow drain (T7) — then
@@ -585,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
+        "index_ddl": q_index_ddl,
         "stream_upsert_events": q_stream_upsert_events,
     }
 
@@ -981,6 +991,18 @@ def oracle_sql() -> dict[str, str]:
              ((octet_length(encode(text)) % 640) + 1)::INT AS width,
              (((octet_length(encode(text)) * 7) % 480) + 1)::INT AS height
       FROM documents
+    """
+
+    # the declared PathIndexModel capability surface as literals — the oracle
+    # for the reflection step of S7 (PathIndexModel.cs:12-25)
+    sqls["index_ddl"] = """
+      SELECT * FROM (VALUES
+        ('key',              'string',    true,  false, true,  true,  false, NULL),
+        ('pathUrlEncoded',   'string',    false, true,  true,  false, false, 'keyword_v2+lowercase'),
+        ('filesystem',       'string',    false, false, true,  false, false, NULL),
+        ('fileLastModified', 'timestamp', false, false, true,  true,  false, NULL),
+        ('lastModified',     'timestamp', false, false, true,  true,  false, NULL)
+      ) t(field, type, is_key, searchable, filterable, sortable, facetable, analyzer)
     """
 
     sqls["stream_upsert_events"] = f"""

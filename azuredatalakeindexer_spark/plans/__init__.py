@@ -1,3 +1,4 @@
 from azuredatalakeindexer_spark.plans.indexer import IndexerResult, run_document_indexer
+from azuredatalakeindexer_spark.plans.partitioned import run_partitioned_upserts
 
-__all__ = ["run_document_indexer", "IndexerResult"]
+__all__ = ["run_document_indexer", "IndexerResult", "run_partitioned_upserts"]

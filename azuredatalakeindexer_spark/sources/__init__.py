@@ -7,8 +7,14 @@ from azuredatalakeindexer_spark.sources.fixtures import (
     load_table,
 )
 from azuredatalakeindexer_spark.sources.lake import list_lake_paths, read_json_documents
+from azuredatalakeindexer_spark.sources.ddl import create_index_table, index_field_capabilities
+from azuredatalakeindexer_spark.sources.synthetic import generate_paths, write_lake
 
 __all__ = [
+    "create_index_table",
+    "index_field_capabilities",
+    "generate_paths",
+    "write_lake",
     "WATERMARK",
     "load_table",
     "build_path_index",

@@ -24,6 +24,7 @@ from azuredatalakeindexer_spark.functions.keys import (
     path_key,
     url_encode_path,
 )
+from azuredatalakeindexer_spark.operators.util import ensure_parallelism
 
 #: incremental watermark literal used by the deterministic test queries —
 #: mid-range of the orders.o_orderdate span (1995-01-01 .. 2001-08-01) so the
@@ -71,6 +72,7 @@ def build_path_index(orders: DataFrame) -> DataFrame:
     column, PathIndexModel.cs:24-25) is the order date so watermark filters
     select deterministic subsets.
     """
+    orders = ensure_parallelism(orders)
     path = path_interpolate(
         F.col("o_orderkey") % 10, F.col("o_custkey"), F.col("o_orderkey")
     )
@@ -133,6 +135,7 @@ def build_blob_events(events: DataFrame) -> DataFrame:
     BlobDeleted; everything else BlobCreated (foo.bicep:184-206 wires the two
     event types to two queues).
     """
+    events = ensure_parallelism(events)
     fs = F.when(F.col("user_id") % 2 == 0, F.lit("stuff-large")).otherwise(
         F.lit("stuff-archive")
     )
