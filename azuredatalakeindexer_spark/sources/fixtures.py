@@ -54,8 +54,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is lossless and matches DuckDB's ``ts::TIMESTAMP``.
     """
     if name == "events":
-        # tolerate sessions built without the factory (e.g. the driver's)
+        # tolerate sessions built without the factory (e.g. the driver's):
+        # nanos-typed parquet needs the legacy read path, and the ns→µs
+        # conversion below produces an LTZ timestamp whose rendering must be
+        # UTC to agree with the timezone-naive fixtures (and the oracle)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV, not `/`: double division of ~1.7e18 ns loses the last
