@@ -49,6 +49,29 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str, shingle: int) -> Data
     ).where(F.size("grams") > 0)
 
 
+def _bucket_pairs(buckets: DataFrame, xs_col: str = "xs"):
+    """All ordered pairs (a < b by the struct's first field) within each
+    bucket's collected member array.
+
+    Pair generation INSIDE the grouped bucket (collect_list → nested
+    transform → explode) instead of a bucket self-join: the expensive
+    upstream (tokenize/shingle/hash) is computed ONCE instead of once per
+    join side, and no join appears in the plan at all.  Memory per bucket is
+    O(bucket size) — callers bound bucket sizes (doc-frequency caps, band
+    hashes) before grouping.
+    """
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col(xs_col),
+                lambda a: F.transform(F.col(xs_col), lambda b: F.struct(a.alias("a"), b.alias("b"))),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    return buckets.select(F.explode(pairs).alias("p"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -79,21 +102,16 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col(f"l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.col(id_col)).alias("xs"))
+        .where(F.size("xs") > 1)
+    )
+    return (
+        _bucket_pairs(buckets)
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -116,33 +134,30 @@ def ngram_jaccard_pairs(
     Returns ``(id_a, id_b, jaccard)`` for pairs ≥ threshold.
     """
     sh = _shingled(docs, text_col, id_col, shingle)
-    sizes = sh.select(F.col(id_col), F.size("grams").alias("n_grams"))
-    exploded = sh.select(F.col(id_col), F.explode("grams").alias("gram"))
-    rare = (
-        exploded.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= max_doc_freq)
-        .select("gram")
+    # carry |doc|'s gram count through the inverted index so no size join is
+    # needed later; the doc-frequency cap becomes a bucket-size filter
+    # (df(gram) == len(bucket)), bounding collect_list memory by construction
+    exploded = sh.select(
+        F.struct(F.col(id_col).alias("id"), F.size("grams").alias("n")).alias("doc"),
+        F.explode("grams").alias("gram"),
     )
-    filtered = exploded.join(rare, "gram")
+    buckets = (
+        exploded.groupBy("gram")
+        .agg(F.collect_list("doc").alias("xs"))
+        .where((F.size("xs") > 1) & (F.size("xs") <= max_doc_freq))
+    )
     shared = (
-        filtered.alias("l")
-        .join(
-            filtered.alias("r"),
-            (F.col("l.gram") == F.col("r.gram"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        _bucket_pairs(buckets)
         .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.n").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
                 F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
@@ -201,8 +216,7 @@ def simhash_pairs(
     chunk_bits = bits // chunks
     sh = simhash_docs(docs, text_col, id_col, bits)
     blocks = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("doc"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -214,27 +228,25 @@ def simhash_pairs(
                 for c in range(chunks)
             ])
         ).alias("blk"),
-    ).select(id_col, "simhash", "blk.block", "blk.bv")
-    pairs = (
-        blocks.alias("l")
-        .join(
-            blocks.alias("r"),
-            (F.col("l.block") == F.col("r.block"))
-            & (F.col("l.bv") == F.col("r.bv"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+    ).select("doc", "blk.block", "blk.bv")
+    buckets = (
+        blocks.groupBy("block", "bv")
+        .agg(F.collect_list("doc").alias("xs"))
+        .where(F.size("xs") > 1)
+    )
+    return (
+        _bucket_pairs(buckets)
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.sh").alias("sh_a"),
+            F.col("p.b.sh").alias("sh_b"),
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return pairs
 
 
 def embedding_near_dup_pairs(
