@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the engine's algebraic invariants.
+
+Spark jobs are too slow for per-example execution, so each property draws a
+batch of examples and runs ONE Spark job over the whole batch.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from azuredatalakeindexer_spark.functions.keys import (
+    path_key,
+    url_decode_path,
+    url_encode_path,
+)
+from azuredatalakeindexer_spark.operators.batching import plan_batches
+from azuredatalakeindexer_spark.operators.upsert import dedup_last_writer, merge_upsert
+
+LAKE_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789_./-"
+lake_path = st.text(alphabet=LAKE_CHARS, min_size=1, max_size=80).filter(
+    lambda s: "%" not in s
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(lake_path, min_size=1, max_size=30, unique=True))
+def test_url_roundtrip_and_key_parity(spark, paths):
+    """url_decode(url_encode(p)) == p and path_key == C#/stdlib base64, for
+    arbitrary lake-charset paths."""
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    out = df.select(
+        "path",
+        url_decode_path(url_encode_path(F.col("path"))).alias("rt"),
+        path_key(F.lit("fs"), url_encode_path(F.col("path"))).alias("key"),
+    ).collect()
+    for r in out:
+        assert r["rt"] == r["path"]
+        expected = base64.b64encode(
+            ("fs%2f" + r["path"].replace("/", "%2f")).encode()
+        ).decode()
+        assert r["key"] == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1000, max_value=20000),
+)
+def test_batch_packing_invariants(spark, sizes, max_count, max_bytes):
+    """Packing never drops documents, respects the count cap, and assigns
+    monotonically non-decreasing batch ids in document order."""
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, sz long")
+    out = plan_batches(
+        df, F.col("sz"), "doc_id", max_batch_bytes=max_bytes, max_batch_count=max_count
+    ).collect()
+    assert len(out) == len(sizes)          # packing never drops documents
+    per_batch: dict[int, int] = {}
+    by_doc = sorted(out, key=lambda r: r["doc_id"])
+    prev = 0
+    for r in by_doc:
+        per_batch[r["batch_id"]] = per_batch.get(r["batch_id"], 0) + 1
+        assert r["batch_id"] >= prev       # monotone in document order
+        prev = r["batch_id"]
+    assert by_doc[0]["batch_id"] == 0
+    assert all(n <= max_count for n in per_batch.values())
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k3"]),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_lww_dedup_is_split_invariant(spark, rows):
+    """Merging a batch all at once == merging any two-way split of it
+    (the foreachBatch invariant behind T1/T4)."""
+    df = spark.createDataFrame(rows, "key string, ts long, seq long")
+
+    def lww(frame):
+        return dedup_last_writer(frame, ["key"], "ts", tiebreak_col="seq")
+
+    whole = {(r["key"], r["ts"], r["seq"]) for r in lww(df).collect()}
+    half1 = df.where(F.col("seq") % 2 == 0)
+    half2 = df.where(F.col("seq") % 2 == 1)
+    merged = lww(
+        lww(half1).unionByName(lww(half2))
+    )
+    split = {(r["key"], r["ts"], r["seq"]) for r in merged.collect()}
+    assert whole == split
