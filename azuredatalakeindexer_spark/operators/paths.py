@@ -66,3 +66,31 @@ def list_paths(path_index: DataFrame, options: ListPathsOptions) -> DataFrame:
     if options.limit is not None:
         df = df.limit(options.limit)
     return df
+
+
+def iterate_pages(path_index: DataFrame, options: ListPathsOptions, page_size: int = 5000):
+    """Lazy page iterator — full API parity with ``ListPathsAsync``'s keyset
+    pagination loop (reference PathIndexClient.cs:66-91): fetch a page of
+    ``page_size`` ordered by key, remember the last key, resume with
+    ``key > previousKey`` until an empty page.
+
+    Spark jobs don't need this (partitioned execution replaces paging), but
+    driver-side consumers that stream results out (the reference's
+    IAsyncEnumerable callers) get the same contract.
+    """
+    from_key = options.from_key
+    while True:
+        page = list_paths(
+            path_index,
+            ListPathsOptions(
+                from_last_modified=options.from_last_modified,
+                filesystem=options.filesystem,
+                path_prefix=options.path_prefix,
+                from_key=from_key,
+                limit=page_size,
+            ),
+        ).collect()
+        if not page:
+            return
+        yield page
+        from_key = page[-1]["key"]  # :79-81 previousKey carry
