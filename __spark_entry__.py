@@ -430,6 +430,33 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_orders_cube(spark, sf):
+    """Grouping-set analytics: CUBE over status×priority with exact sums
+    (beyond-reference Spark capability, SURVEY §2.4 note)."""
+    orders = _orders(spark, sf)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_region_rollup(spark, sf):
+    """ROLLUP over the region→nation dimension chain with broadcast dims."""
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region")
+    joined = sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]).join(
+        F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("total_acctbal"),
+    )
+
+
 def q_dedup_exact(spark, sf):
     """Exact dedup: normalized-content hash groupBy."""
     return exact_dedup(_docs(spark, sf))
@@ -581,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
+        "orders_cube": q_orders_cube,
+        "region_rollup": q_region_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -767,6 +796,22 @@ def oracle_sql() -> dict[str, str]:
              round((sum(value::DECIMAL(18,2)))::DOUBLE, 2) AS total_value
       FROM events
       GROUP BY hour, event_type
+    """
+
+    sqls["orders_cube"] = """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round((sum(o_totalprice::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+    sqls["region_rollup"] = """
+      SELECT r_name, n_name, count(*) AS n_suppliers,
+             round((sum(s_acctbal::DECIMAL(18,2)))::DOUBLE, 2) AS total_acctbal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
     """
 
     sqls["dedup_exact"] = """
