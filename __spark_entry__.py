@@ -430,6 +430,34 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_distinct_users_daily(spark, sf):
+    """Exact distinct aggregation per day (SURVEY §2.4: distinct-agg is a
+    Spark-native extension beyond the reference's counters)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_events_sessionize(spark, sf):
+    """Sessionization via ``session_window`` (30-minute inactivity gap) —
+    the event-time session operator the reference lacks; the oracle replays
+    it as a gap-and-island computation."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def q_orders_cube(spark, sf):
     """Grouping-set analytics: CUBE over status×priority with exact sums
     (beyond-reference Spark capability, SURVEY §2.4 note)."""
@@ -608,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
+        "distinct_users_daily": q_distinct_users_daily,
+        "events_sessionize": q_events_sessionize,
         "orders_cube": q_orders_cube,
         "region_rollup": q_region_rollup,
         "dedup_exact": q_dedup_exact,
@@ -796,6 +826,35 @@ def oracle_sql() -> dict[str, str]:
              round((sum(value::DECIMAL(18,2)))::DOUBLE, 2) AS total_value
       FROM events
       GROUP BY hour, event_type
+    """
+
+    sqls["distinct_users_daily"] = """
+      SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+             count(DISTINCT user_id) AS users, count(*) AS n
+      FROM events
+      GROUP BY day
+    """
+
+    # session_window(gap=30min) == gap-and-island: a session starts where the
+    # per-user gap exceeds the inactivity threshold; start = min(ts) in island
+    sqls["events_sessionize"] = f"""
+      WITH ordered AS (
+        SELECT user_id, ts::TIMESTAMP AS ts,
+               CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w > INTERVAL '30 minutes'
+                         OR lag(ts::TIMESTAMP) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered)
+      SELECT user_id,
+             strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+             count(*) AS n_events
+      FROM islands
+      GROUP BY user_id, session_id
     """
 
     sqls["orders_cube"] = """
