@@ -526,6 +526,25 @@ def q_ann_lsh_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF-style ANN: seed-centroid coarse quantizer, 2-cell probe."""
+    from azuredatalakeindexer_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf)
+    q = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def q_multimodal_frames(spark, sf):
+    """Frame sampling: mapInPandas exploding each payload into N frame rows
+    with per-frame byte-window fingerprints."""
+    from azuredatalakeindexer_spark.operators.multimodal import sample_frames
+
+    mm = attach_binary_payload(_docs(spark, sf))
+    return sample_frames(mm, frame_bytes=64, fake=True)
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-dup pairs within sign buckets."""
     return embedding_near_dup_pairs(_emb(spark, sf), threshold=0.1, sign_dims=4)
@@ -647,7 +666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_frames": q_multimodal_frames,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
@@ -1008,6 +1029,49 @@ def oracle_sql() -> dict[str, str]:
              (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
       FROM scored
       QUALIFY rank <= 5
+    """
+
+    def _cos(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+            f" / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
+            f" * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i])))), 6)"
+        )
+
+    sqls["ann_ivf_topk"] = f"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, v AS cvec FROM c WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT c.vec_id, c.v, cents.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_cos('c.v', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM c, cents) t WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+      probes AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT q.query_id, q.qv, cents.cid,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos('q.qv', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM q, cents) t WHERE r <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, {_cos('p.qv', 'a.v')} AS cosine
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.vec_id != p.query_id)
+      SELECT query_id, neighbor_id, cosine,
+             (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+      FROM scored
+      QUALIFY rank <= 5
+    """
+
+    sqls["multimodal_frames"] = """
+      WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, (octet_length(encode(text)) % 5) + 1)) AS frame_idx
+        FROM documents)
+      SELECT doc_id, frame_idx::INT AS frame_idx,
+             md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_hash
+      FROM f
     """
 
     sqls["embedding_near_dup"] = f"""

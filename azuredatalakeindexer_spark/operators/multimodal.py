@@ -101,6 +101,58 @@ def extract_features(mm: DataFrame, fake: bool = True) -> DataFrame:
     return mm.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_hash", StringType(), True),
+    ]
+)
+
+
+def sample_frames(mm: DataFrame, frame_bytes: int = 64, fake: bool = True) -> DataFrame:
+    """Frame sampling: one input payload → N output frames (Arrow-batched
+    ``mapInPandas`` returning MULTIPLE rows per input — the video/audio
+    chunking shape).
+
+    The fake sampler derives ``(byte_len % 5) + 1`` frames per payload, each
+    fingerprinted by the md5 of its byte window — deterministic, so the
+    whole stage is oracle-checkable while the plumbing (row explosion,
+    batch shape, schema) is exactly what a real ffmpeg-backed sampler uses.
+    """
+
+    def _sample(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires av/ffmpeg, not present in "
+                    "this container; use fake=True"
+                )
+            out_ids, out_idx, out_hash = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n = (len(payload) % 5) + 1
+                for i in range(n):
+                    window = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_hash.append(hashlib.md5(window).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_hash": pd.Series(out_hash, dtype="object"),
+                }
+            )
+
+    return mm.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def metadata_only(mm: DataFrame) -> DataFrame:
     """Metadata projection that provably never reads payload bytes — the
     column-pruning fast path (check ``ReadSchema`` in the plan)."""

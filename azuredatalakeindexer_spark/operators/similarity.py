@@ -84,6 +84,70 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid cells, probe
+    the query's ``n_probe`` nearest cells, score only within them.
+
+    Centroids here are the first ``n_centroids`` corpus vectors (a
+    deterministic seed quantizer so the correctness oracle can replay the
+    whole index in SQL); production swaps in k-means centroids — the
+    plumbing (assign → invert → probe → score) is identical.  Assignment
+    cost is |corpus| × n_centroids against a broadcast centroid table; the
+    probe join is an equi-join on the cell id.  Per-query scoring work drops
+    to ~n_probe/n_centroids of the corpus.
+    """
+    cents = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+    def assign(df: DataFrame, ident: str, vec: str, keep: int) -> DataFrame:
+        # rank on the ROUNDED cosine so cell assignment is stable across
+        # engines/platforms (ties broken by centroid id)
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            df[ident],
+            df[vec],
+            F.col("cid"),
+            F.round(cosine_expr(F.col(vec), F.col("cvec")), 6).alias("_ccos"),
+        )
+        w = Window.partitionBy(ident).orderBy(F.col("_ccos").desc(), F.col("cid"))
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .where(F.col("_crank") <= keep)
+            .select(ident, vec, F.col("cid").alias("cell"))
+        )
+
+    inverted = assign(corpus, id_col, vec_col, 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    probes = assign(q, "query_id", "_qvec", n_probe)
+    scored = (
+        inverted.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

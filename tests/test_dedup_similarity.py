@@ -101,3 +101,32 @@ def test_brute_force_is_broadcast_not_shuffle(spark):
     # the deliberate baseline: corpus streams through a broadcast NL join —
     # the corpus itself is never shuffled for scoring
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivf_probes_recover_bruteforce_neighbors(spark):
+    """IVF with enough probes ≈ brute force; with the seed quantizer the
+    top-1 neighbor of most queries must appear in the probed cells."""
+    from azuredatalakeindexer_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    ivf = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8)  # probe ALL cells
+    bf = brute_force_topk(emb, q, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    assert got == want  # probing every cell == exact search
+
+
+def test_sample_frames_explodes_rows(spark):
+    from azuredatalakeindexer_spark.operators.multimodal import sample_frames
+    from azuredatalakeindexer_spark.operators.multimodal import attach_binary_payload
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    frames = sample_frames(attach_binary_payload(docs)).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert len(by_doc) == 20
+    for idxs in by_doc.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense frame indices
+        assert 1 <= len(idxs) <= 5
