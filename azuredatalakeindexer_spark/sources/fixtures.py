@@ -76,7 +76,8 @@ def build_path_index(orders: DataFrame) -> DataFrame:
     column, PathIndexModel.cs:24-25) is the order date so watermark filters
     select deterministic subsets.
     """
-    orders = ensure_parallelism(orders)
+    # NB: no ensure_parallelism here — the key derivation is ~µs/row, and a
+    # repartition shuffle costs more than single-split evaluation (measured)
     path = path_interpolate(
         F.col("o_orderkey") % 10, F.col("o_custkey"), F.col("o_orderkey")
     )
@@ -139,7 +140,6 @@ def build_blob_events(events: DataFrame) -> DataFrame:
     BlobDeleted; everything else BlobCreated (foo.bicep:184-206 wires the two
     event types to two queues).
     """
-    events = ensure_parallelism(events)
     fs = F.when(F.col("user_id") % 2 == 0, F.lit("stuff-large")).otherwise(
         F.lit("stuff-archive")
     )
