@@ -616,10 +616,11 @@ def q_stream_upsert_events(spark, sf):
             spark, events_dir, schema, pi_dir, del_dir, ckpt, now=W, max_files_per_trigger=1
         )
         out = spark.read.parquet(pi_dir).drop("_seq")
-        # materialize before the temp dir disappears
-        result = _pi_str(out).cache()
-        result.count()
-        return result
+        # materialize fully before the temp dir disappears: a cache could be
+        # evicted and recompute against deleted files; driver rows cannot
+        # (bounded: one row per distinct path key)
+        result = _pi_str(out)
+        return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
