@@ -10,7 +10,7 @@ narrow transformations — zero shuffles.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 
 from azuredatalakeindexer_spark.operators.util import ensure_parallelism
 from azuredatalakeindexer_spark.functions.text import (

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from datetime import datetime
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from azuredatalakeindexer_spark.operators.paths import ListPathsOptions, list_paths

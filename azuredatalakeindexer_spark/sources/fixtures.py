@@ -24,7 +24,6 @@ from azuredatalakeindexer_spark.functions.keys import (
     path_key,
     url_encode_path,
 )
-from azuredatalakeindexer_spark.operators.util import ensure_parallelism
 
 #: incremental watermark literal used by the deterministic test queries —
 #: mid-range of the orders.o_orderdate span (1995-01-01 .. 2001-08-01) so the

@@ -5,7 +5,6 @@ schema-on-read parse with fault isolation (S4), the J1 join, the mapper
 from __future__ import annotations
 
 import json
-import os
 
 import pyspark.sql.functions as F
 import pytest

@@ -17,7 +17,7 @@ from azuredatalakeindexer_spark.functions.keys import (
     url_encode_path,
 )
 from azuredatalakeindexer_spark.operators.batching import plan_batches
-from azuredatalakeindexer_spark.operators.upsert import dedup_last_writer, merge_upsert
+from azuredatalakeindexer_spark.operators.upsert import dedup_last_writer
 
 LAKE_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789_./-"
 lake_path = st.text(alphabet=LAKE_CHARS, min_size=1, max_size=80).filter(

@@ -6,7 +6,6 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-import pytest
 
 from azuredatalakeindexer_spark.sources.fixtures import build_blob_events, load_table
 from azuredatalakeindexer_spark.streaming.events import run_event_stream_upsert
