@@ -5,7 +5,7 @@ The reference's tables (path index, lake listing, blob events, deleted paths)
 don't exist as parquet fixtures, so they are DERIVED deterministically from
 ``orders`` / ``events`` with pure column expressions.  Every derivation here
 has a matching DuckDB CTE in ``__spark_entry__.oracle_sql`` — keep the two in
-sync (tests/test_oracle_parity.py replays every query against DuckDB).
+sync (tools/check_correctness.py replays every query against DuckDB).
 
 Path shapes mirror the reference's synthetic corpus generator
 (``partition_{i}/customer_{j}/document_{k}.json``, reference
