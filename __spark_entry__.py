@@ -314,6 +314,24 @@ def q_batch_packing(spark, sf):
     return out.select("doc_id", "batch_id")
 
 
+def q_batch_packing_greedy(spark, sf):
+    """A5 exact greedy flush semantics (BatchingUploader.cs:80-92) via
+    per-worker applyInPandas; the oracle replays the sequential walk as a
+    recursive CTE."""
+    from azuredatalakeindexer_spark.operators.batching import plan_batches_greedy
+
+    docs = _docs(spark, sf)
+    out = plan_batches_greedy(
+        docs,
+        F.col("n_chars"),
+        "doc_id",
+        max_batch_bytes=PACK_BYTES,
+        max_batch_count=PACK_COUNT,
+        n_workers=1,
+    )
+    return out.select("doc_id", "batch_id")
+
+
 def q_rebuild_batches(spark, sf):
     """S1/P4/P5 + the 1000-row rebuild buffer (PathIndexClient.cs:98-147,
     boundary-tested in reference PathIndexClientTests.cs:26-68)."""
@@ -648,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deleted_anti_join": q_deleted_anti_join,
         "oversize_filter": q_oversize_filter,
         "batch_packing": q_batch_packing,
+        "batch_packing_greedy": q_batch_packing_greedy,
         "rebuild_batches": q_rebuild_batches,
         "run_metrics": q_run_metrics,
         "doc_count": q_doc_count,
@@ -778,6 +797,27 @@ def oracle_sql() -> dict[str, str]:
                floor((row_number() OVER w - 1) / {PACK_COUNT})::BIGINT) AS batch_id
       FROM documents
       WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    # the greedy flush walk (BatchingUploader.cs:80-92) as a recursive CTE:
+    # one recursion step per document, carrying (batch_id, acc_bytes, acc_count)
+    sqls["batch_packing_greedy"] = f"""
+      WITH RECURSIVE ordered AS (
+        SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id, n_chars AS sz
+        FROM documents),
+      walk AS (
+        SELECT rn, doc_id, sz, 0::BIGINT AS batch_id, sz AS acc_bytes, 1 AS acc_count
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.rn, o.doc_id, o.sz,
+               CASE WHEN w.acc_count = {PACK_COUNT} OR w.acc_bytes + o.sz > {PACK_BYTES}
+                    THEN w.batch_id + 1 ELSE w.batch_id END,
+               CASE WHEN w.acc_count = {PACK_COUNT} OR w.acc_bytes + o.sz > {PACK_BYTES}
+                    THEN o.sz ELSE w.acc_bytes + o.sz END,
+               CASE WHEN w.acc_count = {PACK_COUNT} OR w.acc_bytes + o.sz > {PACK_BYTES}
+                    THEN 1 ELSE w.acc_count + 1 END
+        FROM walk w JOIN ordered o ON o.rn = w.rn + 1)
+      SELECT doc_id, batch_id FROM walk
     """
 
     sqls["rebuild_batches"] = f"""

@@ -37,6 +37,60 @@ def oversize_filter(
     return kept, dropped
 
 
+def plan_batches_greedy(
+    df: DataFrame,
+    size: Column,
+    order_col: str,
+    max_batch_bytes: int = MAX_DOCUMENT_BATCH_SIZE_BYTES,
+    max_batch_count: int = DOCUMENT_BATCH_SIZE,
+    n_workers: int = 1,
+    worker_key: str | None = None,
+) -> DataFrame:
+    """A5 with the reference's EXACT greedy flush semantics
+    (BatchingUploader.cs:80-92): walk documents in order, flush when the
+    batch holds ``max_batch_count`` docs or adding the next would exceed
+    ``max_batch_bytes``.
+
+    Greedy packing is inherently sequential, so it runs per worker bucket as
+    an Arrow-batched ``applyInPandas`` — the bounded Python loop the
+    reference also runs per uploader thread.  For uniform sizes it agrees
+    with :func:`plan_batches`; for variable sizes it reproduces the
+    reference byte-for-byte (the window variant is a shuffle-free
+    plan-ahead approximation).
+    """
+    import pandas as pd
+
+    out_fields = df.schema.fields
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + ", worker bigint, batch_id bigint"
+    )
+    tagged = df.withColumn("_doc_bytes", size)
+    if n_workers > 1:
+        wk = F.pmod(F.xxhash64(F.col(worker_key or order_col)), F.lit(n_workers))
+    else:
+        wk = F.lit(0)
+    tagged = tagged.withColumn("worker", wk.cast("bigint"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        batch_ids = []
+        batch_id = acc_bytes = acc_count = 0
+        for sz in pdf["_doc_bytes"]:
+            if acc_count == max_batch_count or (
+                acc_count > 0 and acc_bytes + sz > max_batch_bytes
+            ):
+                batch_id += 1
+                acc_bytes = acc_count = 0
+            batch_ids.append(batch_id)
+            acc_bytes += sz
+            acc_count += 1
+        pdf["batch_id"] = batch_ids
+        return pdf.drop(columns=["_doc_bytes"])
+
+    return tagged.groupBy("worker").applyInPandas(pack, schema=out_schema)
+
+
 def plan_batches(
     df: DataFrame,
     size: Column,

@@ -70,3 +70,30 @@ def test_oversize_filter_counts(spark):
     kept, dropped = oversize_filter(docs, F.col("sz"), max_doc_bytes=100)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
     assert [r["doc_id"] for r in dropped.collect()] == [2]  # FailedTooLarge
+
+
+def test_greedy_matches_reference_flush_semantics(spark):
+    """Variable sizes where the plan-ahead window formula diverges but the
+    greedy walk must match BatchingUploader.cs:80-92 exactly: flush happens
+    BEFORE adding a doc that would overflow, and the accumulator resets."""
+    from azuredatalakeindexer_spark.operators.batching import plan_batches_greedy
+
+    # cap=100: [60, 50] -> flush before 50 (110 > 100); [50, 40] fit; [90] flushes again
+    docs = spark.createDataFrame(
+        [(0, 60), (1, 50), (2, 40), (3, 90)], "doc_id long, sz long"
+    )
+    out = plan_batches_greedy(
+        docs, F.col("sz"), "doc_id", max_batch_bytes=100, max_batch_count=1000
+    )
+    got = {r["doc_id"]: r["batch_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_greedy_agrees_with_window_for_uniform_sizes(spark):
+    from azuredatalakeindexer_spark.operators.batching import plan_batches_greedy
+
+    docs = _docs(spark, 1001)
+    for fn in (plan_batches, plan_batches_greedy):
+        out = fn(docs, F.col("sz"), "doc_id", max_batch_count=1000, max_batch_bytes=10**12)
+        ids = {r["batch_id"] for r in out.collect()}
+        assert ids == {0, 1}, fn.__name__
