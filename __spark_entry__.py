@@ -967,10 +967,18 @@ def oracle_sql() -> dict[str, str]:
         FROM nonempty),
       banded AS (
         {band_rows}),
+      sized AS (
+        SELECT doc_id, band, bh,
+               count(*) OVER (PARTITION BY band, bh) AS bsz,
+               min(doc_id) OVER (PARTITION BY band, bh) AS rep
+        FROM banded),
+      -- bucket cap mirror: cliques only for buckets <= 64 members; bigger
+      -- buckets contribute a star around the min-id member (l = rep)
       pairs AS (
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        FROM banded l JOIN banded r
-          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+        FROM sized l JOIN sized r
+          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        WHERE l.bsz <= 64 OR l.doc_id = l.rep)
       SELECT id_a, id_b FROM pairs
     """
 
@@ -1006,11 +1014,18 @@ def oracle_sql() -> dict[str, str]:
       WITH {simhash_cte},
       blocks AS (
         {chunk_rows}),
+      sized AS (
+        SELECT doc_id, simhash, block, bv,
+               count(*) OVER (PARTITION BY block, bv) AS bsz,
+               min(doc_id) OVER (PARTITION BY block, bv) AS rep
+        FROM blocks),
+      -- bucket cap mirror: cliques <= 64 members, star (l = rep) above
       cand AS (
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                l.simhash AS sh_a, r.simhash AS sh_b
-        FROM blocks l JOIN blocks r
-          ON l.block = r.block AND l.bv = r.bv AND l.doc_id < r.doc_id)
+        FROM sized l JOIN sized r
+          ON l.block = r.block AND l.bv = r.bv AND l.doc_id < r.doc_id
+        WHERE l.bsz <= 64 OR l.doc_id = l.rep)
       SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
       FROM cand
       WHERE bit_count(xor(sh_a, sh_b)) <= 3

@@ -14,7 +14,7 @@ SQL.  Pure Catalyst expressions throughout; no Python UDFs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from azuredatalakeindexer_spark.operators.util import ensure_parallelism
 from azuredatalakeindexer_spark.functions.text import (
@@ -72,6 +72,47 @@ def _bucket_pairs(buckets: DataFrame, xs_col: str = "xs"):
     return buckets.select(F.explode(pairs).alias("p"))
 
 
+def _bounded_bucket_pairs(
+    members: DataFrame,
+    bucket_cols: list[str],
+    member_col: str,
+    max_clique: int = 64,
+) -> DataFrame:
+    """Bucket-local pairs with a hard memory bound per bucket.
+
+    Buckets of ≤ ``max_clique`` members emit the full clique via
+    :func:`_bucket_pairs` (collect_list is therefore bounded at
+    ``max_clique`` elements — the only place a bucket is ever materialized
+    in a row).  Oversized buckets — boilerplate-identical documents — emit a
+    linear *star* around the smallest member instead: each member pairs with
+    the bucket minimum, computed with plain window functions, so no task
+    ever holds the bucket in memory and output stays O(bucket size) instead
+    of O(bucket size²).  A star loses intra-bucket transitive pairs, but an
+    oversized LSH bucket means its members are near-identical: under the
+    connected-components clustering any consumer applies next, the star
+    yields the same clusters as the clique.
+
+    ``member_col`` must be orderable with a unique-per-bucket leading id
+    (plain id column, or a struct whose first field is the id) so the star
+    representative is deterministic.  Returns columns ``a``, ``b`` with
+    ``a < b``.
+    """
+    w = Window.partitionBy(*bucket_cols)
+    sized = members.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", F.min(member_col).over(w)
+    )
+    small = (
+        sized.where((F.col("_bsz") > 1) & (F.col("_bsz") <= max_clique))
+        .groupBy(*bucket_cols)
+        .agg(F.collect_list(member_col).alias("xs"))
+    )
+    clique = _bucket_pairs(small).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    star = sized.where(
+        (F.col("_bsz") > max_clique) & (F.col(member_col) != F.col("_rep"))
+    ).select(F.col("_rep").alias("a"), F.col(member_col).alias("b"))
+    return clique.unionByName(star)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -79,6 +120,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle: int = 3,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs.
 
@@ -87,6 +129,9 @@ def minhash_lsh_pairs(
     become a candidate pair.  The join key is ``(band_id, band_hash)`` — a
     plain hash-shuffle equi-join.  Hot buckets (boilerplate shingles) are
     AQE-skew-split; the band hash is 128-bit so false fusion is negligible.
+    Buckets above ``max_bucket_size`` members emit a linear star instead of
+    the O(m²) clique (see :func:`_bounded_bucket_pairs`) — the mega-bucket
+    guard for boilerplate-heavy corpora.
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``.
     """
@@ -102,14 +147,9 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.collect_list(F.col(id_col)).alias("xs"))
-        .where(F.size("xs") > 1)
-    )
     return (
-        _bucket_pairs(buckets)
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        _bounded_bucket_pairs(banded, ["band", "bh"], id_col, max_bucket_size)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
 
@@ -203,6 +243,7 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius.
 
@@ -210,7 +251,10 @@ def simhash_pairs(
     blocks, any pair within ``max_hamming < chunks`` differing bits agrees on
     at least one block — so candidates come from an equi-join on
     ``(block_id, block_value)``, then the exact Hamming distance
-    (``bit_count(a XOR b)``) filters.  Returns ``(id_a, id_b, hamming)``.
+    (``bit_count(a XOR b)``) filters.  Buckets above ``max_bucket_size``
+    emit a star around the min-id member instead of the O(m²) clique
+    (:func:`_bounded_bucket_pairs`); a star pair outside the Hamming radius
+    is still dropped by the exact filter.  Returns ``(id_a, id_b, hamming)``.
     """
     assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
     chunk_bits = bits // chunks
@@ -229,18 +273,13 @@ def simhash_pairs(
             ])
         ).alias("blk"),
     ).select("doc", "blk.block", "blk.bv")
-    buckets = (
-        blocks.groupBy("block", "bv")
-        .agg(F.collect_list("doc").alias("xs"))
-        .where(F.size("xs") > 1)
-    )
     return (
-        _bucket_pairs(buckets)
+        _bounded_bucket_pairs(blocks, ["block", "bv"], "doc", max_bucket_size)
         .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.col("p.a.sh").alias("sh_a"),
-            F.col("p.b.sh").alias("sh_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))

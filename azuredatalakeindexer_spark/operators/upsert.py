@@ -75,16 +75,27 @@ def upsert_status_counts(classified: DataFrame) -> DataFrame:
     )
 
 
-def merge_upsert(existing: DataFrame, batch: DataFrame, key_col: str = "key") -> DataFrame:
+def merge_upsert(
+    existing: DataFrame,
+    batch: DataFrame,
+    key_col: str = "key",
+    broadcast_batch_keys: bool = True,
+) -> DataFrame:
     """S6: MERGE-or-upload — the table state after applying a (deduped) batch.
 
     ``MERGE INTO existing USING batch ON key WHEN MATCHED THEN UPDATE WHEN NOT
     MATCHED THEN INSERT`` expressed on plain DataFrames as
-    ``existing ∖ batch ∪ batch`` (left anti-join + union).  Both sides
-    hash-partition by key — the same shuffle a Delta MERGE performs — and the
-    anti-join broadcasts the batch key set when small.
+    ``existing ∖ batch ∪ batch`` (left anti-join + union).
+
+    ``broadcast_batch_keys=True`` is the incremental-indexing default: a
+    micro-batch's key set is small, so the anti-join broadcasts it and the
+    big ``existing`` table never shuffles.  For rebuild-sized batches
+    (reference ``PathIndexClient.cs:98-147`` relists the whole lake — up to
+    10⁹ keys) pass ``False``: both sides hash-partition by key into a
+    shuffled join, the same plan shape a Delta MERGE performs.
     """
-    survivors = existing.join(
-        F.broadcast(batch.select(key_col).distinct()), key_col, "left_anti"
-    )
+    keys = batch.select(key_col).distinct()
+    if broadcast_batch_keys:
+        keys = F.broadcast(keys)
+    survivors = existing.join(keys, key_col, "left_anti")
     return survivors.unionByName(batch.select(*existing.columns))

@@ -64,6 +64,31 @@ def test_ngram_jaccard_scores(spark, near_dup_docs):
     assert 0.5 < out[(0, 2)] < 1.0
 
 
+def test_mega_bucket_output_stays_linear(spark):
+    """Degenerate corpus: n identical docs land in ONE bucket per band/block.
+    The bucket cap must switch to star pairs — output O(n), not O(n²) —
+    and every doc must still be flagged as a duplicate of the representative."""
+    n = 2000
+    rows = [(i, "spam spam wonderful spam baked beans and spam again forever") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = minhash_lsh_pairs(docs, max_bucket_size=64)
+    assert mh.count() == n - 1  # star around doc 0, no quadratic clique
+    assert {r["id_a"] for r in mh.collect()} == {0}
+    sp = simhash_pairs(docs, max_bucket_size=64)
+    assert sp.count() == n - 1
+    assert {r["hamming"] for r in sp.collect()} == {0}
+
+
+def test_bucket_cap_boundary_keeps_clique(spark):
+    """At exactly max_bucket_size members the full clique is still emitted."""
+    rows = [(i, "identical tiny document body with enough words to shingle") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(docs, max_bucket_size=5)
+    assert out.count() == 5 * 4 // 2  # full clique at the boundary
+    star = minhash_lsh_pairs(docs, max_bucket_size=4)
+    assert star.count() == 4  # one over the cap → star
+
+
 def test_brute_force_topk_exact(spark):
     emb = spark.createDataFrame(
         [

@@ -55,6 +55,40 @@ def test_merge_upsert_state(spark):
     assert got == {"a": 1, "b": 2, "c": 2}  # b replaced, c inserted, a kept
 
 
+def test_merge_upsert_shuffled_fallback_plan(spark):
+    # rebuild-sized batches must NOT force a broadcast: with
+    # broadcast_batch_keys=False the anti-join is a shuffled join
+    # (SortMergeJoin / ShuffledHashJoin), never BroadcastHashJoin.
+    existing = spark.range(0, 1000).select(F.concat(F.lit("k"), "id").alias("key"))
+    batch = spark.range(500, 1500).select(F.concat(F.lit("k"), "id").alias("key"))
+    # pin auto-broadcast off so the plan shape reflects the flag, not the
+    # tiny test input sizes
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        out = merge_upsert(existing, batch, broadcast_batch_keys=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert out.count() == 1500
+        # the default path still broadcasts (F.broadcast hint overrides the
+        # disabled threshold) — the incremental micro-batch case
+        plan_bc = (
+            merge_upsert(existing, batch)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan_bc, plan_bc
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_apply_deletes_anti_join(spark):
     idx = spark.createDataFrame([("a",), ("b",), ("c",)], "key string")
     deleted = spark.createDataFrame([("b",), ("zzz",)], "key string")
