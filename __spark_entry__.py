@@ -153,6 +153,22 @@ _LISTING_SQL = f"""
   FROM orders
 """
 
+# the deterministic JSON lake derived from `documents` (matches
+# sources.fixtures.build_document_lake): one file per doc, every 37th
+# malformed; file_lm straddles the watermark by ±50 days
+_DOC_LAKE_SQL = f"""
+  SELECT doc_id,
+         'partition_' || (doc_id % 10)::VARCHAR || '/customer_' || (doc_id % 100)::VARCHAR
+           || '/document_' || doc_id::VARCHAR || '.json' AS path,
+         CASE WHEN doc_id % 2 = 0 THEN 'stuff-large' ELSE 'stuff-archive' END AS filesystem,
+         TIMESTAMP '{WATERMARK}' + INTERVAL ((doc_id % 100) - 50) DAY AS file_lm,
+         (doc_id % 37 != 0) AS parsed_ok,
+         text AS stringvalue,
+         n_chars::INT AS numbervalue,
+         (doc_id % 2 = 0) AS booleanvalue
+  FROM documents
+"""
+
 #: lowercased whitespace tokens of documents.text (matches functions.text.tokens)
 _WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
 
@@ -613,6 +629,85 @@ def q_index_ddl(spark, sf):
     return index_field_capabilities(spark, PATH_INDEX_SCHEMA)
 
 
+def _persisted(spark, df: DataFrame) -> DataFrame:
+    """Persist a result whose lineage depends on about-to-be-deleted temp
+    inputs, and return a LAZY read of the persisted copy — never a
+    driver-side collect (at lake scale "one row per file" is the unbounded
+    catalog).  The parquet dir lives for the session; /tmp reaping cleans it.
+    """
+    result_dir = tempfile.mkdtemp(prefix="adls_result_")
+    df.write.mode("overwrite").parquet(result_dir)
+    return spark.read.parquet(result_dir)
+
+
+def _indexer_result(spark, sf):
+    """Shared §3.1 end-to-end run: write a real JSON lake (malformed files
+    included) from the documents fixture, then run the full
+    ``run_document_indexer`` composition — S3/S4 file read+parse, J1 join,
+    P1/P2 map+null-drop, P11, W1, J3, S6 MERGE, A1-A3 metrics
+    (reference DataLakeIndexer.cs:20-49)."""
+    from azuredatalakeindexer_spark.plans.indexer import run_document_indexer
+    from azuredatalakeindexer_spark.sources.fixtures import (
+        build_document_lake,
+        build_existing_data_index,
+        document_lake_path_index,
+    )
+    from azuredatalakeindexer_spark.sources.synthetic import write_document_lake
+
+    lake = build_document_lake(_docs(spark, sf))
+    root = tempfile.mkdtemp(prefix="adls_lake_")
+    try:
+        write_document_lake(lake, root)
+        res = run_document_indexer(
+            spark,
+            document_lake_path_index(lake),
+            root,
+            build_existing_data_index(lake),
+            ListPathsOptions(from_last_modified=W, filesystem="stuff-large"),
+        )
+        out = res.merged.select(
+            "pathbase64",
+            "stringvalue",
+            "numbervalue",
+            "booleanvalue",
+            "eTag",
+            "pathUrlEncoded",
+            _fmt(F.col("lastModified")).alias("lastModified"),
+        )
+        res.merged = _persisted(spark, out)
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_indexer_run(spark, sf):
+    """§3.1 end-to-end: the merged data index after a full indexer run over a
+    real JSON lake — S3+S4+P1+P2+J1+F11 exercised against the oracle in one
+    composition (RunDocumentIndexerOnPathsAsync, DataLakeIndexer.cs:20-49)."""
+    return _indexer_result(spark, sf).merged
+
+
+def q_indexer_run_metrics(spark, sf):
+    """A2/A3 end-to-end: IndexerRunMetrics of the same §3.1 run
+    (DataLakeIndexer.cs:39-48 — without the ProcessedCount=FailedCount bug)."""
+    res = _indexer_result(spark, sf)
+    return spark.createDataFrame(
+        [
+            (
+                res.paths_count,
+                res.document_read_count,
+                res.document_read_failed_count,
+                res.processed_count,
+                res.created_count,
+                res.modified_count,
+                res.failed_too_large_count,
+            )
+        ],
+        "pathsCount long, documentReadCount long, documentReadFailedCount long, "
+        "processedCount long, createdCount long, modifiedCount long, failedTooLargeCount long",
+    )
+
+
 def q_stream_upsert_events(spark, sf):
     """T1-T4: real Structured Streaming run — readStream over the derived
     blob-event batch, foreachBatch LWW merge, availableNow drain (T7) — then
@@ -634,11 +729,10 @@ def q_stream_upsert_events(spark, sf):
             spark, events_dir, schema, pi_dir, del_dir, ckpt, now=W, max_files_per_trigger=1
         )
         out = spark.read.parquet(pi_dir).drop("_seq")
-        # materialize fully before the temp dir disappears: a cache could be
-        # evicted and recompute against deleted files; driver rows cannot
-        # (bounded: one row per distinct path key)
-        result = _pi_str(out)
-        return spark.createDataFrame(result.collect(), result.schema)
+        # persist before the temp dir disappears, return a lazy read — at
+        # real scale "one row per lake file" is the unbounded catalog, so no
+        # driver collect here
+        return _persisted(spark, _pi_str(out))
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -696,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "index_ddl": q_index_ddl,
         "stream_upsert_events": q_stream_upsert_events,
+        "indexer_run": q_indexer_run,
+        "indexer_run_metrics": q_indexer_run_metrics,
     }
 
 
@@ -1234,6 +1330,51 @@ def oracle_sql() -> dict[str, str]:
       rows AS ({_EVENT_ROWS_SQL})
       SELECT {_FMT_COLS} FROM rows
       QUALIFY row_number() OVER (PARTITION BY key ORDER BY fileLastModified DESC, _seq DESC) = 1
+    """
+
+    # ---- §3.1 end-to-end indexer: the full lake derivation replayed ------
+    # (matches sources.fixtures.build_document_lake; the Spark side reads the
+    # ACTUAL files it wrote — the oracle derives the same relation directly)
+    sqls["indexer_run"] = f"""
+      WITH lake AS ({_DOC_LAKE_SQL}),
+      batch AS (
+        SELECT to_base64(encode(filesystem || '%2f' || replace(path, '/', '%2f'))) AS pathbase64,
+               stringvalue, numbervalue, booleanvalue,
+               md5(path) AS eTag,
+               replace(path, '/', '%2f') AS pathUrlEncoded,
+               file_lm AS lastModified
+        FROM lake
+        WHERE file_lm >= TIMESTAMP '{W}' AND filesystem = 'stuff-large' AND parsed_ok),
+      existing AS (
+        SELECT to_base64(encode(filesystem || '%2f' || replace(path, '/', '%2f'))) AS pathbase64,
+               'old-' || doc_id::VARCHAR AS stringvalue,
+               -1 AS numbervalue, FALSE AS booleanvalue,
+               'old' AS eTag,
+               replace(path, '/', '%2f') AS pathUrlEncoded,
+               TIMESTAMP '1995-01-01 00:00:00' AS lastModified
+        FROM lake WHERE doc_id % 3 = 0),
+      merged AS (
+        SELECT * FROM existing WHERE pathbase64 NOT IN (SELECT pathbase64 FROM batch)
+        UNION ALL SELECT * FROM batch)
+      SELECT pathbase64, stringvalue, numbervalue::INT AS numbervalue, booleanvalue,
+             eTag, pathUrlEncoded,
+             strftime(lastModified, '{TS_FMT_DUCK}') AS lastModified
+      FROM merged
+    """
+
+    sqls["indexer_run_metrics"] = f"""
+      WITH lake AS ({_DOC_LAKE_SQL}),
+      paths AS (
+        SELECT * FROM lake
+        WHERE file_lm >= TIMESTAMP '{W}' AND filesystem = 'stuff-large'),
+      batch AS (SELECT * FROM paths WHERE parsed_ok)
+      SELECT (SELECT count(*) FROM paths) AS pathsCount,
+             (SELECT count(*) FROM lake) AS documentReadCount,
+             (SELECT count(*) FILTER (WHERE NOT parsed_ok) FROM lake) AS documentReadFailedCount,
+             (SELECT count(*) FILTER (WHERE parsed_ok) FROM lake) AS processedCount,
+             (SELECT count(*) FILTER (WHERE doc_id % 3 != 0) FROM batch) AS createdCount,
+             (SELECT count(*) FILTER (WHERE doc_id % 3 = 0) FROM batch) AS modifiedCount,
+             0::BIGINT AS failedTooLargeCount
     """
 
     return sqls

@@ -162,6 +162,79 @@ def build_blob_events(events: DataFrame) -> DataFrame:
     )
 
 
+def build_document_lake(docs: DataFrame) -> DataFrame:
+    """Derive the deterministic JSON lake from ``documents``: one file per
+    doc, with every 37th payload malformed to exercise S4's per-row fault
+    isolation (reference IndexMapper.cs:15-28 maps a parse miss to null).
+
+    Returns ``(doc_id, path, filesystem, file_lm, parsed_ok, payload,
+    stringvalue, numbervalue, booleanvalue)``; ``payload`` is the exact file
+    body :func:`azuredatalakeindexer_spark.sources.synthetic.write_document_lake`
+    writes.  ``file_lm`` straddles :data:`WATERMARK` (±50 days by
+    ``doc_id % 100``) so P6 selects a strict subset.
+    """
+    path = path_interpolate(
+        F.col("doc_id") % 10, F.col("doc_id") % 100, F.col("doc_id")
+    )
+    fs = F.when(F.col("doc_id") % 2 == 0, F.lit("stuff-large")).otherwise(
+        F.lit("stuff-archive")
+    )
+    file_lm = F.lit(WATERMARK).cast("timestamp") + F.expr(
+        "make_interval(0, 0, 0, cast(doc_id % 100 as int) - 50, 0, 0, 0)"
+    )
+    stringvalue = F.col("text")
+    numbervalue = F.col("n_chars").cast("int")
+    booleanvalue = F.col("doc_id") % 2 == 0
+    good = F.to_json(
+        F.struct(
+            stringvalue.alias("stringvalue"),
+            numbervalue.alias("numbervalue"),
+            booleanvalue.alias("booleanvalue"),
+        )
+    )
+    parsed_ok = F.col("doc_id") % 37 != 0
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        fs.alias("filesystem"),
+        file_lm.alias("file_lm"),
+        parsed_ok.alias("parsed_ok"),
+        F.when(parsed_ok, good).otherwise(F.lit('{"stringvalue": "truncated')).alias("payload"),
+        stringvalue.alias("stringvalue"),
+        numbervalue.alias("numbervalue"),
+        booleanvalue.alias("booleanvalue"),
+    )
+
+
+def document_lake_path_index(lake: DataFrame) -> DataFrame:
+    """Path-index rows (PathIndexModel) for a :func:`build_document_lake`
+    frame — the catalog the §3.1 indexer queries before reading files."""
+    enc = url_encode_path(F.col("path"))
+    return lake.select(
+        path_key(F.col("filesystem"), enc).alias("key"),
+        enc.alias("pathUrlEncoded"),
+        F.col("filesystem"),
+        F.col("file_lm").alias("fileLastModified"),
+        F.col("file_lm").alias("lastModified"),
+    )
+
+
+def build_existing_data_index(lake: DataFrame) -> DataFrame:
+    """A pre-existing data index (SomeOtherIndexModel shape) covering every
+    3rd document with stale values — so the indexer's MERGE both updates
+    (J3: 200) and inserts (201)."""
+    enc = url_encode_path(F.col("path"))
+    return lake.where(F.col("doc_id") % 3 == 0).select(
+        path_key(F.col("filesystem"), enc).alias("pathbase64"),
+        F.concat(F.lit("old-"), F.col("doc_id").cast("string")).alias("stringvalue"),
+        F.lit(-1).cast("int").alias("numbervalue"),
+        F.lit(False).alias("booleanvalue"),
+        F.lit("old").alias("eTag"),
+        enc.alias("pathUrlEncoded"),
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("lastModified"),
+    )
+
+
 def build_deleted_paths(orders: DataFrame) -> DataFrame:
     """Derive the deleted-paths index (reference Program.cs:65, intended
     anti-join semantics per SURVEY §2.3 J2): every 7th order's file."""

@@ -67,11 +67,24 @@ def write_lake(
             (F.monotonically_increasing_id() % 2 == 0).alias("booleanvalue"),
         )
     )
-    rows = paths.select("path", payload.alias("doc")).collect()
+    return _write_files(paths.select("path", payload.alias("doc")), root)
+
+
+def write_document_lake(lake: DataFrame, root: str) -> int:
+    """Materialize a :func:`azuredatalakeindexer_spark.sources.fixtures.build_document_lake`
+    frame as real files under ``root`` — the S3/S4 readers then scan a real
+    directory tree, malformed payloads included."""
+    return _write_files(lake.select("path", F.col("payload").alias("doc")), root)
+
+
+def _write_files(rows_df: DataFrame, root: str) -> int:
+    """Write (path, doc) rows as files.  Driver-side loop by design: this is
+    the test-corpus generator (the reference's console harness does the same,
+    DataLakeWriter.cs:24-46); corpus size is fixture-bounded."""
     import os
 
     n = 0
-    for r in rows:
+    for r in rows_df.collect():
         full = os.path.join(root, r["path"])
         os.makedirs(os.path.dirname(full), exist_ok=True)
         with open(full, "w") as fh:
