@@ -126,7 +126,8 @@ _EVENTS_SQL = """
 """
 
 # blob event -> path row projection (P3), shared by several oracles
-_EVENT_ROWS_SQL = f"""
+def _event_rows_sql(event_type: str = "Microsoft.Storage.BlobCreated") -> str:
+    return f"""
   SELECT to_base64(encode(split_part(url, '/', 4) || '%2f' ||
                    replace(array_to_string(list_slice(string_split(url, '/'), 5, 9999), '/'), '/', '%2f'))) AS key,
          replace(array_to_string(list_slice(string_split(url, '/'), 5, 9999), '/'), '/', '%2f') AS pathUrlEncoded,
@@ -135,8 +136,11 @@ _EVENT_ROWS_SQL = f"""
          TIMESTAMP '{W}' AS lastModified,
          event_id AS _seq
   FROM blob_events
-  WHERE eventType = 'Microsoft.Storage.BlobCreated'
+  WHERE eventType = '{event_type}'
 """
+
+
+_EVENT_ROWS_SQL = _event_rows_sql()
 
 _LISTING_SQL = f"""
   SELECT 'partition_' || (o_orderkey % 10)::VARCHAR || '/customer_' || o_custkey::VARCHAR
@@ -708,10 +712,10 @@ def q_indexer_run_metrics(spark, sf):
     )
 
 
-def q_stream_upsert_events(spark, sf):
-    """T1-T4: real Structured Streaming run — readStream over the derived
-    blob-event batch, foreachBatch LWW merge, availableNow drain (T7) — then
-    the resulting path-index table (PathIndexerFunc.cs:18-36)."""
+def _stream_run(spark, sf, target: str) -> DataFrame:
+    """Shared T1-T4/T7 streaming harness: readStream over the derived
+    blob-event batch, foreachBatch LWW merge into BOTH indexes, availableNow
+    drain — then one of the two resulting tables."""
     from azuredatalakeindexer_spark.streaming.events import run_event_stream_upsert
 
     ev = build_blob_events(load_table(spark, sf, "events"))
@@ -728,13 +732,84 @@ def q_stream_upsert_events(spark, sf):
         run_event_stream_upsert(
             spark, events_dir, schema, pi_dir, del_dir, ckpt, now=W, max_files_per_trigger=1
         )
-        out = spark.read.parquet(pi_dir).drop("_seq")
+        out_dir = pi_dir if target == "created" else del_dir
+        out = spark.read.parquet(out_dir).drop("_seq")
         # persist before the temp dir disappears, return a lazy read — at
         # real scale "one row per lake file" is the unbounded catalog, so no
         # driver collect here
         return _persisted(spark, _pi_str(out))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def q_stream_upsert_events(spark, sf):
+    """T1-T4: real Structured Streaming run — readStream over the derived
+    blob-event batch, foreachBatch LWW merge, availableNow drain (T7) — then
+    the resulting path-index table (PathIndexerFunc.cs:18-36)."""
+    return _stream_run(spark, sf, "created")
+
+
+def q_stream_deleted_index(spark, sf):
+    """T2: the deleted-path index from the same streaming run — the
+    BlobDeleted half the reference stubbed (PathIndexerFunc.cs:39-74,
+    'only add to blob deleted paths index?'), implemented with the intended
+    semantics and feeding the J2 anti-join downstream."""
+    return _stream_run(spark, sf, "deleted")
+
+
+def q_partitioned_runs(spark, sf):
+    """T5: one scheduled cycle of partition-prefix indexer runs
+    (DatalakeIndexerFunc.cs:20-48) — five prefix-filtered S2 queries merged
+    sequentially into the index; returns the final index state."""
+    from azuredatalakeindexer_spark.plans.partitioned import run_partitioned_upserts
+
+    orders = _orders(spark, sf)
+    pi = build_path_index(orders)
+    existing = build_path_index(orders.where(F.col("o_orderkey") % 3 == 0))
+    state, _counts = run_partitioned_upserts(
+        pi,
+        existing,
+        [f"partition_{i}" for i in range(1, 6)],
+        from_last_modified=W,
+    )
+    return _pi_str(state)
+
+
+def q_partitioned_counts(spark, sf):
+    """T5: the per-partition changed-path counts the reference logs per cron
+    run (DatalakeIndexerFunc.cs:50-53)."""
+    from azuredatalakeindexer_spark.plans.partitioned import run_partitioned_upserts
+
+    orders = _orders(spark, sf)
+    pi = build_path_index(orders)
+    existing = build_path_index(orders.where(F.col("o_orderkey") % 3 == 0))
+    _state, counts = run_partitioned_upserts(
+        pi,
+        existing,
+        [f"partition_{i}" for i in range(1, 6)],
+        from_last_modified=W,
+    )
+    return spark.createDataFrame(
+        [(k, v) for k, v in counts.items()], "prefix string, n long"
+    )
+
+
+def q_listing_to_path_rows(spark, sf):
+    """P4 + P5: PathItem listing → PathIndexModel rows, directories dropped
+    (PathIndexClient.cs:112-126)."""
+    from azuredatalakeindexer_spark.operators.mapper import listing_to_path_rows
+
+    listing = build_listing(_orders(spark, sf))
+    return _pi_str(listing_to_path_rows(listing, now=F.lit(W).cast("timestamp")))
+
+
+def q_iso_ts(spark, sf):
+    """F8: C# '{ts:o}' round-trip format — 7 fractional digits + offset
+    (PathIndexClient.cs:53)."""
+    from azuredatalakeindexer_spark.functions.keys import iso_ts
+
+    ev = load_table(spark, sf, "events")
+    return ev.select("event_id", iso_ts(F.col("ts")).alias("iso"))
 
 
 # --------------------------------------------------------------------------
@@ -792,6 +867,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_events": q_stream_upsert_events,
         "indexer_run": q_indexer_run,
         "indexer_run_metrics": q_indexer_run_metrics,
+        "stream_deleted_index": q_stream_deleted_index,
+        "partitioned_runs": q_partitioned_runs,
+        "partitioned_counts": q_partitioned_counts,
+        "listing_to_path_rows": q_listing_to_path_rows,
+        "iso_ts": q_iso_ts,
     }
 
 
@@ -1360,6 +1440,58 @@ def oracle_sql() -> dict[str, str]:
              eTag, pathUrlEncoded,
              strftime(lastModified, '{TS_FMT_DUCK}') AS lastModified
       FROM merged
+    """
+
+    sqls["stream_deleted_index"] = f"""
+      WITH blob_events AS ({_EVENTS_SQL}),
+      rows AS ({_event_rows_sql("Microsoft.Storage.BlobDeleted")})
+      SELECT {_FMT_COLS} FROM rows
+      QUALIFY row_number() OVER (PARTITION BY key ORDER BY fileLastModified DESC, _seq DESC) = 1
+    """
+
+    # T5: the five prefix partitions are disjoint, so the sequential merge
+    # loop equals one merge of the union of all five batches
+    _prefix_pred = " OR ".join(
+        f"starts_with(lower(pathUrlEncoded), 'partition_{i}')" for i in range(1, 6)
+    )
+    sqls["partitioned_runs"] = f"""
+      WITH path_index AS ({_pi_sql()}),
+      existing AS ({_pi_sql("o_orderkey % 3 = 0")}),
+      batch AS (
+        SELECT * FROM path_index
+        WHERE lastModified >= TIMESTAMP '{W}' AND ({_prefix_pred})),
+      merged AS (
+        SELECT * FROM existing WHERE key NOT IN (SELECT key FROM batch)
+        UNION ALL SELECT * FROM batch)
+      SELECT {_FMT_COLS} FROM merged
+    """
+
+    sqls["partitioned_counts"] = f"""
+      WITH path_index AS ({_pi_sql()}),
+      p AS (SELECT 'partition_' || i::VARCHAR AS prefix FROM range(1, 6) t(i))
+      SELECT prefix,
+             (SELECT count(*) FROM path_index
+              WHERE lastModified >= TIMESTAMP '{W}'
+                AND starts_with(lower(pathUrlEncoded), prefix)) AS n
+      FROM p
+    """
+
+    sqls["listing_to_path_rows"] = f"""
+      WITH listing AS ({_LISTING_SQL})
+      SELECT to_base64(encode('stuff-large' || '%2f' || replace(name, '/', '%2f'))) AS key,
+             replace(name, '/', '%2f') AS pathUrlEncoded,
+             'stuff-large' AS filesystem,
+             strftime(lastModified, '{TS_FMT_DUCK}') AS fileLastModified,
+             strftime(TIMESTAMP '{W}', '{TS_FMT_DUCK}') AS lastModified
+      FROM listing WHERE NOT isDirectory
+    """
+
+    # C# '{{ts:o}}' = 7 fractional digits + offset; DuckDB %f is 6-digit
+    # microseconds, so append the always-zero 7th digit and the UTC 'Z'
+    sqls["iso_ts"] = """
+      SELECT event_id,
+             strftime(ts::TIMESTAMP, '%Y-%m-%dT%H:%M:%S.%f') || '0Z' AS iso
+      FROM events
     """
 
     sqls["indexer_run_metrics"] = f"""
