@@ -679,6 +679,8 @@ def _indexer_result(spark, sf):
             _fmt(F.col("lastModified")).alias("lastModified"),
         )
         res.merged = _persisted(spark, out)
+        if res.batch is not None:
+            res.batch.unpersist()
         return res
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -771,6 +773,7 @@ def q_partitioned_runs(spark, sf):
         existing,
         [f"partition_{i}" for i in range(1, 6)],
         from_last_modified=W,
+        count_batches=False,
     )
     return _pi_str(state)
 
@@ -1078,7 +1081,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["events_sessionize"] = f"""
       WITH ordered AS (
         SELECT user_id, ts::TIMESTAMP AS ts,
-               CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w > INTERVAL '30 minutes'
+               -- >= not >: Spark session windows are half-open [ts, ts+gap),
+               -- so an event at exactly prev_ts + gap starts a NEW session
+               CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w >= INTERVAL '30 minutes'
                          OR lag(ts::TIMESTAMP) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -1217,22 +1222,27 @@ def oracle_sql() -> dict[str, str]:
                  ELSE [] END) AS grams
         FROM toks),
       nonempty AS (SELECT * FROM shingled WHERE len(grams) > 0),
-      sizes AS (SELECT doc_id, len(grams) AS n_grams FROM nonempty),
       exploded AS (SELECT doc_id, unnest(grams) AS gram FROM nonempty),
       rare AS (
         SELECT gram FROM exploded GROUP BY gram HAVING count(*) <= 50),
       filtered AS (SELECT e.* FROM exploded e JOIN rare USING (gram)),
-      shared AS (
-        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared
+      -- rare shingles generate CANDIDATES only; the score below is the
+      -- exact Jaccard over ALL grams (mirrors ngram_jaccard_pairs)
+      cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
         FROM filtered l JOIN filtered r
-          ON l.gram = r.gram AND l.doc_id < r.doc_id
-        GROUP BY id_a, id_b)
+          ON l.gram = r.gram AND l.doc_id < r.doc_id),
+      scored AS (
+        SELECT id_a, id_b,
+               len(list_intersect(a.grams, b.grams)) AS inter,
+               len(a.grams) AS na, len(b.grams) AS nb
+        FROM cand
+        JOIN nonempty a ON a.doc_id = id_a
+        JOIN nonempty b ON b.doc_id = id_b)
       SELECT id_a, id_b,
-             round(shared / (sa.n_grams + sb.n_grams - shared), 6) AS jaccard
-      FROM shared
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE round(shared / (sa.n_grams + sb.n_grams - shared), 6) >= 0.5
+             round(inter / (na + nb - inter), 6) AS jaccard
+      FROM scored
+      WHERE round(inter / (na + nb - inter), 6) >= 0.5
     """
 
     emb_base = """
@@ -1296,6 +1306,11 @@ def oracle_sql() -> dict[str, str]:
       QUALIFY rank <= 5
     """
 
+    # NOTE: substr() slices CHARACTERS while sample_frames slices the UTF-8
+    # byte payload — equivalent only because the documents fixture is
+    # ASCII-only (DuckDB md5 can't take a BLOB, so a byte-exact oracle is
+    # not expressible).  tests/test_dedup_similarity.py::
+    # test_documents_fixture_is_ascii pins the assumption.
     sqls["multimodal_frames"] = """
       WITH f AS (
         SELECT doc_id, text,

@@ -168,39 +168,48 @@ def ngram_jaccard_pairs(
     frequency ≤ ``max_doc_freq``): common boilerplate shingles are dropped
     before the self-join, which caps the per-key fan-out — the standard
     "stop-shingle" guard that keeps the join linear-ish at corpus scale.
-    Jaccard is then computed exactly from shared-shingle counts:
-    ``|A∩B| / (|A| + |B| - |A∩B|)``.
+    The rare-shingle index generates CANDIDATES only; surviving pairs then
+    recompute the intersection exactly over ALL grams (``array_intersect``
+    on the two shingle sets), so the reported score is the true
+    ``|A∩B| / (|A| + |B| - |A∩B|)`` — counting only rare shared shingles
+    would systematically underestimate pairs that also share common ones.
+
+    The candidate filter is still one-sided: a pair whose every shared
+    shingle is common (df > ``max_doc_freq``) is never generated — the
+    standard, documented trade of the stop-shingle scheme (such pairs are
+    boilerplate-overlap, not content-overlap).
 
     Returns ``(id_a, id_b, jaccard)`` for pairs ≥ threshold.
     """
     sh = _shingled(docs, text_col, id_col, shingle)
-    # carry |doc|'s gram count through the inverted index so no size join is
-    # needed later; the doc-frequency cap becomes a bucket-size filter
-    # (df(gram) == len(bucket)), bounding collect_list memory by construction
-    exploded = sh.select(
-        F.struct(F.col(id_col).alias("id"), F.size("grams").alias("n")).alias("doc"),
-        F.explode("grams").alias("gram"),
-    )
+    exploded = sh.select(F.col(id_col), F.explode("grams").alias("gram"))
+    # the doc-frequency cap is a bucket-size filter (df(gram) == len(bucket)),
+    # bounding collect_list memory by construction
     buckets = (
         exploded.groupBy("gram")
-        .agg(F.collect_list("doc").alias("xs"))
+        .agg(F.collect_list(id_col).alias("xs"))
         .where((F.size("xs") > 1) & (F.size("xs") <= max_doc_freq))
     )
-    shared = (
+    cand = (
         _bucket_pairs(buckets)
-        .groupBy(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.col("p.a.n").alias("na"),
-            F.col("p.b.n").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
     )
+    # exact rescoring: two hash-joins back to the (id, grams) relation —
+    # bounded by candidate count, and the gram arrays never shuffle more
+    # than once per side
+    ga = sh.select(F.col(id_col).alias("id_a"), F.col("grams").alias("_ga"))
+    gb = sh.select(F.col(id_col).alias("id_b"), F.col("grams").alias("_gb"))
     return (
-        shared.withColumn(
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_ga", "_gb")))
+        .withColumn(
             "jaccard",
             F.round(
-                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+                F.col("_inter")
+                / (F.size("_ga") + F.size("_gb") - F.col("_inter")),
+                6,
             ),
         )
         .where(F.col("jaccard") >= threshold)

@@ -148,6 +148,20 @@ def ivf_topk(
     )
 
 
+def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
+    """Recall@k of an approximate top-k result against the exact baseline:
+    |approx ∩ exact| / |exact| over (query_id, neighbor_id) pairs.
+
+    An ANN operator whose recall is unmeasured cannot be trusted at scale —
+    bench.py reports this per round and tests pin floors per method.
+    """
+    total = exact.count()
+    if not total:
+        return 1.0
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    return hits / total
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -155,20 +169,56 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sign_dims: int = 8,
+    n_flip_bits: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: score only within the query's sign bucket.
+    """Approximate top-k: score only within the query's sign bucket(s).
 
     Equi-join on the bucket key (broadcast query side) — per-query work is
-    |corpus| / 2^sign_dims in expectation.  Recall is traded for throughput;
-    multi-probe (flipping low-confidence bits) can be layered on by unioning
-    additional probe buckets into the (tiny) query side.
+    ``(1 + n_flip_bits) × |corpus| / 2^sign_dims`` in expectation.
+    ``n_flip_bits > 0`` enables multi-probe: the query additionally probes
+    the buckets reached by flipping each of its ``n_flip_bits``
+    least-confident sign bits (smallest ``|vec[i]|`` — the dims most likely
+    to differ for a true neighbor), still an equi-join on the exploded
+    (tiny) query side.
+
+    Recall honesty (measured per round in bench.py, floors pinned in
+    tests/test_dedup_similarity.py): sign-bucket LSH is the right scheme for
+    NEAR-DUP retrieval (cosine ≥ ~0.95 agrees on almost all signs —
+    :func:`azuredatalakeindexer_spark.operators.dedup.embedding_near_dup_pairs`)
+    but recalls poorly for general top-k over weakly-correlated embeddings;
+    for that use :func:`ivf_topk`, whose recall/scan-fraction trade is
+    directly tunable via (n_centroids, n_probe).
     """
     cb = corpus.withColumn("_bucket", sign_bucket(F.col(vec_col), sign_dims))
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        sign_bucket(F.col(vec_col), sign_dims).alias("_bucket"),
-    )
+    base = sign_bucket(F.col(vec_col), sign_dims)
+    if n_flip_bits:
+        conf = F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at(vec_col, i + 1)).alias("a"),
+                    F.lit(i).alias("i"),
+                )
+                for i in range(sign_dims)
+            ]
+        )
+        lowest = F.slice(F.array_sort(conf), 1, n_flip_bits)
+        probes = F.array_union(
+            F.array(base),
+            F.transform(
+                lowest, lambda s: base.bitwiseXOR(F.pow(F.lit(2.0), s["i"]).cast("int"))
+            ),
+        )
+        qb = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(probes).alias("_bucket"),
+        )
+    else:
+        qb = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            base.alias("_bucket"),
+        )
     scored = (
         cb.join(F.broadcast(qb), "_bucket")
         .where(F.col(id_col) != F.col("query_id"))

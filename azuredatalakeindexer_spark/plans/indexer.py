@@ -59,6 +59,9 @@ class IndexerResult:
     created_count: int
     modified_count: int
     failed_too_large_count: int
+    #: the cached post-map batch backing ``merged`` — callers unpersist it
+    #: once ``merged`` has been materialized
+    batch: DataFrame | None = None
 
 
 def run_document_indexer(
@@ -90,7 +93,11 @@ def run_document_indexer(
         etag=F.md5(F.col("path")),
         last_modified=F.col("fileLastModified"),
     )
-    mapped = drop_unmapped(mapped)
+    # cache the mapped batch: it is small (the rows about to be merged — what
+    # a Delta MERGE would stage) while its lineage is the full content scan;
+    # without this every downstream action (counts, classify, MERGE write)
+    # re-reads and re-parses the lake
+    mapped = drop_unmapped(mapped).persist()
 
     kept, too_large = oversize_filter(
         mapped, doc_size_bytes(*[F.col(c) for c in mapped.columns]), max_doc_bytes
@@ -108,6 +115,7 @@ def run_document_indexer(
 
     read_metrics = obs.get
     return IndexerResult(
+        batch=mapped,
         merged=merged,
         paths_count=paths_count,
         document_read_count=read_metrics["documentReadCount"],

@@ -27,11 +27,16 @@ def run_partitioned_upserts(
     prefixes: list[str],
     from_last_modified: datetime | str | None = None,
     filesystem: str | None = None,
+    count_batches: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """One scheduled cycle: for each partition prefix, list changed paths
     (S2) and merge them into the index (S6).  Returns (final index state,
     per-partition changed-path counts) — the counts mirror the reference's
-    per-run logging (DatalakeIndexerFunc.cs:50-53)."""
+    per-run logging (DatalakeIndexerFunc.cs:50-53).
+
+    ``count_batches=False`` skips the per-prefix ``count()`` actions: the
+    final state then evaluates in ONE job instead of one per prefix plus
+    one — use it when only the merged state is consumed."""
     state = existing
     counts: dict[str, int] = {}
     for prefix in prefixes:
@@ -43,6 +48,7 @@ def run_partitioned_upserts(
                 path_prefix=prefix,
             ),
         )
-        counts[prefix] = batch.count()
+        if count_batches:
+            counts[prefix] = batch.count()
         state = merge_upsert(state, batch)
     return state, counts

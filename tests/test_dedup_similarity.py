@@ -142,6 +142,30 @@ def test_ivf_probes_recover_bruteforce_neighbors(spark):
     assert got == want  # probing every cell == exact search
 
 
+def test_ann_recall_floors(spark):
+    """Pin measured recall@10 floors (sf0.001, queries vec_id<20) so a
+    regression in bucketing/probing is caught.  Measured 2026-08-13:
+    ivf(16,2)=0.775, ivf(32,4)=0.83, lsh(4,f4)=0.43; floors leave margin.
+    Single-probe lsh_d8 recalls ~0.03 here — that path is for near-dup
+    retrieval, documented in lsh_bucketed_topk's docstring."""
+    from azuredatalakeindexer_spark.operators.similarity import ann_recall, ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    q = emb.where(F.col("vec_id") < 20)
+    bf = brute_force_topk(emb, q, k=10).cache()
+    bf.count()
+    assert ann_recall(bf, ivf_topk(emb, q, k=10, n_centroids=16, n_probe=2)) >= 0.6
+    assert ann_recall(bf, ivf_topk(emb, q, k=10, n_centroids=32, n_probe=4)) >= 0.65
+    lsh_multi = ann_recall(
+        bf, lsh_bucketed_topk(emb, q, k=10, sign_dims=4, n_flip_bits=4)
+    )
+    lsh_single = ann_recall(bf, lsh_bucketed_topk(emb, q, k=10, sign_dims=4))
+    assert lsh_multi >= 0.3
+    assert lsh_multi >= lsh_single  # multi-probe can only widen the probe set
+    bf.unpersist()
+    emb.unpersist()
+
+
 def test_sample_frames_explodes_rows(spark):
     from azuredatalakeindexer_spark.operators.multimodal import sample_frames
     from azuredatalakeindexer_spark.operators.multimodal import attach_binary_payload
@@ -155,3 +179,13 @@ def test_sample_frames_explodes_rows(spark):
     for idxs in by_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))  # dense frame indices
         assert 1 <= len(idxs) <= 5
+
+
+def test_documents_fixture_is_ascii(spark):
+    """The multimodal_frames oracle slices characters (substr) while
+    sample_frames slices UTF-8 bytes — equivalent ONLY for ASCII text.
+    DuckDB md5() can't hash a BLOB, so the byte-exact oracle isn't
+    expressible; pin the fixture assumption instead (ADVICE r2)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    non_ascii = docs.where(F.octet_length("text") != F.length("text")).count()
+    assert non_ascii == 0
