@@ -1124,9 +1124,14 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ---- MinHash LSH: full pipeline replayed in SQL --------------------
+    from azuredatalakeindexer_spark.functions.text import MERSENNE31, MINHASH_AB
+
     gram = "words[i] || ' ' || words[i+1] || ' ' || words[i+2]"
+    # one md5-derived base hash per gram (mod Mersenne31), then the affine
+    # universal family — byte-identical to functions.text.minhash_signature
     sig_cols = ",\n             ".join(
-        f"list_min(list_transform(grams, g -> {_ph('g', i)})) AS m{i}" for i in range(8)
+        f"list_min(list_transform(hs, h -> (h * {MINHASH_AB[i][0]} + {MINHASH_AB[i][1]}) % {MERSENNE31})) AS m{i}"
+        for i in range(8)
     )
     band_rows = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {b} AS band, md5('{b}' || ',' || m{2 * b}::VARCHAR || ',' || m{2 * b + 1}::VARCHAR) AS bh FROM sigs"
@@ -1142,10 +1147,13 @@ def oracle_sql() -> dict[str, str]:
                  ELSE [] END) AS grams
         FROM toks),
       nonempty AS (SELECT * FROM shingled WHERE len(grams) > 0),
+      hashed AS (
+        SELECT doc_id, list_transform(grams, g -> ({_ph('g', 0)}) % {MERSENNE31}) AS hs
+        FROM nonempty),
       sigs AS (
         SELECT doc_id,
              {sig_cols}
-        FROM nonempty),
+        FROM hashed),
       banded AS (
         {band_rows}),
       sized AS (

@@ -27,6 +27,23 @@ def _col(c: Column | str) -> Column:
 FINGERPRINT_MOD = 1_000_000_007
 #: per-word code space for the rolling fingerprint (2^28)
 WORD_CODE_MOD = 268_435_456
+#: Mersenne prime 2^31 - 1: modulus of the affine universal-hash family used
+#: for MinHash.  base < p and a < p keep ``a*h + b`` under 2^62 — no int64
+#: overflow, and ``%`` on nonnegative operands is identical in Spark/DuckDB.
+MERSENNE31 = 2_147_483_647
+#: fixed (a, b) parameters of the affine family h_i(x) = (a_i*x + b_i) mod p.
+#: Arbitrary odd multipliers / offsets below 2^31, hardcoded so both engines
+#: (and reruns) derive the same signatures.
+MINHASH_AB: list[tuple[int, int]] = [
+    (1_203_793_951, 395_008_081), (1_636_843_941, 910_118_291),
+    (824_918_393, 1_518_049_661), (593_116_427, 134_217_689),
+    (1_926_227_239, 552_398_111), (1_073_807_359, 789_024_847),
+    (389_046_883, 1_842_617_393), (1_500_450_271, 262_144_071),
+    (715_827_883, 1_104_001_273), (982_451_653, 472_882_049),
+    (1_257_787_003, 86_028_157), (472_882_027, 1_300_609_429),
+    (198_491_317, 694_847_539), (879_190_841, 1_111_111_121),
+    (1_727_913_571, 333_667_111), (611_953_517, 1_555_555_567),
+]
 
 
 def tokens(text: Column | str) -> Column:
@@ -67,18 +84,36 @@ def word_ngrams(token_array: Column, n: int) -> Column:
     return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(grams: Column, num_hashes: int) -> Column:
-    """MinHash signature: array of ``min_g hash_i(g)`` for i in [0, num_hashes).
+def gram_hashes(grams: Column) -> Column:
+    """One 31-bit base hash per shingle: ``portable_hash64(g) % MERSENNE31``.
+
+    This is the ONLY md5 evaluation in the MinHash pipeline — callers
+    project this array in its own select so the signature derivation below
+    reuses it instead of re-hashing the gram strings once per hash function
+    (8 md5/gram → 1 md5/gram, the dominant dedup_minhash_lsh cost).
+    """
+    return F.transform(grams, lambda g: portable_hash64(g) % MERSENNE31)
+
+
+def minhash_signature(hashes: Column, num_hashes: int) -> Column:
+    """MinHash signature from pre-hashed shingles: array of
+    ``min_h (a_i*h + b_i) mod p`` for i in [0, num_hashes).
+
+    The per-function hashes are an affine universal family
+    (Carter–Wegman) over the single md5-derived base hash from
+    :func:`gram_hashes` — standard MinHash practice, and 8× cheaper than
+    salting md5 per function.  ``num_hashes`` ≤ ``len(MINHASH_AB)``.
 
     Null-safe: an empty shingle set yields nulls in the signature (callers
     filter docs with too little text before banding).
     """
-    def hasher(seed: int):
-        # NB: a 2-arg lambda (``lambda g, i=seed``) would receive the ARRAY
-        # INDEX as its second argument from F.transform — closure required
-        return lambda g: portable_hash64(g, seed)
+    def hasher(i: int):
+        a, b = MINHASH_AB[i]
+        # NB: a 2-arg lambda would receive the ARRAY INDEX as its second
+        # argument from F.transform — closure required
+        return lambda h: (h * F.lit(a) + F.lit(b)) % MERSENNE31
 
-    sig = [F.array_min(F.transform(grams, hasher(i))) for i in range(num_hashes)]
+    sig = [F.array_min(F.transform(hashes, hasher(i))) for i in range(num_hashes)]
     return F.array(*sig)
 
 

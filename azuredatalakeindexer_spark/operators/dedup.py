@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from azuredatalakeindexer_spark.operators.util import ensure_parallelism
 from azuredatalakeindexer_spark.functions.text import (
     band_key,
+    gram_hashes,
     minhash_signature,
     portable_hash64,
     tokens,
@@ -98,8 +99,16 @@ def _bounded_bucket_pairs(
     ``a < b``.
     """
     w = Window.partitionBy(*bucket_cols)
-    sized = members.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
-        "_rep", F.min(member_col).over(w)
+    # the clique and star branches below are separate subplans of a union —
+    # Spark would recompute the expensive upstream (tokenize/hash/band) once
+    # per branch.  Materialize the sized membership once (localCheckpoint:
+    # executor memory+disk, lineage truncated; one row per bucket member).
+    # At 100 TB persist to a table / reliable checkpoint instead — an
+    # executor loss forces a full localCheckpoint recompute.
+    sized = (
+        members.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .withColumn("_rep", F.min(member_col).over(w))
+        .localCheckpoint()
     )
     small = (
         sized.where((F.col("_bsz") > 1) & (F.col("_bsz") <= max_clique))
@@ -137,7 +146,11 @@ def minhash_lsh_pairs(
     """
     band_size = num_hashes // bands
     sh = _shingled(docs, text_col, id_col, shingle)
-    sig = sh.select(F.col(id_col), minhash_signature(F.col("grams"), num_hashes).alias("sig"))
+    # base hashes in their OWN projection: one md5 per gram, reused by all
+    # num_hashes affine re-hashes (CollapseProject keeps the expensive
+    # md5-array from being duplicated into each signature slot)
+    hashed = sh.select(F.col(id_col), gram_hashes(F.col("grams")).alias("hs"))
+    sig = hashed.select(F.col(id_col), minhash_signature(F.col("hs"), num_hashes).alias("sig"))
     banded = sig.select(
         F.col(id_col),
         F.explode(
