@@ -34,6 +34,7 @@ from azuredatalakeindexer_spark.operators import (
     attach_binary_payload,
     brute_force_topk,
     classify_upserts,
+    dedup_cluster_assignments,
     dedup_last_writer,
     embedding_near_dup_pairs,
     exact_dedup,
@@ -548,6 +549,15 @@ def q_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, max_doc_freq=50)
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected components over MinHash-LSH near-dup pairs: every document
+    assigned a cluster id (min id of its component; singletons cluster with
+    themselves) and a canonical-keep flag — the keep/drop decision of the
+    training-data dedup pipeline."""
+    docs = _docs(spark, sf)
+    return dedup_cluster_assignments(docs, minhash_lsh_pairs(docs))
+
+
 def q_embedding_topk(spark, sf):
     """Brute-force cosine top-k (exact ANN baseline; broadcast queries)."""
     emb = _emb(spark, sf)
@@ -853,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": q_region_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1137,8 +1148,8 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {b} AS band, md5('{b}' || ',' || m{2 * b}::VARCHAR || ',' || m{2 * b + 1}::VARCHAR) AS bh FROM sigs"
         for b in range(4)
     )
-    sqls["dedup_minhash_lsh"] = f"""
-      WITH toks AS (
+    minhash_pair_ctes = f"""
+      toks AS (
         SELECT doc_id, {_WORDS} AS words FROM documents),
       shingled AS (
         SELECT doc_id,
@@ -1168,7 +1179,30 @@ def oracle_sql() -> dict[str, str]:
         FROM sized l JOIN sized r
           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
         WHERE l.bsz <= 64 OR l.doc_id = l.rep)
+    """
+    sqls["dedup_minhash_lsh"] = f"""
+      WITH {minhash_pair_ctes}
       SELECT id_a, id_b FROM pairs
+    """
+
+    # connected components over the same pair graph: min reachable id via a
+    # recursive CTE (UNION dedupes rows, guaranteeing termination)
+    sqls["dedup_clusters"] = f"""
+      WITH RECURSIVE {minhash_pair_ctes},
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs),
+      verts AS (SELECT DISTINCT s AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.s, reach.r FROM reach JOIN edges e ON e.d = reach.id),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             (coalesce(c.cluster_id, d.doc_id) = d.doc_id)::INT AS is_canonical
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
     """
 
     # ---- SimHash: 32 bit-votes replayed in SQL -------------------------

@@ -16,6 +16,8 @@ from azuredatalakeindexer_spark.operators.deletes import apply_deletes
 from azuredatalakeindexer_spark.operators.batching import oversize_filter, plan_batches
 from azuredatalakeindexer_spark.operators.metrics import doc_count, observe_reads, run_metrics
 from azuredatalakeindexer_spark.operators.dedup import (
+    connected_components,
+    dedup_cluster_assignments,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -42,6 +44,8 @@ from azuredatalakeindexer_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "connected_components",
+    "dedup_cluster_assignments",
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

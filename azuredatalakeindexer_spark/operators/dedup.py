@@ -329,6 +329,97 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: ``(id, cluster_id)``
+    with ``cluster_id = min(id)`` of the component.
+
+    This is the step that turns pairwise near-dup evidence into the keep/drop
+    decision of a training-data pipeline: one canonical document (the
+    min-id member) survives per component.
+
+    Hash-to-min label propagation: every vertex starts labeled with itself;
+    each round every vertex takes the min label over itself and its
+    neighbors (one equi-join + one map-side-combined groupBy per round —
+    never an all-pairs product), until a round changes nothing.  Rounds
+    needed = graph diameter; LSH near-dup graphs are unions of bucket
+    cliques/stars, so diameter is small (single digits) regardless of corpus
+    size.  Labels are ``localCheckpoint``-ed each round to truncate the
+    growing lineage; the only driver-side value is the per-round
+    changed-count (one long).  At 100 TB swap the localCheckpoint for a
+    reliable ``checkpoint()``/table write between rounds.
+
+    The pair input is typically :func:`minhash_lsh_pairs`,
+    :func:`simhash_pairs`, :func:`ngram_jaccard_pairs`, or
+    :func:`embedding_near_dup_pairs` output; isolated vertices (docs in no
+    pair) are not represented — callers union them back as their own
+    singleton cluster if needed.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(labels, edges["d"] == labels["id"]).select(
+            F.col("s").alias("id"), F.col("cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
+            .where(F.col("cluster_id") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_assignments(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster assignment for every document: ``(doc_id, cluster_id,
+    is_canonical)``.
+
+    Documents in no near-dup pair are their own singleton cluster; the
+    canonical (kept) document of each cluster is its min id.  The join back
+    to ``docs`` is a left join on the id — one shuffle, and the component
+    labels relation is tiny relative to the corpus (only docs that appear
+    in some pair).
+    """
+    labels = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col))
+            .cast("int")
+            .alias("is_canonical"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -189,3 +189,36 @@ def test_documents_fixture_is_ascii(spark):
     docs = load_table(spark, SF_DIR, "documents")
     non_ascii = docs.where(F.octet_length("text") != F.length("text")).count()
     assert non_ascii == 0
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """Min-label propagation converges on a diameter-4 chain (multiple
+    rounds needed) and keeps disjoint components apart."""
+    from azuredatalakeindexer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4) + triangle 10-11-12
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    labels = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_cluster_assignments_singletons(spark, near_dup_docs):
+    """Docs in no pair are their own singleton cluster; canonical = min id."""
+    from azuredatalakeindexer_spark.operators.dedup import (
+        dedup_cluster_assignments,
+        minhash_lsh_pairs,
+    )
+
+    out = dedup_cluster_assignments(near_dup_docs, minhash_lsh_pairs(near_dup_docs))
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
+    assert len(rows) == 5                      # one row per document
+    assert rows[0] == (0, 1) and rows[1] == (0, 0) and rows[2] == (0, 0)
+    assert rows[3] == (3, 1) and rows[4] == (4, 1)
+    # exactly one canonical doc per cluster
+    from collections import Counter
+
+    canon = Counter(cid for cid, keep in rows.values() if keep)
+    assert all(v == 1 for v in canon.values())
