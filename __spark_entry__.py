@@ -558,6 +558,15 @@ def q_dedup_clusters(spark, sf):
     return dedup_cluster_assignments(docs, minhash_lsh_pairs(docs))
 
 
+def q_train_corpus(spark, sf):
+    """End-to-end training-corpus funnel (plans/corpus.py): quality filter →
+    language filter → exact dedup → MinHash near-dup connected-components
+    dedup, with per-document stage attribution."""
+    from azuredatalakeindexer_spark.plans.corpus import build_training_corpus
+
+    return build_training_corpus(_docs(spark, sf))
+
+
 def q_embedding_topk(spark, sf):
     """Brute-force cosine top-k (exact ANN baseline; broadcast queries)."""
     emb = _emb(spark, sf)
@@ -864,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "train_corpus": q_train_corpus,
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1148,9 +1158,12 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {b} AS band, md5('{b}' || ',' || m{2 * b}::VARCHAR || ',' || m{2 * b + 1}::VARCHAR) AS bh FROM sigs"
         for b in range(4)
     )
-    minhash_pair_ctes = f"""
+    def minhash_ctes(src: str) -> str:
+        """MinHash pair-graph CTE chain over any (doc_id, text) relation —
+        shared by dedup_minhash_lsh / dedup_clusters / train_corpus."""
+        return f"""
       toks AS (
-        SELECT doc_id, {_WORDS} AS words FROM documents),
+        SELECT doc_id, {_WORDS} AS words FROM {src}),
       shingled AS (
         SELECT doc_id,
                list_distinct(CASE WHEN len(words) >= 3
@@ -1180,15 +1193,15 @@ def oracle_sql() -> dict[str, str]:
           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
         WHERE l.bsz <= 64 OR l.doc_id = l.rep)
     """
+
     sqls["dedup_minhash_lsh"] = f"""
-      WITH {minhash_pair_ctes}
+      WITH {minhash_ctes("documents")}
       SELECT id_a, id_b FROM pairs
     """
 
     # connected components over the same pair graph: min reachable id via a
     # recursive CTE (UNION dedupes rows, guaranteeing termination)
-    sqls["dedup_clusters"] = f"""
-      WITH RECURSIVE {minhash_pair_ctes},
+    components_ctes = """
       edges AS (
         SELECT id_a AS s, id_b AS d FROM pairs
         UNION
@@ -1199,11 +1212,17 @@ def oracle_sql() -> dict[str, str]:
         UNION
         SELECT e.s, reach.r FROM reach JOIN edges e ON e.d = reach.id),
       comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    """
+
+    sqls["dedup_clusters"] = f"""
+      WITH RECURSIVE {minhash_ctes("documents")},
+      {components_ctes}
       SELECT d.doc_id,
              coalesce(c.cluster_id, d.doc_id) AS cluster_id,
              (coalesce(c.cluster_id, d.doc_id) = d.doc_id)::INT AS is_canonical
       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
     """
+
 
     # ---- SimHash: 32 bit-votes replayed in SQL -------------------------
     votes = ",\n             ".join(
@@ -1425,6 +1444,54 @@ def oracle_sql() -> dict[str, str]:
                  + 0.25 * least(mean_len / 8.0, 1.0)
                  + 0.5 * sw_ratio, 6) AS quality
       FROM feats
+    """
+
+    # ---- end-to-end training-corpus funnel (plans/corpus.py) -----------
+    # reuses the exact expressions of lang_id / quality_score above, the
+    # MinHash pair-graph CTEs (over the exact-canonical survivors), and the
+    # recursive connected-components CTEs
+    sqls["train_corpus"] = f"""
+      WITH RECURSIVE scored AS (
+        SELECT doc_id, text,
+               {pred_case.replace("hits_", "s_hits_")} AS pred_lang,
+               round(0.25 * least(s_n_tok / 100.0, 1.0)
+                   + 0.25 * least(s_mean_len / 8.0, 1.0)
+                   + 0.5 * s_sw_ratio, 6) AS quality,
+               s_n_tok::BIGINT AS n_tokens,
+               md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS chash
+        FROM (
+          SELECT doc_id, text, words,
+                 len(words) AS s_n_tok,
+                 CASE WHEN len(words) > 0
+                   THEN (list_sum(list_transform(words, t -> length(t))))::DOUBLE / len(words)
+                   ELSE 0.0 END AS s_mean_len,
+                 CASE WHEN len(words) > 0
+                   THEN len(list_filter(words, t -> list_contains({en_lex}, t))) / len(words)
+                   ELSE 0.0 END AS s_sw_ratio,
+                 {hit_cols.replace("hits_", "s_hits_")}
+          FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents))),
+      eligible AS (
+        SELECT * FROM scored WHERE quality >= 0.3 AND pred_lang = 'en'),
+      exactc AS (
+        SELECT doc_id, text, min(doc_id) OVER (PARTITION BY chash) AS canon
+        FROM eligible),
+      cand_docs AS (
+        SELECT doc_id, text FROM exactc WHERE doc_id = canon),
+      {minhash_ctes("cand_docs")},
+      {components_ctes},
+      staged AS (
+        SELECT s.doc_id, s.pred_lang, s.quality, s.n_tokens,
+               CASE WHEN s.quality < 0.3 THEN 'low_quality'
+                    WHEN s.pred_lang != 'en' THEN 'wrong_language'
+                    WHEN e.canon != s.doc_id THEN 'exact_dup'
+                    WHEN coalesce(c.cluster_id, s.doc_id) != s.doc_id THEN 'near_dup'
+                    ELSE 'kept' END AS stage
+        FROM scored s
+        LEFT JOIN exactc e ON e.doc_id = s.doc_id
+        LEFT JOIN comp c ON c.id = s.doc_id)
+      SELECT doc_id, pred_lang, quality, n_tokens, stage,
+             (stage = 'kept')::INT AS kept
+      FROM staged
     """
 
     sqls["token_stats"] = f"""

@@ -33,26 +33,65 @@ LANG_LEXICONS: dict[str, list[str]] = {
 }
 
 
+def language_scores(toks) -> dict[str, "F.Column"]:
+    """Per-language lexicon hit counts as column expressions over a token
+    array — the building block shared by :func:`language_id` and the
+    single-pass training-corpus pipeline (plans/corpus.py)."""
+    return {lang: stopword_hits(toks, lex) for lang, lex in LANG_LEXICONS.items()}
+
+
+def language_pred(hits: dict[str, "F.Column"]) -> "F.Column":
+    """Argmax language: first language (in lexicon order) reaching the max
+    hit count wins ties — deterministic.  Duplicate subtrees (each hit
+    expression appears in the CASE and in ``greatest``) are eliminated by
+    codegen subexpression elimination."""
+    best = F.greatest(*hits.values())
+    pred = None
+    # first language reaching the max wins — build the CASE in listed order
+    for l in reversed(list(hits)):
+        cond = F.when(hits[l] == best, F.lit(l))
+        pred = cond.otherwise(pred) if pred is not None else cond
+    return pred
+
+
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: argmax of per-language lexicon hit counts,
     first-listed language wins ties (deterministic)."""
     docs = ensure_parallelism(docs)
-    toks = tokens(F.col(text_col))
-    out = docs.select(F.col(id_col), toks.alias("_toks"))
-    for lang, lex in LANG_LEXICONS.items():
-        out = out.withColumn(f"_hits_{lang}", stopword_hits(F.col("_toks"), lex))
-    langs = list(LANG_LEXICONS)
-    best = F.greatest(*[F.col(f"_hits_{l}") for l in langs])
-    pred = None
-    # first language reaching the max wins — build the CASE in listed order
-    for l in reversed(langs):
-        cond = F.when(F.col(f"_hits_{l}") == best, F.lit(l))
-        pred = cond.otherwise(pred) if pred is not None else cond
+    out = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    hits = language_scores(F.col("_toks"))
     return out.select(
         F.col(id_col),
-        pred.alias("pred_lang"),
-        *[F.col(f"_hits_{l}").alias(f"hits_{l}") for l in langs],
+        language_pred(hits).alias("pred_lang"),
+        *[hits[l].alias(f"hits_{l}") for l in LANG_LEXICONS],
     )
+
+
+def quality_columns(toks) -> dict[str, "F.Column"]:
+    """Quality feature expressions over a token array — shared by
+    :func:`quality_score` and the single-pass training-corpus pipeline
+    (plans/corpus.py).  Keys: ``n_tokens``, ``mean_token_len``,
+    ``stopword_ratio``, ``quality`` (rounded to 6 places)."""
+    n_tok = F.size(toks)
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tok > 0, stopword_hits(toks, LANG_LEXICONS["en"]) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    score = F.round(
+        F.lit(0.25) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.25) * F.least(mean_len / F.lit(8.0), F.lit(1.0))
+        + F.lit(0.5) * sw_ratio,
+        6,
+    )
+    return {
+        "n_tokens": n_tok,
+        "mean_token_len": F.round(mean_len, 6),
+        "stopword_ratio": F.round(sw_ratio, 6),
+        "quality": score,
+    }
 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -62,28 +101,14 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     token count, mean token length, stopword ratio, non-alnum ratio.
     """
     docs = ensure_parallelism(docs)
-    toks = tokens(F.col(text_col))
-    base = docs.select(
-        F.col(id_col),
-        toks.alias("_toks"),
-        F.length(F.col(text_col)).alias("n_chars_m"),
-        F.octet_length(F.col(text_col)).alias("n_bytes"),
-    )
-    n_tok = F.size("_toks")
-    mean_len = F.when(n_tok > 0, F.aggregate(F.col("_toks"), F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)) / n_tok).otherwise(F.lit(0.0))
-    sw_ratio = F.when(n_tok > 0, stopword_hits(F.col("_toks"), LANG_LEXICONS["en"]) / n_tok).otherwise(F.lit(0.0))
-    score = F.round(
-        F.lit(0.25) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.25) * F.least(mean_len / F.lit(8.0), F.lit(1.0))
-        + F.lit(0.5) * sw_ratio,
-        6,
-    )
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    cols = quality_columns(F.col("_toks"))
     return base.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
-        F.round(mean_len, 6).alias("mean_token_len"),
-        F.round(sw_ratio, 6).alias("stopword_ratio"),
-        score.alias("quality"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["mean_token_len"].alias("mean_token_len"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+        cols["quality"].alias("quality"),
     )
 
 

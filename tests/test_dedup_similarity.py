@@ -222,3 +222,31 @@ def test_dedup_cluster_assignments_singletons(spark, near_dup_docs):
 
     canon = Counter(cid for cid, keep in rows.values() if keep)
     assert all(v == 1 for v in canon.values())
+
+
+def test_training_corpus_funnel_stages(spark):
+    """Every doc gets the FIRST stage that dropped it; exact dups collapse
+    to the min id; near-dup clusters keep one canonical member."""
+    from azuredatalakeindexer_spark.plans.corpus import build_training_corpus
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and the small fast cat "
+        "watches the garden while a small bird sings near the old oak tree "
+        "and the fast river runs through a quiet valley under the warm sun"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good),                              # kept (canonical)
+            (1, good),                              # exact dup of 0
+            (2, good.replace("warm sun", "cold moon")),  # near dup of 0
+            (3, "data table row " * 30),            # wrong language (es lexicon)
+            (4, "zz qq"),                           # low quality (short, no stopwords)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["stage"], r["kept"]) for r in build_training_corpus(docs).collect()}
+    assert out[0] == ("kept", 1)
+    assert out[1] == ("exact_dup", 0)
+    assert out[2] == ("near_dup", 0)
+    assert out[3] == ("wrong_language", 0)
+    assert out[4] == ("low_quality", 0)
