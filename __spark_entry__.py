@@ -558,6 +558,39 @@ def q_dedup_clusters(spark, sf):
     return dedup_cluster_assignments(docs, minhash_lsh_pairs(docs))
 
 
+def q_hash_sample(spark, sf):
+    """Deterministic shuffle-free 25% sample: pure function of the doc id
+    (rerun- and partitioning-stable, unlike df.sample)."""
+    from azuredatalakeindexer_spark.operators.sampling import hash_sample, sample_bucket
+
+    out = hash_sample(_docs(spark, sf), rate=0.25, seed=7)
+    return out.select("doc_id", "lang", "source", sample_bucket(F.col("doc_id"), 7).alias("bucket"))
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic 10-per-(lang, source) stratified draw via hash order."""
+    from azuredatalakeindexer_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(_docs(spark, sf), ["lang", "source"], 10, seed=3)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_token_budget_mix(spark, sf):
+    """Greedy quality-first token-budget mix: per-language, keep the
+    highest-quality documents until 3000 tokens are reached."""
+    from azuredatalakeindexer_spark.operators.sampling import token_budget_pack
+    from azuredatalakeindexer_spark.operators.textops import quality_columns
+    from azuredatalakeindexer_spark.functions.text import tokens
+
+    docs = _docs(spark, sf)
+    qc = quality_columns(tokens(F.col("text")))
+    scored = docs.select(
+        "doc_id", "lang", qc["n_tokens"].alias("n_tokens"), qc["quality"].alias("quality")
+    )
+    out = token_budget_pack(scored, budget_tokens=3000)
+    return out.select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
+
+
 def q_train_corpus(spark, sf):
     """End-to-end training-corpus funnel (plans/corpus.py): quality filter →
     language filter → exact dedup → MinHash near-dup connected-components
@@ -874,6 +907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "train_corpus": q_train_corpus,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_mix": q_token_budget_mix,
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1492,6 +1528,52 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, pred_lang, quality, n_tokens, stage,
              (stage = 'kept')::INT AS kept
       FROM staged
+    """
+
+    # ---- deterministic sampling + token-budget mix (operators/sampling) -
+    bucket7 = f"({_ph('doc_id::VARCHAR', 7)}) % 1000000"
+    sqls["hash_sample"] = f"""
+      SELECT doc_id, lang, source, {bucket7} AS bucket
+      FROM documents
+      WHERE {bucket7} < 250000
+    """
+
+    bucket3 = f"({_ph('doc_id::VARCHAR', 3)}) % 1000000"
+    sqls["stratified_sample"] = f"""
+      WITH ranked AS (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY {bucket3} ASC, doc_id ASC) AS rk
+        FROM documents)
+      SELECT doc_id, lang, source, n_chars FROM ranked WHERE rk <= 10
+    """
+
+    sqls["token_budget_mix"] = f"""
+      WITH toks AS (SELECT doc_id, lang, {_WORDS} AS words FROM documents),
+      feats AS (
+        SELECT doc_id, lang,
+               len(words) AS n_tok,
+               CASE WHEN len(words) > 0
+                 THEN (list_sum(list_transform(words, t -> length(t))))::DOUBLE / len(words)
+                 ELSE 0.0 END AS mean_len,
+               CASE WHEN len(words) > 0
+                 THEN len(list_filter(words, t -> list_contains({en_lex}, t))) / len(words)
+                 ELSE 0.0 END AS sw_ratio
+        FROM toks),
+      scored AS (
+        SELECT doc_id, lang, n_tok::BIGINT AS n_tokens,
+               round(0.25 * least(n_tok / 100.0, 1.0)
+                   + 0.25 * least(mean_len / 8.0, 1.0)
+                   + 0.5 * sw_ratio, 6) AS quality
+        FROM feats),
+      packed AS (
+        SELECT doc_id, lang, n_tokens, quality,
+               sum(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY quality DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM scored)
+      SELECT doc_id, lang, n_tokens, quality, cum_tokens
+      FROM packed WHERE cum_tokens - n_tokens < 3000
     """
 
     sqls["token_stats"] = f"""

@@ -37,6 +37,11 @@ from azuredatalakeindexer_spark.operators.textops import (
     quality_score,
     token_stats,
 )
+from azuredatalakeindexer_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    token_budget_pack,
+)
 from azuredatalakeindexer_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
@@ -44,6 +49,9 @@ from azuredatalakeindexer_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "hash_sample",
+    "stratified_sample",
+    "token_budget_pack",
     "connected_components",
     "dedup_cluster_assignments",
     "exact_dedup",

@@ -1,0 +1,57 @@
+"""Deterministic sampling + token-budget mixing (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from azuredatalakeindexer_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    token_budget_pack,
+)
+from azuredatalakeindexer_spark.sources.fixtures import load_table
+from tests.conftest import SF_DIR
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {r["doc_id"] for r in hash_sample(docs, 0.25, seed=7).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(13), 0.25, seed=7).select("doc_id").collect()
+    }
+    assert a == b                      # partitioning-independent
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.35 * n  # roughly the asked rate
+
+
+def test_hash_sample_seeds_give_different_draws(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {r["doc_id"] for r in hash_sample(docs, 0.25, seed=7).select("doc_id").collect()}
+    c = {r["doc_id"] for r in hash_sample(docs, 0.25, seed=8).select("doc_id").collect()}
+    assert a != c
+    # independent draws overlap on ~rate^2, not ~rate
+    assert len(a & c) < 0.6 * len(a)
+
+
+def test_stratified_sample_exact_counts(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = stratified_sample(docs, ["lang", "source"], 5, seed=3)
+    counts = out.groupBy("lang", "source").count().collect()
+    sizes = {(r["lang"], r["source"]): r["count"] for r in docs.groupBy("lang", "source").count().collect()}
+    for r in counts:
+        assert r["count"] == min(5, sizes[(r["lang"], r["source"])])
+
+
+def test_token_budget_pack_quality_first_boundary(spark):
+    rows = [
+        # (doc_id, lang, n_tokens, quality)
+        (1, "en", 1000, 0.9),
+        (2, "en", 1500, 0.8),
+        (3, "en", 1000, 0.7),   # crosses the 3000 line: kept (cum-n < budget)
+        (4, "en", 100, 0.6),    # over budget: dropped
+        (5, "de", 500, 0.5),    # other stratum: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long, quality double")
+    out = {r["doc_id"]: r["cum_tokens"] for r in token_budget_pack(df, 3000).collect()}
+    assert out == {1: 1000, 2: 2500, 3: 3500, 5: 500}
