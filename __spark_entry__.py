@@ -591,6 +591,38 @@ def q_token_budget_mix(spark, sf):
     return out.select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
 
 
+def q_decontam_report(spark, sf):
+    """Benchmark decontamination: corpus docs sharing any word 8-gram with a
+    (deterministic hash-sampled) benchmark set — the GPT-3-style n-gram
+    collision check, via a broadcast semi-join of the benchmark gram set."""
+    from azuredatalakeindexer_spark.operators.decontam import ngram_contamination
+    from azuredatalakeindexer_spark.operators.sampling import hash_sample
+
+    docs = _docs(spark, sf)
+    bench = hash_sample(docs, rate=0.02, seed=42)
+    return ngram_contamination(docs, bench, n=8)
+
+
+def q_pii_redaction(spark, sf):
+    """PII redaction over documents with deterministically injected PII
+    (emails / IPv4 / long digit runs): redacted text + per-pattern counts."""
+    from azuredatalakeindexer_spark.operators.decontam import redact_pii
+
+    docs = _docs(spark, sf)
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref 1234567890"),
+        ).alias("text"),
+    )
+    return redact_pii(with_pii)
+
+
 def q_train_corpus(spark, sf):
     """End-to-end training-corpus funnel (plans/corpus.py): quality filter →
     language filter → exact dedup → MinHash near-dup connected-components
@@ -908,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "train_corpus": q_train_corpus,
         "hash_sample": q_hash_sample,
+        "decontam_report": q_decontam_report,
+        "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
         "dedup_simhash": q_dedup_simhash,
@@ -1528,6 +1562,52 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, pred_lang, quality, n_tokens, stage,
              (stage = 'kept')::INT AS kept
       FROM staged
+    """
+
+    # ---- decontamination + PII redaction (operators/decontam) ----------
+    gram8 = " || ' ' || ".join(f"words[i+{j}]" if j else "words[i]" for j in range(8))
+    sqls["decontam_report"] = f"""
+      WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 8
+          THEN list_transform(range(1, len(words) - 6), i -> {gram8})
+          ELSE [] END)) AS gram
+        FROM toks),
+      bench AS (
+        SELECT doc_id FROM documents
+        WHERE ({_ph('doc_id::VARCHAR', 42)}) % 1000000 < 20000),
+      bench_grams AS (
+        SELECT DISTINCT gram FROM grams JOIN bench USING (doc_id)),
+      agg AS (
+        SELECT g.doc_id,
+               (sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END))::BIGINT AS hit_grams,
+               count(*) AS total_grams
+        FROM grams g LEFT JOIN bench_grams b ON b.gram = g.gram
+        GROUP BY g.doc_id)
+      SELECT doc_id, hit_grams, total_grams,
+             round(hit_grams / total_grams, 6) AS contamination
+      FROM agg WHERE hit_grams > 0
+    """
+
+    pii_email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    pii_ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    pii_digits = "[0-9]{7,}"
+    sqls["pii_redaction"] = f"""
+      WITH withpii AS (
+        SELECT doc_id,
+               text || ' contact doc' || doc_id::VARCHAR || '@example.com from 10.0.'
+                    || (doc_id % 256)::VARCHAR || '.7 ref 1234567890' AS text
+        FROM documents)
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{pii_email}', '<EMAIL>', 'g'),
+                 '{pii_ipv4}', '<IP>', 'g'),
+               '{pii_digits}', '<NUM>', 'g') AS clean_text,
+             len(regexp_extract_all(text, '{pii_email}'))::BIGINT AS n_email,
+             len(regexp_extract_all(text, '{pii_ipv4}'))::BIGINT AS n_ipv4,
+             len(regexp_extract_all(text, '{pii_digits}'))::BIGINT AS n_digits
+      FROM withpii
     """
 
     # ---- deterministic sampling + token-budget mix (operators/sampling) -

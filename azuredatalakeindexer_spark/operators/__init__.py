@@ -37,6 +37,10 @@ from azuredatalakeindexer_spark.operators.textops import (
     quality_score,
     token_stats,
 )
+from azuredatalakeindexer_spark.operators.decontam import (
+    ngram_contamination,
+    redact_pii,
+)
 from azuredatalakeindexer_spark.operators.sampling import (
     hash_sample,
     stratified_sample,
@@ -49,6 +53,8 @@ from azuredatalakeindexer_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "ngram_contamination",
+    "redact_pii",
     "hash_sample",
     "stratified_sample",
     "token_budget_pack",

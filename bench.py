@@ -43,8 +43,10 @@ HEADLINE = [
     "events_hourly",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "ngram_jaccard",
+    "train_corpus",
     "embedding_topk",
     "ann_lsh_topk",
     "lang_id",
