@@ -591,6 +591,14 @@ def q_token_budget_mix(spark, sf):
     return out.select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style within-doc repetition: duplicated 2/3-gram fraction and
+    top-bigram share — narrow fold over sorted gram arrays, zero shuffles."""
+    from azuredatalakeindexer_spark.operators.textops import repetition_stats
+
+    return repetition_stats(_docs(spark, sf))
+
+
 def q_decontam_report(spark, sf):
     """Benchmark decontamination: corpus docs sharing any word 8-gram with a
     (deterministic hash-sampled) benchmark set — the GPT-3-style n-gram
@@ -941,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_corpus": q_train_corpus,
         "hash_sample": q_hash_sample,
         "decontam_report": q_decontam_report,
+        "repetition_stats": q_repetition_stats,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
@@ -1562,6 +1571,35 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, pred_lang, quality, n_tokens, stage,
              (stage = 'kept')::INT AS kept
       FROM staged
+    """
+
+    # ---- within-doc repetition (Gopher rules, operators/textops) -------
+    sqls["repetition_stats"] = f"""
+      WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+      grams AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 2
+                 THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+                 ELSE [] END AS g2,
+               CASE WHEN len(words) >= 3
+                 THEN list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                 ELSE [] END AS g3
+        FROM toks),
+      top2 AS (
+        SELECT doc_id, max(c) AS topc FROM (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id, unnest(g2) AS g FROM grams)
+          GROUP BY doc_id, g)
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+             len(d.g2)::BIGINT AS n_bigrams,
+             round(CASE WHEN len(d.g2) > 0
+               THEN 1 - len(list_distinct(d.g2)) / len(d.g2) ELSE 0.0 END, 6) AS dup_2gram_frac,
+             round(CASE WHEN len(d.g3) > 0
+               THEN 1 - len(list_distinct(d.g3)) / len(d.g3) ELSE 0.0 END, 6) AS dup_3gram_frac,
+             round(CASE WHEN len(d.g2) > 0
+               THEN coalesce(t.topc, 0) / len(d.g2) ELSE 0.0 END, 6) AS top_bigram_frac
+      FROM grams d LEFT JOIN top2 t USING (doc_id)
     """
 
     # ---- decontamination + PII redaction (operators/decontam) ----------

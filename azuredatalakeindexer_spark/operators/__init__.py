@@ -35,6 +35,7 @@ from azuredatalakeindexer_spark.operators.textops import (
     fingerprints,
     language_id,
     quality_score,
+    repetition_stats,
     token_stats,
 )
 from azuredatalakeindexer_spark.operators.decontam import (
@@ -74,6 +75,7 @@ __all__ = [
     "quality_score",
     "token_stats",
     "fingerprints",
+    "repetition_stats",
     "attach_binary_payload",
     "extract_features",
     "metadata_only",

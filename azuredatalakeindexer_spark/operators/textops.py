@@ -19,6 +19,7 @@ from azuredatalakeindexer_spark.functions.text import (
     rolling_fingerprint,
     stopword_hits,
     tokens,
+    word_ngrams,
 )
 
 #: tiny per-language discriminator lexicons for the n-gram/stopword heuristic.
@@ -122,6 +123,59 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.size(toks).alias("ws_tokens"),
         F.size(rtoks).alias("regex_tokens"),
         F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+    )
+
+
+def _max_adjacent_run(sorted_arr) -> "F.Column":
+    """Max multiplicity of any element in a SORTED array, via a single
+    fold with a (prev, run, best) struct accumulator — O(n) per row after
+    the sort, fully narrow (no explode/groupBy shuffle)."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("bigint").alias("run"), F.lit(0).cast("bigint").alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    duplicated word 2-/3-grams and the share of the most frequent bigram.
+
+    All narrow column expressions — the per-doc gram histogram never
+    exists: duplicated fraction is ``1 - |distinct|/|all|`` and the top
+    multiplicity is a fold over the sorted gram array
+    (:func:`_max_adjacent_run`), so scale = scan bandwidth, zero shuffles.
+    Documents repeating boilerplate score high and get dropped by the
+    usual ``dup_2gram_frac > 0.2`` style rules.
+    """
+    docs = ensure_parallelism(docs)
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        word_ngrams(toks, 2).alias("_g2"),
+        word_ngrams(toks, 3).alias("_g3"),
+    )
+
+    def dup_frac(col: str) -> "F.Column":
+        n = F.size(F.col(col))
+        return F.round(
+            F.when(n > 0, 1 - F.size(F.array_distinct(F.col(col))) / n).otherwise(0.0), 6
+        )
+
+    n2 = F.size("_g2")
+    top2 = _max_adjacent_run(F.array_sort("_g2"))
+    return base.select(
+        F.col(id_col),
+        n2.cast("bigint").alias("n_bigrams"),
+        dup_frac("_g2").alias("dup_2gram_frac"),
+        dup_frac("_g3").alias("dup_3gram_frac"),
+        F.round(F.when(n2 > 0, top2 / n2).otherwise(0.0), 6).alias("top_bigram_frac"),
     )
 
 

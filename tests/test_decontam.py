@@ -52,3 +52,22 @@ def test_redact_pii_patterns_and_counts(spark):
     assert out[2]["n_digits"] == 1
     assert out[3]["clean_text"] == "clean text only"
     assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_digits"]) == (0, 0, 0)
+
+
+def test_repetition_stats_known_values(spark):
+    from azuredatalakeindexer_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam ham spam ham spam ham"),   # bigrams: [sh, hs, sh, hs, sh] → 5, distinct 2
+            (1, "all words here are unique now"),
+            (2, "x"),                            # too short for bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["n_bigrams"] == 5
+    assert abs(out[0]["dup_2gram_frac"] - (1 - 2 / 5)) < 1e-6
+    assert abs(out[0]["top_bigram_frac"] - 3 / 5) < 1e-6   # "spam ham" ×3
+    assert out[1]["dup_2gram_frac"] == 0.0 and out[1]["top_bigram_frac"] == 0.2
+    assert out[2]["n_bigrams"] == 0 and out[2]["top_bigram_frac"] == 0.0
