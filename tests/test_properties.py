@@ -98,3 +98,59 @@ def test_lww_dedup_is_split_invariant(spark, rows):
     )
     split = {(r["key"], r["ts"], r["seq"]) for r in merged.collect()}
     assert whole == split
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=80, unique=True),
+    st.floats(min_value=0.05, max_value=0.45),
+    st.floats(min_value=0.5, max_value=0.95),
+)
+def test_hash_sample_is_monotone_in_rate(spark, keys, lo, hi):
+    """A lower-rate sample is a SUBSET of a higher-rate sample at the same
+    seed (nested held-out splits), and both are pure key functions."""
+    from azuredatalakeindexer_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    small = {r["doc_id"] for r in hash_sample(df, lo, seed=5).collect()}
+    big = {r["doc_id"] for r in hash_sample(df, hi, seed=5).collect()}
+    assert small <= big
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40), st.integers(min_value=0, max_value=40)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_edge_order_invariant(spark, edges):
+    """Cluster labels are invariant under edge direction/duplication, and
+    every vertex's label is the true min of its component (checked against
+    a driver-side union-find)."""
+    from azuredatalakeindexer_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges + [(b, a) for a, b in edges], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps: dict[int, set[int]] = {}
+    for v in parent:
+        comps.setdefault(find(v), set()).add(v)
+    expected = {v: min(members) for members in comps.values() for v in members}
+    assert got == expected
