@@ -648,6 +648,21 @@ def q_embedding_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def q_embedding_topk_np(spark, sf):
+    """Arrow/numpy batched brute-force top-k (the high-dim scale path).
+    No oracle_sql entry BY DESIGN: BLAS pairwise summation differs from a
+    SQL left-fold in the last float ulps, so cross-engine hash equality is
+    not meaningful — parity with the Catalyst baseline is pinned at 1e-6 in
+    tests/test_dedup_similarity.py::test_np_topk_matches_catalyst; the
+    driver records the rows-only check."""
+    from azuredatalakeindexer_spark.operators.similarity import brute_force_topk_np
+
+    emb = _emb(spark, sf)
+    q = emb.where(F.col("vec_id") < 5)
+    out = brute_force_topk_np(emb, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 def q_ann_lsh_topk(spark, sf):
     """Sign-bucket LSH ANN top-k (the scale path)."""
     emb = _emb(spark, sf)
@@ -957,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "embedding_topk_np": q_embedding_topk_np,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,

@@ -250,3 +250,26 @@ def test_training_corpus_funnel_stages(spark):
     assert out[2] == ("near_dup", 0)
     assert out[3] == ("wrong_language", 0)
     assert out[4] == ("low_quality", 0)
+
+
+def test_np_topk_matches_catalyst(spark):
+    """The Arrow/numpy batched brute-force path returns the same neighbors
+    and (1e-6-tolerant) scores as the Catalyst expression baseline, across
+    multiple Arrow batches."""
+    from azuredatalakeindexer_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_np,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").repartition(4)
+    q = emb.where(F.col("vec_id") < 5)
+    a = brute_force_topk(emb, q, k=10).collect()
+    b = brute_force_topk_np(emb, q, k=10).collect()
+    key = lambda rows: {(r["query_id"], r["rank"]): r for r in rows}
+    ka, kb = key(a), key(b)
+    assert set(ka) == set(kb)
+    agree = sum(ka[x]["neighbor_id"] == kb[x]["neighbor_id"] for x in ka)
+    # identical except possible 1e-6 rounding-boundary rank swaps
+    assert agree >= len(ka) - 2
+    for x in ka:
+        assert abs(ka[x]["cosine"] - kb[x]["cosine"]) < 2e-6
