@@ -866,6 +866,29 @@ def q_stream_deleted_index(spark, sf):
     return _stream_run(spark, sf, "deleted")
 
 
+def q_stream_exact_dedup(spark, sf):
+    """Streaming corpus curation: drain the document arrivals (availableNow,
+    1 file per trigger → multiple micro-batches) into the incremental
+    exact-dedup state; the final state must equal batch exact_dedup over the
+    whole corpus — proving the merge is batch-split-invariant."""
+    from azuredatalakeindexer_spark.streaming.corpus import run_stream_exact_dedup
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="adls_scorpus_")
+    try:
+        docs_dir = os.path.join(root, "docs")
+        docs.repartition(4).write.parquet(docs_dir)
+        schema = spark.read.parquet(docs_dir).schema
+        state_dir = os.path.join(root, "state")
+        ckpt = os.path.join(root, "ckpt")
+        run_stream_exact_dedup(
+            spark, docs_dir, schema, state_dir, ckpt, max_files_per_trigger=1
+        )
+        return _persisted(spark, spark.read.parquet(state_dir))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_partitioned_runs(spark, sf):
     """T5: one scheduled cycle of partition-prefix indexer runs
     (DatalakeIndexerFunc.cs:20-48) — five prefix-filtered S2 queries merged
@@ -987,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_run": q_indexer_run,
         "indexer_run_metrics": q_indexer_run_metrics,
         "stream_deleted_index": q_stream_deleted_index,
+        "stream_exact_dedup": q_stream_exact_dedup,
         "partitioned_runs": q_partitioned_runs,
         "partitioned_counts": q_partitioned_counts,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -1238,6 +1262,10 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
       GROUP BY content_hash
     """
+
+    # the streaming dedup state must converge to exactly the batch result —
+    # same oracle as dedup_exact (the batch-split-invariance proof)
+    sqls["stream_exact_dedup"] = sqls["dedup_exact"]
 
     # ---- MinHash LSH: full pipeline replayed in SQL --------------------
     from azuredatalakeindexer_spark.functions.text import MERSENNE31, MINHASH_AB

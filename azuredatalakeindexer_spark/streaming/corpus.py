@@ -1,0 +1,95 @@
+"""Streaming corpus curation: incremental exact-dedup state maintenance.
+
+A training-data lake is append-mostly: new documents arrive continuously and
+the curation state (which content hashes exist, which doc owns each) must
+stay current without re-scanning the corpus.  This is the streaming twin of
+``operators/dedup.py::exact_dedup``: ``readStream`` over the document
+arrivals → ``foreachBatch`` merge into a (content_hash → min doc_id, count)
+state table.
+
+The merge is BATCH-SPLIT INVARIANT by algebra: min(id) is associative/
+commutative and counts add, so draining the stream in 1 file per trigger or
+all at once converges to byte-identical state — which is exactly what the
+correctness oracle checks (the final state must equal the batch
+``exact_dedup`` over all documents).  At-least-once redelivery of a whole
+file is NOT idempotent for the count column (counts would double); Spark's
+file-source checkpoint guarantees exactly-once file processing, which is the
+contract this sink assumes (documented limit; a Delta MERGE keyed on
+(content_hash, doc_id) would make redelivery safe too).
+
+At 100 TB the state table is one row per distinct content hash; the per-batch
+work is one map-side-combined groupBy of the (small) batch plus a merge
+against the state partitioned by hash — with the state written bucketed on
+``content_hash`` (sources/bucketed.py) the merge join is exchange-free.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def _content_hash(text_col: str) -> F.Column:
+    """Same normalization + hash as operators/dedup.py::exact_dedup."""
+    return F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def _merge_dedup_state(spark: SparkSession, batch_agg: DataFrame, state_dir: str) -> None:
+    """Associative merge of per-batch dedup aggregates into the state table."""
+    if os.path.isdir(state_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(state_dir)
+    ):
+        existing = spark.read.parquet(state_dir)
+        merged = (
+            existing.unionByName(batch_agg)
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"), F.sum("dup_count").alias("dup_count"))
+        )
+    else:
+        merged = batch_agg
+    tmp = state_dir.rstrip("/") + f"__tmp_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(state_dir):
+        shutil.rmtree(state_dir)
+    os.replace(tmp, state_dir)
+
+
+def run_stream_exact_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    schema: StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain the document arrival stream (availableNow) into the exact-dedup
+    state table ``(content_hash, doc_id, dup_count)``."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        agg = (
+            batch.select(
+                F.col(id_col).alias("doc_id"), _content_hash(text_col).alias("content_hash")
+            )
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        )
+        _merge_dedup_state(batch.sparkSession, agg, state_dir)
+
+    (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

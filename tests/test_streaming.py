@@ -62,3 +62,38 @@ def test_rerun_is_idempotent(spark, tmp_path):
         now="2024-06-01 00:00:00",
     )
     assert spark.read.parquet(pi).count() == before
+
+
+def test_stream_exact_dedup_split_invariant(spark, tmp_path):
+    """Draining 1-file-per-trigger vs all-at-once converges to the same
+    dedup state, with duplicate counts summed across micro-batches."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.streaming.corpus import run_stream_exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "dup text here" if i % 3 == 0 else f"unique text {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(5).write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+
+    states = []
+    for name, mft in (("chopped", 1), ("whole", None)):
+        state = str(tmp_path / f"state_{name}")
+        run_stream_exact_dedup(
+            spark, docs_dir, schema, state, str(tmp_path / f"ckpt_{name}"),
+            max_files_per_trigger=mft,
+        )
+        rows = {
+            r["content_hash"]: (r["doc_id"], r["dup_count"])
+            for r in spark.read.parquet(state).collect()
+        }
+        states.append(rows)
+    assert states[0] == states[1]
+    # 10 dup docs collapse to one hash owned by the min id with count 10
+    assert (0, 10) in states[0].values()
+    assert len(states[0]) == 21
