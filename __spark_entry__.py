@@ -591,6 +591,15 @@ def q_token_budget_mix(spark, sf):
     return out.select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
 
 
+def q_salted_counts(spark, sf):
+    """Skew-proof two-phase (salted) per-user event counts — identical
+    result to a direct groupBy count, hot keys spread over 16 reducers."""
+    from azuredatalakeindexer_spark.operators.skew import salted_counts
+
+    ev = load_table(spark, sf, "events")
+    return salted_counts(ev, ["user_id"]).select("user_id", "n")
+
+
 def q_repetition_stats(spark, sf):
     """Gopher-style within-doc repetition: duplicated 2/3-gram fraction and
     top-bigram share — narrow fold over sorted gram arrays, zero shuffles."""
@@ -988,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "decontam_report": q_decontam_report,
         "repetition_stats": q_repetition_stats,
+        "salted_counts": q_salted_counts,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
@@ -1615,6 +1625,11 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, pred_lang, quality, n_tokens, stage,
              (stage = 'kept')::INT AS kept
       FROM staged
+    """
+
+    # ---- skew-proof salted aggregation (operators/skew) ----------------
+    sqls["salted_counts"] = """
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
     """
 
     # ---- within-doc repetition (Gopher rules, operators/textops) -------

@@ -42,6 +42,7 @@ from azuredatalakeindexer_spark.operators.decontam import (
     ngram_contamination,
     redact_pii,
 )
+from azuredatalakeindexer_spark.operators.skew import salted_agg, salted_counts
 from azuredatalakeindexer_spark.operators.sampling import (
     hash_sample,
     stratified_sample,
@@ -54,6 +55,8 @@ from azuredatalakeindexer_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "salted_agg",
+    "salted_counts",
     "ngram_contamination",
     "redact_pii",
     "hash_sample",

@@ -108,3 +108,28 @@ def test_apply_deletes_honors_recreation(spark):
     out = apply_deletes(idx, deleted, honor_timestamps=True)
     # a was re-created after its delete → survives; b was not → removed
     assert [r["key"] for r in out.collect()] == ["a"]
+
+
+def test_salted_counts_match_direct_and_have_two_exchanges(spark):
+    """Salted two-phase counts equal the direct groupBy count; the plan has
+    the (key,salt) + (key) exchange pair."""
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.operators.skew import salted_agg, salted_counts
+
+    # heavy skew: one key owns 90% of rows
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    direct = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r["k"]: r["n"] for r in salted_counts(df, ["k"]).collect()}
+    assert salted == direct
+
+    plan = salted_counts(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+
+    # a second algebraic aggregate through the generic two-phase helper
+    mins = salted_agg(df, ["k"], {"m": F.min("v")}, {"m": F.min("m")})
+    direct_min = {r["k"]: r["min(v)"] for r in df.groupBy("k").agg(F.min("v")).collect()}
+    assert {r["k"]: r["m"] for r in mins.collect()} == direct_min
