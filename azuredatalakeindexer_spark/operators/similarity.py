@@ -163,21 +163,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     n_centroids: int = 16,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into centroid cells, probe
     the query's ``n_probe`` nearest cells, score only within them.
 
-    Centroids here are the first ``n_centroids`` corpus vectors (a
+    Default centroids are the first ``n_centroids`` corpus vectors (a
     deterministic seed quantizer so the correctness oracle can replay the
-    whole index in SQL); production swaps in k-means centroids — the
-    plumbing (assign → invert → probe → score) is identical.  Assignment
-    cost is |corpus| × n_centroids against a broadcast centroid table; the
-    probe join is an equi-join on the cell id.  Per-query scoring work drops
-    to ~n_probe/n_centroids of the corpus.
+    whole index in SQL); pass ``centroids=kmeans_centroids(corpus, ...)``
+    (columns ``cid, cvec``) for the learned quantizer — the plumbing
+    (assign → invert → probe → score) is identical.  Assignment cost is
+    |corpus| × n_centroids against a broadcast centroid table; the probe
+    join is an equi-join on the cell id.  Per-query scoring work drops to
+    ~n_probe/n_centroids of the corpus.
     """
-    cents = corpus.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    if centroids is None:
+        cents = corpus.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    else:
+        cents = centroids.select("cid", "cvec")
 
     def assign(df: DataFrame, ident: str, vec: str, keep: int) -> DataFrame:
         # rank on the ROUNDED cosine so cell assignment is stable across
@@ -217,6 +222,69 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus: the learned coarse
+    quantizer for :func:`ivf_topk` (production replaces the deterministic
+    seed quantizer with this).
+
+    Each iteration: assignment is distributed (corpus × broadcast-centroid
+    scoring, window-min per vector — the same shape as the IVF probe);
+    the centroid update collects only the k per-cell mean vectors (k × d
+    doubles — model parameters, not data, so the driver round-trip is
+    legitimate and tiny).  Initialization is the first ``k`` vectors by id
+    (deterministic, rerun-stable).  Cosine geometry: vectors are scored by
+    cosine and cell means are taken over raw coordinates — the standard
+    spherical-kmeans-lite used for IVF coarse quantizers.
+
+    Returns a DataFrame ``(cid, cvec)`` to pass as ``ivf_topk(centroids=)``.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    init = corpus.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+    C = np.array([list(r[0]) for r in init], dtype=np.float64)
+
+    def to_df(mat: "np.ndarray") -> DataFrame:
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+        return spark.createDataFrame(rows, f"cid int, cvec array<double>")
+
+    corpus = corpus.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    for _ in range(iters):
+        cents = to_df(C)
+        scored = corpus.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cid"),
+            cosine_expr(F.col(vec_col), F.col("cvec")).alias("_cos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cid"))
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+        )
+        dims = len(C[0])
+        means = (
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.avg(F.element_at(vec_col, d + 1)).alias(f"m{d}")
+                    for d in range(dims)
+                ]
+            )
+            .collect()
+        )
+        newC = C.copy()  # empty cells keep their previous centroid
+        for r in means:
+            newC[r["cid"]] = [r[f"m{d}"] for d in range(dims)]
+        C = newC
+    return to_df(C)
 
 
 def ann_recall(exact: DataFrame, approx: DataFrame) -> float:

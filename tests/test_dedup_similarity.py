@@ -273,3 +273,51 @@ def test_np_topk_matches_catalyst(spark):
     assert agree >= len(ka) - 2
     for x in ka:
         assert abs(ka[x]["cosine"] - kb[x]["cosine"]) < 2e-6
+
+
+def test_kmeans_centroids_recover_clusters_and_beat_seed_quantizer(spark):
+    """On clustered embeddings, Lloyd iterations recover the true centers
+    and the learned IVF quantizer beats the seed quantizer at equal probe
+    cost.  (On isotropic data the two tie — measured at sf0.1: 0.81 vs
+    0.84 recall@10, within noise — so the clustered case is the honest
+    demonstration of value.)"""
+    import numpy as np
+
+    from azuredatalakeindexer_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(4, 8) * 10.0          # 4 well-separated centers in R^8
+    rows = []
+    i = 0
+    for c in range(4):
+        for _ in range(150):
+            v = centers[c] + rng.normal(0, 0.5, 8)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    # ids are ordered by cluster → the seed quantizer's first-k centroids
+    # all come from cluster 0, the worst case kmeans must fix
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    q = emb.where((F.col("vec_id") % 150) == 3)   # one query per cluster region
+    bf = brute_force_topk(emb, q, k=5).cache()
+    bf.count()
+
+    km = kmeans_centroids(emb, k=4, iters=4).cache()
+    # every learned centroid aligns with one true center
+    learned = {r["cid"]: np.array(r["cvec"]) for r in km.collect()}
+    for v in learned.values():
+        best = max(
+            float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c) + 1e-12))
+            for c in centers
+        )
+        assert best > 0.95
+
+    r_seed = ann_recall(bf, ivf_topk(emb, q, k=5, n_centroids=4, n_probe=1))
+    r_km = ann_recall(bf, ivf_topk(emb, q, k=5, n_probe=1, centroids=km))
+    assert r_km > r_seed + 0.1    # measured: 1.0 vs 0.85
+    assert r_km > 0.95
+    bf.unpersist(); emb.unpersist(); km.unpersist()
