@@ -591,6 +591,32 @@ def q_token_budget_mix(spark, sf):
     return out.select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
 
 
+def q_asof_last_error(spark, sf):
+    """Point-in-time join: every event annotated with the user's most recent
+    prior (inclusive) error event — the as-of join via the scalable
+    union + carry-forward-window formulation (one shuffle, no inequality
+    join), checked against DuckDB's NATIVE ASOF JOIN."""
+    from azuredatalakeindexer_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("error_id"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), errors, on=["user_id"],
+        right_cols=["error_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _fmt(F.col("ts")).alias("ts"),
+        F.col("error_id_asof"),
+        _fmt(F.col("ts_asof")).alias("error_ts_asof"),
+    )
+
+
 def q_salted_counts(spark, sf):
     """Skew-proof two-phase (salted) per-user event counts — identical
     result to a direct groupBy count, hot keys spread over 16 reducers."""
@@ -998,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_report": q_decontam_report,
         "repetition_stats": q_repetition_stats,
         "salted_counts": q_salted_counts,
+        "asof_last_error": q_asof_last_error,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
@@ -1625,6 +1652,20 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, pred_lang, quality, n_tokens, stage,
              (stage = 'kept')::INT AS kept
       FROM staged
+    """
+
+    # ---- as-of join vs DuckDB's native ASOF JOIN (operators/asof) ------
+    sqls["asof_last_error"] = f"""
+      WITH errors AS (
+        SELECT user_id, ts, max(event_id) AS error_id
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts)
+      SELECT l.event_id, l.user_id,
+             strftime(l.ts, '{TS_FMT_DUCK}') AS ts,
+             r.error_id AS error_id_asof,
+             strftime(r.ts, '{TS_FMT_DUCK}') AS error_ts_asof
+      FROM events l ASOF LEFT JOIN errors r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
     """
 
     # ---- skew-proof salted aggregation (operators/skew) ----------------

@@ -42,6 +42,7 @@ from azuredatalakeindexer_spark.operators.decontam import (
     ngram_contamination,
     redact_pii,
 )
+from azuredatalakeindexer_spark.operators.asof import asof_join
 from azuredatalakeindexer_spark.operators.skew import salted_agg, salted_counts
 from azuredatalakeindexer_spark.operators.sampling import (
     hash_sample,
@@ -55,6 +56,7 @@ from azuredatalakeindexer_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "asof_join",
     "salted_agg",
     "salted_counts",
     "ngram_contamination",
