@@ -591,6 +591,19 @@ def q_token_budget_mix(spark, sf):
     return out.select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
 
 
+def q_event_quantiles(spark, sf):
+    """Exact interpolated percentiles (p50/p90/p99) of event value per type —
+    Spark's exact `percentile` vs DuckDB `quantile_cont`, both linear
+    interpolation over the sorted values."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
 def q_asof_last_error(spark, sf):
     """Point-in-time join: every event annotated with the user's most recent
     prior (inclusive) error event — the as-of join via the scalable
@@ -1025,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "salted_counts": q_salted_counts,
         "asof_last_error": q_asof_last_error,
+        "event_quantiles": q_event_quantiles,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
@@ -1652,6 +1666,15 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, pred_lang, quality, n_tokens, stage,
              (stage = 'kept')::INT AS kept
       FROM staged
+    """
+
+    # ---- exact quantiles ------------------------------------------------
+    sqls["event_quantiles"] = """
+      SELECT event_type, count(*) AS n,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90,
+             round(quantile_cont(value, 0.99), 6) AS p99
+      FROM events GROUP BY event_type
     """
 
     # ---- as-of join vs DuckDB's native ASOF JOIN (operators/asof) ------
