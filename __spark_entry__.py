@@ -591,6 +591,56 @@ def q_token_budget_mix(spark, sf):
     return out.select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
 
 
+def q_events_pivot(spark, sf):
+    """Pivot: per-user event counts spread over event-type columns (fixed
+    pivot value list so the plan is a single pass, no distinct-scan)."""
+    ev = load_table(spark, sf, "events")
+    types = ["click", "view", "error", "purchase", "login"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
+def q_user_running_stats(spark, sf):
+    """Per-user running windows over the event timeline: previous value
+    (lag), running total, and a 5-row moving average — the standard
+    time-series window trio, one shuffle on user_id."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        _fmt(F.col("ts")).alias("ts"),
+        F.round(F.lag("value", 1).over(w), 6).alias("prev_value"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("running_total"),
+        F.round(F.avg("value").over(w.rowsBetween(-4, 0)), 6).alias("moving_avg_5"),
+    )
+
+
+def q_events_json_extract(spark, sf):
+    """JSON property extraction (F10/F11 breadth): parse the props JSON
+    column, pull the numeric k, aggregate per event type."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 def q_event_quantiles(spark, sf):
     """Exact interpolated percentiles (p50/p90/p99) of event value per type —
     Spark's exact `percentile` vs DuckDB `quantile_cont`, both linear
@@ -1039,6 +1089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_counts": q_salted_counts,
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
+        "events_pivot": q_events_pivot,
+        "user_running_stats": q_user_running_stats,
+        "events_json_extract": q_events_json_extract,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
@@ -1666,6 +1719,35 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, pred_lang, quality, n_tokens, stage,
              (stage = 'kept')::INT AS kept
       FROM staged
+    """
+
+    # ---- pivot / running windows / JSON extraction ----------------------
+    pivot_types = ["click", "view", "error", "purchase", "login"]
+    pivot_cols = ",\n             ".join(
+        f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in pivot_types
+    )
+    sqls["events_pivot"] = f"""
+      SELECT user_id,
+             {pivot_cols}
+      FROM events GROUP BY user_id
+    """
+
+    sqls["user_running_stats"] = f"""
+      SELECT event_id, user_id,
+             strftime(ts, '{TS_FMT_DUCK}') AS ts,
+             round(lag(value, 1) OVER w, 6) AS prev_value,
+             round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total,
+             round(avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg_5
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    sqls["events_json_extract"] = """
+      SELECT event_type, count(*) AS n,
+             sum(json_extract(props, '$.k')::BIGINT) AS k_sum,
+             min(json_extract(props, '$.k')::BIGINT) AS k_min,
+             max(json_extract(props, '$.k')::BIGINT) AS k_max
+      FROM events GROUP BY event_type
     """
 
     # ---- exact quantiles ------------------------------------------------
