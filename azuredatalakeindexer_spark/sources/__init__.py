@@ -6,7 +6,7 @@ from azuredatalakeindexer_spark.sources.fixtures import (
     build_path_index,
     load_table,
 )
-from azuredatalakeindexer_spark.sources.bucketed import colocated_join, write_bucketed
+from azuredatalakeindexer_spark.sources.bucketed import colocated_join, write_bucketed, write_range_sorted
 from azuredatalakeindexer_spark.sources.lake import list_lake_paths, read_json_documents
 from azuredatalakeindexer_spark.sources.ddl import create_index_table, index_field_capabilities
 from azuredatalakeindexer_spark.sources.synthetic import generate_paths, write_lake
@@ -14,6 +14,7 @@ from azuredatalakeindexer_spark.sources.synthetic import generate_paths, write_l
 __all__ = [
     "colocated_join",
     "write_bucketed",
+    "write_range_sorted",
     "create_index_table",
     "index_field_capabilities",
     "generate_paths",

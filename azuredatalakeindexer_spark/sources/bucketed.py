@@ -19,6 +19,7 @@ the warehouse location via the session's ``spark.sql.warehouse.dir``.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -42,6 +43,32 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(bucket_col)
     writer.saveAsTable(table)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Totally-ordered parquet layout: range-partition on ``sort_col`` then
+    sort within partitions — file i holds keys entirely below file i+1.
+
+    This is how the path index earns its SCALE.md claims: with the table
+    range-laid-out on ``lastModified``, the incremental watermark predicate
+    (P6) prunes whole files via parquet min/max, and the ``orderBy(key)``
+    O1 contract is satisfied by concatenating files in order instead of a
+    global sort at read time.  A global ``orderBy().write`` would funnel
+    through one task chain; ``repartitionByRange`` samples split points and
+    keeps all ``n_files`` writers parallel.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def colocated_join(

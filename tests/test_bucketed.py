@@ -38,3 +38,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_left")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_right")
+
+
+def test_range_sorted_layout_files_are_disjoint_and_prunable(spark, tmp_path):
+    """write_range_sorted produces files whose key ranges don't overlap
+    (file-level min/max pruning works) and whose rows are sorted within
+    each file; a selective range read scans a strict subset of files."""
+    from azuredatalakeindexer_spark.sources.bucketed import write_range_sorted
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 37 % 10007).alias("k"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "sorted")
+    write_range_sorted(df, path, "k", n_files=8)
+
+    per_file = (
+        spark.read.parquet(path)
+        .select("k", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(per_file) == 8
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2          # disjoint ranges -> min/max pruning prunes files
+    assert spark.read.parquet(path).count() == 10000
