@@ -987,6 +987,90 @@ def q_stream_exact_dedup(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_windowed_counts(spark, sf):
+    """Watermarked event-time window aggregation drained to batch parity:
+    files arrive in chronological slices (event time ≈ arrival order, delay
+    ≪ slice span so nothing is late), far-future sentinel rows advance the
+    watermark past the tail, and the append-mode output must equal the
+    batch hourly aggregation row-for-row."""
+    import glob
+
+    from azuredatalakeindexer_spark.streaming.windowed import (
+        SENTINEL_TYPE,
+        run_stream_windowed_counts,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "event_type")
+    root = tempfile.mkdtemp(prefix="adls_swin_")
+    try:
+        d = os.path.join(root, "ev")
+        os.makedirs(d)
+        bounds = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        lo, hi = bounds[0], bounds[1]
+        span = (hi - lo) / 10
+
+        def place(src: str, i: int) -> None:
+            dst = os.path.join(d, f"slice_{i:03d}.parquet")
+            shutil.move(src, dst)
+            # FileStreamSource orders by modification time: force chronology
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        def add_file(df, i: int) -> None:
+            tmp = os.path.join(root, f"slice_{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            place(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], i)
+
+        # all 10 chronological slices in ONE partitioned write job
+        span_s = span.total_seconds()
+        sliced = ev.withColumn(
+            "_slice",
+            F.least(
+                F.floor(
+                    (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(lo))) / span_s
+                ),
+                F.lit(9),
+            ).cast("int"),
+        )
+        tmp_all = os.path.join(root, "slices")
+        sliced.repartition("_slice").write.partitionBy("_slice").parquet(tmp_all)
+        for i in range(10):
+            parts = glob.glob(os.path.join(tmp_all, f"_slice={i}", "part-*.parquet"))
+            assert parts, f"slice {i} empty"
+            place(parts[0], i)
+
+        def sentinel(i: int):
+            return spark.createDataFrame(
+                [(-i, hi, SENTINEL_TYPE)], "event_id long, ts timestamp, event_type string"
+            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {3 * i} HOURS"))
+
+        schema = spark.read.parquet(d).schema
+        out_dir = os.path.join(root, "out")
+        ckpt = os.path.join(root, "ckpt")
+        # drain 1: real slices + sentinel-1 (advances the watermark past all
+        # real windows, but emission needs a subsequent batch) …  3 files
+        # per trigger keeps multiple micro-batches (intra-run watermark
+        # progression stays exercised) without 12 rounds of batch overhead
+        add_file(sentinel(1), 10)
+        run_stream_windowed_counts(
+            spark, d, schema, out_dir, ckpt, max_files_per_trigger=3
+        )
+        # … which drain 2's sentinel-2 batch provides: every real window is
+        # now behind the watermark and flushes
+        add_file(sentinel(2), 11)
+        run_stream_windowed_counts(
+            spark, d, schema, out_dir, ckpt, max_files_per_trigger=3
+        )
+
+        got = (
+            spark.read.parquet(out_dir)
+            .where(F.col("event_type") != SENTINEL_TYPE)
+            .select(_fmt(F.col("window_start")).alias("window_start"), "event_type", "n")
+        )
+        return _persisted(spark, got)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_partitioned_runs(spark, sf):
     """T5: one scheduled cycle of partition-prefix indexer runs
     (DatalakeIndexerFunc.cs:20-48) — five prefix-filtered S2 queries merged
@@ -1115,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_run_metrics": q_indexer_run_metrics,
         "stream_deleted_index": q_stream_deleted_index,
         "stream_exact_dedup": q_stream_exact_dedup,
+        "stream_windowed_counts": q_stream_windowed_counts,
         "partitioned_runs": q_partitioned_runs,
         "partitioned_counts": q_partitioned_counts,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -1719,6 +1804,13 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, pred_lang, quality, n_tokens, stage,
              (stage = 'kept')::INT AS kept
       FROM staged
+    """
+
+    # the drained watermarked stream must equal the batch hourly rollup
+    sqls["stream_windowed_counts"] = f"""
+      SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
     """
 
     # ---- pivot / running windows / JSON extraction ----------------------

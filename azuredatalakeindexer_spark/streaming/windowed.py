@@ -1,0 +1,64 @@
+"""Watermarked event-time window aggregation, drained to batch parity.
+
+The standard Structured Streaming shape: ``withWatermark`` + ``window()``
+groupBy, append-mode file sink — state for a window is emitted exactly once,
+when the watermark passes its end, and late events beyond the watermark are
+dropped.
+
+Parity with the batch aggregation therefore depends on ARRIVAL ORDER, not
+just on draining: if files arrive shuffled in event time, everything behind
+the first batch's max timestamp minus the delay is "late" and silently
+dropped — the correct production behavior, and exactly what the test
+harness must not do by accident.  The oracle-gated query
+(``stream_windowed_counts``) feeds files in chronological slices (the
+realistic arrival pattern: event time ≈ arrival order) with the watermark
+delay far smaller than a slice, so no event is late, and closes the tail
+windows with far-future sentinel rows — after which the emitted output must
+EQUAL the batch per-hour aggregation row-for-row.
+
+At scale this is the kappa-architecture path of `events_hourly`: same
+logical agg, incremental state, bounded by (windows in flight × groups).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+#: event_type used by harnesses to advance the watermark past the real data
+SENTINEL_TYPE = "__sentinel"
+
+
+def run_stream_windowed_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """One availableNow drain of the event files into hourly (window_start,
+    event_type, n) rows, append mode.  Call again after adding newer files
+    to flush windows the advancing watermark has since closed."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
+    agg = (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -52,3 +52,47 @@ def test_windowed_agg_with_watermark(spark, tmp_path):
     assert got_rows, "stream produced no sealed windows"
     for k, n in got_rows.items():
         assert truth_rows[k] == n  # every sealed window matches batch truth
+
+
+def test_watermark_drops_late_events_and_flushes_on_advance(spark, tmp_path):
+    """Append-mode watermarked window agg: an event arriving after the
+    watermark passed its window is DROPPED (correct production semantics);
+    windows flush only when a later batch's watermark passes their end."""
+    import os
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.streaming.windowed import run_stream_windowed_counts
+
+    d = str(tmp_path / "ev"); os.makedirs(d)
+
+    def add(rows, i):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+        tmp = str(tmp_path / f"s{i}")
+        df.coalesce(1).write.parquet(tmp)
+        import glob, shutil
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"f{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    t = lambda s: datetime.fromisoformat(s)
+    add([(1, t("2024-01-01 10:10:00"), "a")], 0)
+    add([(2, t("2024-01-01 14:00:00"), "a")], 1)   # watermark -> 13:30 …
+    add([(3, t("2024-01-01 10:20:00"), "a")], 2)   # … but propagates with a
+    # one-batch lag, so event 3 is still absorbed (watermark seen: 09:40)
+    add([(4, t("2024-01-01 10:25:00"), "a")], 3)   # NOW late -> dropped
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(d).schema
+    run_stream_windowed_counts(spark, d, schema, out, ckpt, watermark_delay="30 minutes")
+    add([(5, t("2024-01-02 00:00:00"), "z")], 4)   # flush batch
+    run_stream_windowed_counts(spark, d, schema, out, ckpt, watermark_delay="30 minutes")
+
+    rows = {
+        (r["window_start"].isoformat(), r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # events 1+3 counted; the later-arriving late event 4 is NOT
+    assert rows[("2024-01-01T10:00:00", "a")] == 2
+    assert rows[("2024-01-01T14:00:00", "a")] == 1
