@@ -66,18 +66,26 @@ def stratified_sample(
     """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by the
     deterministic hash order (a reproducible "random" draw).
 
-    One window shuffle on the strata; rank state is O(1) per stratum.  Ties
-    are impossible: the hash order is keyed on the unique ``key_col`` (the
-    key itself breaks any residual bucket collision).
+    TWO-PHASE top-n so a mega-stratum never serializes on one reducer:
+    phase 1 ranks within ``(stratum, input partition)`` — every group is at
+    most one partition's slice, so the shuffle is balanced regardless of
+    stratum skew — and keeps ``n`` candidates per group; phase 2 ranks the
+    surviving ``≤ n × num_partitions`` candidates per stratum.  The final
+    result is exact (a stratum's true top-n is contained in the union of
+    its per-partition top-ns).  Ties are impossible: the hash order is
+    keyed on the unique ``key_col``.
     """
-    w = Window.partitionBy(*strata_cols).orderBy(
-        sample_bucket(F.col(key_col), seed).asc(), F.col(key_col).asc()
-    )
+    order = [sample_bucket(F.col(key_col), seed).asc(), F.col(key_col).asc()]
+    w1 = Window.partitionBy(*strata_cols, "_pid").orderBy(*order)
+    w2 = Window.partitionBy(*strata_cols).orderBy(*order)
     return (
         ensure_parallelism(df)
-        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= n_per_stratum)
+        .withColumn("_rk", F.row_number().over(w2))
         .where(F.col("_rk") <= n_per_stratum)
-        .drop("_rk")
+        .drop("_pid", "_r1", "_rk")
     )
 
 
