@@ -729,6 +729,19 @@ def q_pii_redaction(spark, sf):
     return redact_pii(with_pii)
 
 
+def q_pack_sequences(spark, sf):
+    """Pretraining sequence packing: per-shard token streams chunked into
+    512-token training sequences; one row per document × touched chunk with
+    intra-chunk offsets."""
+    from azuredatalakeindexer_spark.operators.sampling import pack_training_sequences
+    from azuredatalakeindexer_spark.functions.text import tokens
+
+    docs = _docs(spark, sf).select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_training_sequences(docs, seq_len=512, n_shards=8)
+
+
 def q_train_corpus(spark, sf):
     """End-to-end training-corpus funnel (plans/corpus.py): quality filter →
     language filter → exact dedup → MinHash near-dup connected-components
@@ -1179,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
+        "pack_sequences": q_pack_sequences,
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1989,6 +2003,27 @@ def oracle_sql() -> dict[str, str]:
         FROM scored)
       SELECT doc_id, lang, n_tokens, quality, cum_tokens
       FROM packed WHERE cum_tokens - n_tokens < 3000
+    """
+
+    sqls["pack_sequences"] = f"""
+      WITH toks AS (
+        SELECT doc_id, len({_WORDS}) AS n FROM documents),
+      pos AS (
+        SELECT doc_id, n,
+               ({_ph('doc_id::VARCHAR', 1)}) % 8 AS shard,
+               sum(n) OVER (PARTITION BY ({_ph('doc_id::VARCHAR', 1)}) % 8
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        FROM toks WHERE n > 0),
+      expl AS (
+        SELECT doc_id, shard, n, e,
+               unnest(range((floor((e - n) / 512))::BIGINT,
+                            (floor((e - 1) / 512))::BIGINT + 1)) AS chunk
+        FROM pos)
+      SELECT doc_id, shard::INT AS shard, chunk::BIGINT AS chunk,
+             greatest((e - n) - chunk * 512, 0)::BIGINT AS start_tok,
+             least(e - chunk * 512, 512)::BIGINT AS end_tok
+      FROM expl
     """
 
     sqls["token_stats"] = f"""

@@ -89,6 +89,59 @@ def stratified_sample(
     )
 
 
+def pack_training_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 32,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing: lay the corpus out as fixed-length training
+    sequences (concat-and-chunk, the standard pretraining sample packing).
+
+    Documents are deterministically sharded (``hash(id) % n_shards`` — the
+    unit of parallelism, like the reference's uploader workers in
+    ``plan_batches``); within a shard the token stream is the documents in
+    id order, chunked every ``seq_len`` tokens.  A document whose span
+    crosses chunk boundaries belongs to every chunk it touches.
+
+    Per-shard window prefix-sum (O(1) state); each shard's chunk ids are
+    independent, so sequence ids are ``(shard, chunk)`` pairs.  Returns one
+    row per (document × touched chunk): ``(doc_id, shard, chunk, start_tok,
+    end_tok)`` where start/end are the document's token offsets within the
+    chunk (end exclusive, ≤ seq_len).
+    """
+    sh = F.pmod(portable_hash64(F.col(id_col), seed=1), F.lit(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.col(token_col).alias("_n"), sh.alias("shard"))
+        .where(F.col("_n") > 0)
+        .withColumn("_end", F.sum("_n").over(w))
+        .withColumn("_start", F.col("_end") - F.col("_n"))
+    )
+    first = F.floor(F.col("_start") / seq_len)
+    last = F.floor((F.col("_end") - 1) / seq_len)
+    return (
+        pos.withColumn("chunk", F.explode(F.sequence(first, last)))
+        .select(
+            F.col(id_col),
+            F.col("shard").cast("int").alias("shard"),
+            F.col("chunk").cast("bigint").alias("chunk"),
+            F.greatest(F.col("_start") - F.col("chunk") * seq_len, F.lit(0))
+            .cast("bigint")
+            .alias("start_tok"),
+            F.least(F.col("_end") - F.col("chunk") * seq_len, F.lit(seq_len))
+            .cast("bigint")
+            .alias("end_tok"),
+        )
+    )
+
+
 def token_budget_pack(
     docs: DataFrame,
     budget_tokens: int,

@@ -55,3 +55,28 @@ def test_token_budget_pack_quality_first_boundary(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long, quality double")
     out = {r["doc_id"]: r["cum_tokens"] for r in token_budget_pack(df, 3000).collect()}
     assert out == {1: 1000, 2: 2500, 3: 3500, 5: 500}
+
+
+def test_pack_sequences_invariants(spark):
+    """Every token of every document lands in exactly one chunk slot;
+    chunks never exceed seq_len; offsets are consistent."""
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 90) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    from azuredatalakeindexer_spark.operators.sampling import pack_training_sequences
+
+    out = pack_training_sequences(docs, seq_len=64, n_shards=4).collect()
+    tokens_in = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    per_doc: dict[int, int] = {}
+    per_chunk: dict[tuple, int] = {}
+    for r in out:
+        assert 0 <= r["start_tok"] < r["end_tok"] <= 64
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + (r["end_tok"] - r["start_tok"])
+        per_chunk[(r["shard"], r["chunk"])] = per_chunk.get((r["shard"], r["chunk"]), 0) + (
+            r["end_tok"] - r["start_tok"]
+        )
+    assert per_doc == tokens_in                     # no token lost or duplicated
+    assert all(v <= 64 for v in per_chunk.values())  # chunk capacity respected
+    # all chunks except each shard's last are exactly full
+    last = {s: max(c for (s2, c) in per_chunk if s2 == s) for s in {s for s, _ in per_chunk}}
+    assert all(v == 64 for (s, c), v in per_chunk.items() if c != last[s])
