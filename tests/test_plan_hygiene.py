@@ -1,0 +1,52 @@
+"""Repo-wide plan hygiene: NO query may plan a CartesianProduct, and
+BroadcastNestedLoopJoin is allowed only where it is the documented design
+(brute-force scoring of a broadcast query set / broadcast centroid table).
+
+This is the standing guarantee behind SCALE.md: candidate generation and
+joins are always equi-keyed at any scale; a regression that sneaks an
+all-pairs plan into any of the ~67 registered queries fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+#: BroadcastNestedLoopJoin is the *intended* physical strategy here: the
+#: broadcast side is a bounded query/centroid set, the stream side scans once
+BNLJ_ALLOWED = {
+    "embedding_topk",      # brute-force baseline: broadcast queries over corpus
+    "embedding_near_dup",  # bucket equi-join + id< predicate can plan BNLJ on tiny fixture
+    "ann_lsh_topk",        # bucket join with explode on broadcast side
+    "ann_ivf_topk",        # broadcast 16-row centroid table (documented crossJoin)
+    "run_metrics",         # crossJoin of three SINGLE-ROW aggregate frames
+}
+
+#: queries that RUN work at plan-build time (streaming drains, temp lakes) —
+#: plan shape is covered by their own tests; skip to keep this test fast
+SKIP = {
+    "stream_upsert_events",
+    "stream_deleted_index",
+    "stream_exact_dedup",
+    "stream_windowed_counts",
+    "indexer_run",
+    "indexer_run_metrics",
+    "partitioned_runs",
+    "partitioned_counts",
+    "dedup_clusters",      # iterative: runs jobs while building
+    "train_corpus",
+    "batch_packing_greedy",
+    "rebuild_batches",
+}
+
+
+@pytest.mark.parametrize("name", sorted(set(entrymod.queries()) - SKIP))
+def test_no_allpairs_plans(spark, name):
+    df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a BroadcastNestedLoopJoin outside the whitelist"
+        )
