@@ -641,6 +641,89 @@ def q_events_json_extract(spark, sf):
     )
 
 
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, revenue per order,
+    top 10 by (revenue desc, date) — exercises join ordering + top-k."""
+    cust = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(18,4)")
+                        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey", _fmt(F.col("o_orderdate")).alias("o_orderdate"), "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf):
+    """TPC-H Q5 shape: six-table join (region→nation→customer→orders→
+    lineitem→supplier with the same-nation constraint), revenue per nation."""
+    region = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+def q_late_orders_exists(spark, sf):
+    """TPC-H Q4 shape: orders with AT LEAST ONE slow lineitem (shipped >90
+    days after the order date) — EXISTS → left-semi join with a compound
+    condition, counted per order priority."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 def q_event_quantiles(spark, sf):
     """Exact interpolated percentiles (p50/p90/p99) of event value per type —
     Spark's exact `percentile` vs DuckDB `quantile_cont`, both linear
@@ -1186,6 +1269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_counts": q_salted_counts,
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
+        "shipping_priority": q_shipping_priority,
+        "region_revenue": q_region_revenue,
+        "late_orders_exists": q_late_orders_exists,
         "events_pivot": q_events_pivot,
         "user_running_stats": q_user_running_stats,
         "events_json_extract": q_events_json_extract,
@@ -1854,6 +1940,50 @@ def oracle_sql() -> dict[str, str]:
              min(json_extract(props, '$.k')::BIGINT) AS k_min,
              max(json_extract(props, '$.k')::BIGINT) AS k_max
       FROM events GROUP BY event_type
+    """
+
+    # ---- TPC-H-shaped multi-table joins ---------------------------------
+    sqls["shipping_priority"] = f"""
+      SELECT l_orderkey,
+             strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+             round((sum(l_extendedprice::DECIMAL(18,4)
+                        * (1 - l_discount::DECIMAL(18,4))))::DOUBLE, 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+      LIMIT 10
+    """
+
+    sqls["region_revenue"] = """
+      SELECT n_name,
+             round((sum(l_extendedprice::DECIMAL(18,4)
+                        * (1 - l_discount::DECIMAL(18,4))))::DOUBLE, 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND c_nationkey = s_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+    """
+
+    sqls["late_orders_exists"] = """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      GROUP BY o_orderpriority
     """
 
     # ---- exact quantiles ------------------------------------------------
