@@ -41,6 +41,8 @@ HEADLINE = [
     "pricing_summary",
     "top_customers",
     "events_hourly",
+    "region_revenue",
+    "asof_last_error",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
