@@ -10,6 +10,11 @@ from azuredatalakeindexer_spark.sources.bucketed import colocated_join, write_bu
 from azuredatalakeindexer_spark.sources.lake import list_lake_paths, read_json_documents
 from azuredatalakeindexer_spark.sources.ddl import create_index_table, index_field_capabilities
 from azuredatalakeindexer_spark.sources.synthetic import generate_paths, write_lake
+from azuredatalakeindexer_spark.sources.text_corpus import (
+    read_csv_corpus,
+    read_jsonl_corpus,
+    split_corrupt,
+)
 
 __all__ = [
     "colocated_join",
@@ -27,4 +32,7 @@ __all__ = [
     "build_deleted_paths",
     "list_lake_paths",
     "read_json_documents",
+    "read_jsonl_corpus",
+    "read_csv_corpus",
+    "split_corrupt",
 ]
