@@ -591,6 +591,21 @@ def q_token_budget_mix(spark, sf):
     return out.select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
 
 
+def q_zorder_values(spark, sf):
+    """Morton (z-order) codes over two bucketed event dimensions — the
+    clustering key behind multi-column file pruning (functions/zorder.py),
+    bit-replayed by the oracle."""
+    from azuredatalakeindexer_spark.functions.zorder import z_value
+
+    ev = load_table(spark, sf, "events")
+    a = (F.col("user_id") % 256).cast("bigint")
+    # floor, not cast: double→int casts truncate in Spark but ROUND in DuckDB
+    b = F.floor(F.col("value") * 10).cast("bigint") % 256
+    return ev.select(
+        "event_id", a.alias("a"), b.alias("b"), z_value(a, b, bits=8).alias("z")
+    )
+
+
 def q_events_pivot(spark, sf):
     """Pivot: per-user event counts spread over event-type columns (fixed
     pivot value list so the plan is a single pass, no distinct-scan)."""
@@ -1273,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "late_orders_exists": q_late_orders_exists,
         "events_pivot": q_events_pivot,
+        "zorder_values": q_zorder_values,
         "user_running_stats": q_user_running_stats,
         "events_json_extract": q_events_json_extract,
         "pii_redaction": q_pii_redaction,
@@ -1911,6 +1927,20 @@ def oracle_sql() -> dict[str, str]:
       SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
              event_type, count(*) AS n
       FROM events GROUP BY 1, 2
+    """
+
+    # ---- z-order clustering codes ---------------------------------------
+    zbits = " + ".join(
+        f"(((a >> {i}) & 1) << {2 * i}) + (((b >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    sqls["zorder_values"] = f"""
+      WITH base AS (
+        SELECT event_id,
+               (user_id % 256)::BIGINT AS a,
+               (floor(value * 10))::BIGINT % 256 AS b
+        FROM events)
+      SELECT event_id, a, b, ({zbits})::BIGINT AS z FROM base
     """
 
     # ---- pivot / running windows / JSON extraction ----------------------

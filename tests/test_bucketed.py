@@ -64,3 +64,45 @@ def test_range_sorted_layout_files_are_disjoint_and_prunable(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2          # disjoint ranges -> min/max pruning prunes files
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Z-order clustering gives every file a small (a, b) rectangle, so
+    min/max pruning works on BOTH columns; single-column range sorting
+    bounds only its own column (the control)."""
+    from azuredatalakeindexer_spark.functions.zorder import write_zordered
+    from azuredatalakeindexer_spark.sources.bucketed import write_range_sorted
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("a"), ((F.col("id") * 37) % 128).alias("b")
+    )
+
+    def mean_spans(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(
+                (F.max("a") - F.min("a")).alias("sa"),
+                (F.max("b") - F.min("b")).alias("sb"),
+            )
+            .collect()
+        )
+        sa = sum(r["sa"] for r in per_file) / len(per_file)
+        sb = sum(r["sb"] for r in per_file) / len(per_file)
+        return sa, sb
+
+    zp = str(tmp_path / "z")
+    write_zordered(df, zp, "a", "b", bits=7, n_files=16)
+    sa_z, sb_z = mean_spans(zp)
+
+    rp = str(tmp_path / "r")
+    write_range_sorted(df, rp, "a", n_files=16)
+    sa_r, sb_r = mean_spans(rp)
+
+    # z-order: both dimensions bounded well below the global span of 127
+    assert sa_z < 64 and sb_z < 64, (sa_z, sb_z)
+    # control: single-column sort nails a but leaves b unbounded
+    assert sa_r < sa_z
+    assert sb_r > 100
+    assert spark.read.parquet(zp).count() == n
