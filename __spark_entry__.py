@@ -591,6 +591,30 @@ def q_token_budget_mix(spark, sf):
     return out.select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
 
 
+def q_events_gapfill(spark, sf):
+    """Time-series gap filling: dense per-type hourly grid over the global
+    range (sequence + explode), zero-filled where no events occurred —
+    the resampling step every downstream time-series consumer needs."""
+    ev = load_table(spark, sf, "events")
+    types = ev.select("event_type").distinct()
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        _fmt(F.col("h")).alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
 def q_zorder_values(spark, sf):
     """Morton (z-order) codes over two bucketed event dimensions — the
     clustering key behind multi-column file pruning (functions/zorder.py),
@@ -1289,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_orders_exists": q_late_orders_exists,
         "events_pivot": q_events_pivot,
         "zorder_values": q_zorder_values,
+        "events_gapfill": q_events_gapfill,
         "user_running_stats": q_user_running_stats,
         "events_json_extract": q_events_json_extract,
         "pii_redaction": q_pii_redaction,
@@ -1927,6 +1952,25 @@ def oracle_sql() -> dict[str, str]:
       SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
              event_type, count(*) AS n
       FROM events GROUP BY 1, 2
+    """
+
+    # ---- time-series gap filling ----------------------------------------
+    sqls["events_gapfill"] = f"""
+      WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events),
+      grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN bounds b
+        CROSS JOIN unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)),
+      counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT g.event_type, strftime(g.h, '{TS_FMT_DUCK}') AS hour,
+             coalesce(c.n, 0) AS n
+      FROM grid g
+      LEFT JOIN counts c ON c.event_type = g.event_type AND c.h = g.h
     """
 
     # ---- z-order clustering codes ---------------------------------------

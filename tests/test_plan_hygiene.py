@@ -21,6 +21,7 @@ BNLJ_ALLOWED = {
     "ann_lsh_topk",        # bucket join with explode on broadcast side
     "ann_ivf_topk",        # broadcast 16-row centroid table (documented crossJoin)
     "run_metrics",         # crossJoin of three SINGLE-ROW aggregate frames
+    "events_gapfill",      # crossJoin of a SINGLE-ROW bounds frame (grid seed)
 }
 
 #: queries that RUN work at plan-build time (streaming drains, temp lakes) —
