@@ -1072,7 +1072,8 @@ def _stream_run(spark, sf, target: str) -> DataFrame:
         del_dir = os.path.join(root, "deleted_index")
         ckpt = os.path.join(root, "ckpt")
         run_event_stream_upsert(
-            spark, events_dir, schema, pi_dir, del_dir, ckpt, now=W, max_files_per_trigger=1
+            spark, events_dir, schema, pi_dir, del_dir, ckpt, now=W,
+            max_files_per_trigger=1, shuffle_partitions=8,
         )
         out_dir = pi_dir if target == "created" else del_dir
         out = spark.read.parquet(out_dir).drop("_seq")
@@ -1187,13 +1188,15 @@ def q_stream_windowed_counts(spark, sf):
         # progression stays exercised) without 12 rounds of batch overhead
         add_file(sentinel(1), 10)
         run_stream_windowed_counts(
-            spark, d, schema, out_dir, ckpt, max_files_per_trigger=3
+            spark, d, schema, out_dir, ckpt, max_files_per_trigger=3,
+            state_partitions=8,
         )
         # … which drain 2's sentinel-2 batch provides: every real window is
         # now behind the watermark and flushes
         add_file(sentinel(2), 11)
         run_stream_windowed_counts(
-            spark, d, schema, out_dir, ckpt, max_files_per_trigger=3
+            spark, d, schema, out_dir, ckpt, max_files_per_trigger=3,
+            state_partitions=8,
         )
 
         got = (

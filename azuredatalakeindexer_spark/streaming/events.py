@@ -79,13 +79,42 @@ def run_event_stream_upsert(
     checkpoint_dir: str,
     now: str | None = None,
     max_files_per_trigger: int | None = None,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """T1+T2: drain the event stream (availableNow) into the path index and
     the deleted-path index (reference PathIndexerFunc.cs:18-74).
 
     ``now`` pins the F9 ``lastModified`` stamp for deterministic tests (the
     reference stamps ``DateTimeOffset.UtcNow``, PathIndexerFunc.cs:22).
+
+    ``shuffle_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    drain (restored afterwards): every micro-batch rewrites the merged index
+    with one file per shuffle partition, so a session-default 200 turns each
+    LWW merge into 200 tiny parquet writes.  Size it to the index volume.
     """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        _run_upsert_drain(
+            spark, events_dir, schema, path_index_dir, deleted_index_dir,
+            checkpoint_dir, now, max_files_per_trigger,
+        )
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _run_upsert_drain(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    path_index_dir: str,
+    deleted_index_dir: str,
+    checkpoint_dir: str,
+    now: str | None,
+    max_files_per_trigger: int | None,
+) -> None:
     stream = stream_events(spark, events_dir, schema, max_files_per_trigger)
     stamp = F.lit(now).cast("timestamp") if now else F.current_timestamp()
 

@@ -39,10 +39,41 @@ def run_stream_windowed_counts(
     window_duration: str = "1 hour",
     watermark_delay: str = "30 minutes",
     max_files_per_trigger: int | None = 1,
+    state_partitions: int | None = None,
 ) -> None:
     """One availableNow drain of the event files into hourly (window_start,
     event_type, n) rows, append mode.  Call again after adding newer files
-    to flush windows the advancing watermark has since closed."""
+    to flush windows the advancing watermark has since closed.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the drain
+    (restored afterwards).  The state store creates one directory per shuffle
+    partition at first checkpoint; a session-default 200 means every
+    micro-batch commits 200 state files regardless of data volume.  Size it
+    to the real group cardinality — standard streaming-job tuning, and the
+    dominant cost at small scale."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        _run_drain(
+            spark, events_dir, schema, out_dir, checkpoint_dir,
+            window_duration, watermark_delay, max_files_per_trigger,
+        )
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _run_drain(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_duration: str,
+    watermark_delay: str,
+    max_files_per_trigger: int | None,
+) -> None:
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
