@@ -941,6 +941,14 @@ def q_quality_score(spark, sf):
     return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
 
 
+def q_tfidf_top_terms(spark, sf):
+    """TF-IDF top-5 terms per document (smoothed sklearn idf; rounded score
+    ranks AND hashes, ties on term)."""
+    from azuredatalakeindexer_spark.operators.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf), k=5)
+
+
 def q_token_stats(spark, sf):
     """Token counting: whitespace + BPE-ish regex tokens."""
     out = token_stats(_docs(spark, sf))
@@ -1335,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "index_ddl": q_index_ddl,
@@ -2231,6 +2240,26 @@ def oracle_sql() -> dict[str, str]:
              greatest((e - n) - chunk * 512, 0)::BIGINT AS start_tok,
              least(e - chunk * 512, 512)::BIGINT AS end_tok
       FROM expl
+    """
+
+    sqls["tfidf_top_terms"] = f"""
+      WITH tok AS (
+        SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+      ), tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+      ), nd AS (
+        SELECT count(*)::BIGINT AS n_docs FROM documents
+      ), dfreq AS (
+        SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+      ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(tf.tf * (ln(CAST(nd.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) + 1), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+      )
+      SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)::INT AS rank
+        FROM scored
+      ) WHERE rank <= 5
     """
 
     sqls["token_stats"] = f"""

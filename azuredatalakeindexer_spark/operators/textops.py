@@ -189,3 +189,56 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         rolling_fingerprint(toks).alias("rolling_fp"),
         char_fingerprint(F.col(text_col)).alias("char_fp"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """TF-IDF keyword extraction: the top-``k`` highest-scoring terms per
+    document, the standard relevance primitive the reference's search index
+    delegates to the service's BM25 analyzer (SURVEY §1 — here as an
+    explicit, oracle-checkable relation).
+
+    ``tf`` = in-document term count, ``idf = ln((N+1)/(df+1)) + 1``
+    (sklearn's smoothed variant: never zero, never divides by zero), score
+    ``round(tf·idf, 6)``.  The ROUNDED score is used for both ranking and
+    output so the cross-engine ordering is exactly the hashed value; ties
+    break on term.
+
+    Plan at scale: one explode + (doc,term) count shuffle; df and N derive
+    from that same aggregate (no second corpus scan); the 1-row N relation
+    is crossJoin-broadcast; the tf⋈idf equi-join on term is left to AQE
+    (vocab may exceed broadcast size at 100 TB); final per-doc window
+    shuffles on ``id_col`` only.
+    """
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(docs)
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        (
+            F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double"))
+            + 1
+        ).alias("idf"),
+    )
+    scored = tf.join(idf, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

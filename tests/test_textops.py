@@ -1,0 +1,55 @@
+"""TF-IDF keyword extraction semantics + plan shape."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from azuredatalakeindexer_spark.operators.textops import tfidf_top_terms
+
+
+def _toy_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark spark shuffle join"),
+            (2, "spark join window"),
+            (3, "duck oracle oracle"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tfidf_scores_and_ranks(spark):
+    out = tfidf_top_terms(_toy_docs(spark), k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    # every doc emits exactly k=2 rows (all have >=2 distinct terms)
+    assert len(rows) == 6
+
+    def idf(df):
+        return math.log((3 + 1) / (df + 1)) + 1
+
+    # doc 1: 'spark' tf=2 df=2 -> 2*idf(2); 'shuffle'/'join' tf=1, df 1/2 ->
+    # idf(1) > idf(2), so rank2='shuffle'
+    assert rows[(1, 1)].term == "spark"
+    assert rows[(1, 1)].tfidf == round(2 * idf(2), 6)
+    assert rows[(1, 2)].term == "shuffle"
+    # doc 3: 'oracle' tf=2 df=1 dominates 'duck' tf=1 df=1
+    assert rows[(3, 1)].term == "oracle"
+    assert rows[(3, 2)].term == "duck"
+    # tie on score breaks on term: doc 2 'spark' vs 'join' both tf=1 df=2
+    assert rows[(2, 2)].term in ("join", "spark", "window")
+    d2 = [rows[(2, i)].term for i in (1, 2)]
+    assert d2 == sorted(d2, key=lambda t: (-rows[(2, d2.index(t) + 1)].tfidf, t))
+
+
+def test_tfidf_no_cartesian_beyond_scalar_n(spark):
+    """The only nested-loop join allowed is the 1-row broadcast N relation;
+    tf ⋈ idf must be an equi-join on term."""
+    plan = tfidf_top_terms(_toy_docs(spark), k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    nested = plan.count("BroadcastNestedLoopJoin")
+    assert nested <= 1, plan
+
+
+def test_tfidf_k_bounds_output(spark):
+    out = tfidf_top_terms(_toy_docs(spark), k=1)
+    assert out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] == 1
