@@ -469,6 +469,31 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_profile_orders(spark, sf):
+    """One-pass per-column profile of `orders` (rows / non-null / exact
+    distinct / min / max) — the audit relation a lake ingestion runs first.
+    Integer/string/date columns only: float min/max stringification is
+    engine-specific (documented in the operator)."""
+    from azuredatalakeindexer_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _orders(spark, sf),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+    )
+
+
+def q_approx_distinct_users(spark, sf):
+    """Per-event-type HLL++ approximate distinct users (mergeable sketch:
+    fixed-size registers shuffle instead of raw user ids).  Rows-only gate
+    BY DESIGN: HLL estimates are implementation-specific, so there is no
+    cross-engine oracle; pytest pins |approx-exact|/exact <= 3*rsd and the
+    driver's weaker rows/schema check applies here."""
+    from azuredatalakeindexer_spark.operators.profile import approx_distinct_by
+
+    ev = load_table(spark, sf, "events")
+    return approx_distinct_by(ev, ["event_type"], "user_id", rsd=0.05)
+
+
 def q_distinct_users_daily(spark, sf):
     """Exact distinct aggregation per day (SURVEY §2.4: distinct-agg is a
     Spark-native extension beyond the reference's counters)."""
@@ -1344,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "profile_orders": q_profile_orders,
+        "approx_distinct_users": q_approx_distinct_users,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "index_ddl": q_index_ddl,
@@ -2240,6 +2267,28 @@ def oracle_sql() -> dict[str, str]:
              greatest((e - n) - chunk * 512, 0)::BIGINT AS start_tok,
              least(e - chunk * 512, 512)::BIGINT AS end_tok
       FROM expl
+    """
+
+    sqls["profile_orders"] = """
+      SELECT 'o_orderkey' AS column, count(*)::BIGINT AS n_rows,
+             count(o_orderkey)::BIGINT AS n_nonnull, count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+             min(o_orderkey)::VARCHAR AS min_v, max(o_orderkey)::VARCHAR AS max_v FROM orders
+      UNION ALL
+      SELECT 'o_custkey' AS column, count(*)::BIGINT AS n_rows,
+             count(o_custkey)::BIGINT AS n_nonnull, count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+             min(o_custkey)::VARCHAR AS min_v, max(o_custkey)::VARCHAR AS max_v FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus' AS column, count(*)::BIGINT AS n_rows,
+             count(o_orderstatus)::BIGINT AS n_nonnull, count(DISTINCT o_orderstatus)::BIGINT AS n_distinct,
+             min(o_orderstatus)::VARCHAR AS min_v, max(o_orderstatus)::VARCHAR AS max_v FROM orders
+      UNION ALL
+      SELECT 'o_orderdate' AS column, count(*)::BIGINT AS n_rows,
+             count(o_orderdate)::BIGINT AS n_nonnull, count(DISTINCT o_orderdate)::BIGINT AS n_distinct,
+             min(o_orderdate)::VARCHAR AS min_v, max(o_orderdate)::VARCHAR AS max_v FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority' AS column, count(*)::BIGINT AS n_rows,
+             count(o_orderpriority)::BIGINT AS n_nonnull, count(DISTINCT o_orderpriority)::BIGINT AS n_distinct,
+             min(o_orderpriority)::VARCHAR AS min_v, max(o_orderpriority)::VARCHAR AS max_v FROM orders
     """
 
     sqls["tfidf_top_terms"] = f"""

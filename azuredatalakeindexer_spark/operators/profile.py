@@ -1,0 +1,89 @@
+"""Data profiling + cardinality sketches — the audit pass a 100 TB lake
+ingestion runs before anything else touches the data.
+
+``profile_columns`` generalizes the reference's ad-hoc notion of "how many
+documents / which keys" (document counts, ``SearchCountAsync``,
+AzureSearchIndexer/README.md) into the standard per-column profile relation;
+``approx_distinct_by`` is the mergeable-sketch variant of the exact distinct
+aggregation for cardinalities where exactness costs a full shuffle of keys.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column profile in ONE aggregation pass: row count, non-null
+    count, exact distinct count, min and max (stringified).
+
+    Returns one row per profiled column:
+    ``(column, n_rows, n_nonnull, n_distinct, min_v, max_v)``.
+
+    Plan at scale: a single ``Aggregate`` over the whole relation — Spark
+    rewrites the N ``count(DISTINCT col)`` into one Expand (×N row
+    multiplication) + two-stage aggregate, so the input is scanned once and
+    partial aggregation is map-side.  The result is N rows regardless of
+    input size; the long format comes from exploding an array literal of
+    per-column structs AFTER the aggregate (zero extra passes).
+
+    Min/max are stringified with a plain cast — callers profiling float
+    columns should expect engine-specific decimal formatting (the oracle
+    gate profiles integer/string/date columns, where the cast is portable).
+    """
+    if cols is None:
+        cols = df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n_rows").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nonnull"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_v"),
+                F.col(f"_max_{c}").alias("max_v"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def approx_distinct_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group approximate distinct count via Spark's HyperLogLog++
+    (``approx_count_distinct``), with the exact group row count alongside.
+
+    The sketch is MERGEABLE: partial HLL registers combine map-side, so the
+    shuffle moves one fixed-size sketch per (partition, group) instead of
+    every distinct value — the difference between shuffling ~1.1 KB per
+    group and shuffling 10⁹ user ids at 100 TB.  ``rsd`` is the target
+    relative standard deviation (default 5%).
+
+    The estimate is engine-specific by nature (register layout and bias
+    correction differ across HLL implementations), so queries built on this
+    operator register WITHOUT an oracle (rows-only gate); the tolerance vs
+    the exact count is pinned in pytest instead.
+    """
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.approx_count_distinct(value_col, rsd).alias("approx_distinct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(*group_cols)
+    )

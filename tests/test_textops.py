@@ -53,3 +53,44 @@ def test_tfidf_no_cartesian_beyond_scalar_n(spark):
 def test_tfidf_k_bounds_output(spark):
     out = tfidf_top_terms(_toy_docs(spark), k=1)
     assert out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_profile_columns_single_pass(spark):
+    from azuredatalakeindexer_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "k long, s string"
+    )
+    out = profile_columns(df)
+    rows = {r.column: r for r in out.collect()}
+    assert rows["k"].n_rows == 4 and rows["k"].n_nonnull == 3
+    assert rows["k"].n_distinct == 2 and rows["k"].min_v == "1" and rows["k"].max_v == "2"
+    assert rows["s"].n_nonnull == 3 and rows["s"].n_distinct == 2
+    # one aggregation pass: the multi-distinct rewrites to a single
+    # Expand-based aggregate over ONE scan — not a per-column Union of scans
+    # (post-collect the AQE string repeats the plan as Final + Initial —
+    # keep the final section only)
+    phys = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert phys.count("Expand") == 1, phys
+    assert "Union" not in logical, logical
+    assert logical.count("LogicalRDD") + logical.count("Relation") == 1, logical
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from azuredatalakeindexer_spark.operators.profile import approx_distinct_by
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    approx = {
+        r.event_type: r.approx_distinct
+        for r in approx_distinct_by(ev, ["event_type"], "user_id", rsd=0.05).collect()
+    }
+    exact = {
+        r.event_type: r.nd
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, nd in exact.items():
+        assert abs(approx[et] - nd) / nd <= 0.15, (et, approx[et], nd)
