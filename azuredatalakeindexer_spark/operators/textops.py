@@ -213,12 +213,19 @@ def tfidf_top_terms(
     is crossJoin-broadcast; the tf⋈idf equi-join on term is left to AQE
     (vocab may exceed broadcast size at 100 TB); final per-doc window
     shuffles on ``id_col`` only.
+
+    The tf relation feeds BOTH join sides (scores and df), so it is
+    materialized once (``localCheckpoint``, lineage truncated) instead of
+    re-tokenizing the corpus per branch.  N stays a corpus row count
+    (sklearn semantics: zero-token docs count) — a column-less scan, cheap
+    next to tokenization.  At 100 TB persist tf to a table / reliable
+    checkpoint instead — executor loss forces a localCheckpoint recompute.
     """
     from pyspark.sql import Window
 
     docs = ensure_parallelism(docs)
     tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(

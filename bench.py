@@ -54,6 +54,8 @@ HEADLINE = [
     "lang_id",
     "quality_score",
     "doc_fingerprints",
+    "tfidf_top_terms",
+    "profile_orders",
 ]
 
 
