@@ -1478,13 +1478,24 @@ def oracle_sql() -> dict[str, str]:
       FROM sized
     """
 
+    # mirrors plan_batches incl. the count-cap repair pass: raw
+    # max(byte-slot, count-slot) id, re-chunked by PACK_COUNT, dense-renumbered
     sqls["batch_packing"] = f"""
+      WITH raw AS (
+        SELECT doc_id,
+               greatest(
+                 floor((sum(n_chars) OVER w - n_chars) / {PACK_BYTES})::BIGINT,
+                 floor((row_number() OVER w - 1) / {PACK_COUNT})::BIGINT) AS raw_id
+        FROM documents
+        WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sub AS (
+        SELECT doc_id, raw_id,
+               floor((row_number() OVER (PARTITION BY raw_id ORDER BY doc_id) - 1)
+                     / {PACK_COUNT})::BIGINT AS sub_id
+        FROM raw)
       SELECT doc_id,
-             greatest(
-               floor((sum(n_chars) OVER w - n_chars) / {PACK_BYTES})::BIGINT,
-               floor((row_number() OVER w - 1) / {PACK_COUNT})::BIGINT) AS batch_id
-      FROM documents
-      WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             (dense_rank() OVER (ORDER BY raw_id, sub_id) - 1)::BIGINT AS batch_id
+      FROM sub
     """
 
     # the greedy flush walk (BatchingUploader.cs:80-92) as a recursive CTE:

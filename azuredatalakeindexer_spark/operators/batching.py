@@ -113,6 +113,15 @@ def plan_batches(
     ``n_workers=1`` reproduces the reference's single uploader stream for the
     boundary tests; production uses e.g. 4 (DatalakeIndexerOptions.cs:7) or
     one per output partition.
+
+    A repair pass makes the count cap structural: when a document spans one
+    or more whole byte-slots (size >= max_batch_bytes), the raw
+    ``max(by_bytes, by_count)`` id can place more than ``max_batch_count``
+    documents in one batch (the byte id jumps ahead and the count id catches
+    up inside it).  Each raw batch is therefore re-chunked into runs of
+    ``max_batch_count`` and renumbered with a dense rank — a no-op whenever
+    no document reaches the byte cap (both ids then step by at most 1), so
+    the uniform-size greedy parity above is preserved exactly.
     """
     out = df.withColumn("_doc_bytes", size)
     if n_workers > 1:
@@ -125,7 +134,16 @@ def plan_batches(
     rank = F.row_number().over(w)
     by_bytes = F.floor((cum - F.col("_doc_bytes")) / F.lit(max_batch_bytes))
     by_count = F.floor((rank - F.lit(1)) / F.lit(max_batch_count))
+    out = out.withColumn("_raw_batch", F.greatest(by_bytes, by_count))
+    # count-cap repair: chunk each raw batch into runs of max_batch_count,
+    # then renumber (worker-local, same sort order — no extra shuffle).
+    w_raw = Window.partitionBy("worker", "_raw_batch").orderBy(order_col)
+    sub = F.floor((F.row_number().over(w_raw) - F.lit(1)) / F.lit(max_batch_count))
+    out = out.withColumn("_sub_batch", sub)
+    w_final = Window.partitionBy("worker").orderBy("_raw_batch", "_sub_batch")
     return (
-        out.withColumn("batch_id", F.greatest(by_bytes, by_count))
-        .drop("_doc_bytes")
+        out.withColumn(
+            "batch_id", (F.dense_rank().over(w_final) - F.lit(1)).cast("long")
+        )
+        .drop("_doc_bytes", "_raw_batch", "_sub_batch")
     )

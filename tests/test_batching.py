@@ -72,6 +72,21 @@ def test_oversize_filter_counts(spark):
     assert [r["doc_id"] for r in dropped.collect()] == [2]  # FailedTooLarge
 
 
+def test_count_cap_holds_with_byte_slot_spanning_doc(spark):
+    """Repair-pass regression (hypothesis-found): a doc spanning 2 byte-slots
+    (2000 > 1000) makes the raw byte id jump to 2 while the count id catches
+    up inside it — without the repair, docs 1 and 2 share a batch despite
+    max_batch_count=1."""
+    docs = spark.createDataFrame(
+        [(0, 2000), (1, 1), (2, 1)], "doc_id long, sz long"
+    )
+    out = plan_batches(
+        docs, F.col("sz"), "doc_id", max_batch_bytes=1000, max_batch_count=1
+    )
+    got = {r["doc_id"]: r["batch_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
 def test_greedy_matches_reference_flush_semantics(spark):
     """Variable sizes where the plan-ahead window formula diverges but the
     greedy walk must match BatchingUploader.cs:80-92 exactly: flush happens
