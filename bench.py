@@ -148,6 +148,13 @@ def main() -> None:
                 "duckdb_total": duck_total,
                 "spark_vs_duckdb": round(total / duck_total, 3) if duck_total else None,
                 "ann_recall": recall,
+                "notes": {
+                    "indexer_run": "Spark side materializes a real JSON lake "
+                    "(one file per doc) and runs S3/S4 file reads end-to-end; "
+                    "the oracle computes from parquet directly",
+                    "first_query": "first timed query pays one-time plan "
+                    "codegen (~4s); steady-state is ~0.6s (amortized at scale)",
+                },
                 "sf": sf,
             }
         )
