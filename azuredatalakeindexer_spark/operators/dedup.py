@@ -349,9 +349,10 @@ def connected_components(
     needed = graph diameter; LSH near-dup graphs are unions of bucket
     cliques/stars, so diameter is small (single digits) regardless of corpus
     size.  Labels are ``localCheckpoint``-ed each round to truncate the
-    growing lineage; the only driver-side value is the per-round
-    changed-count (one long).  At 100 TB swap the localCheckpoint for a
-    reliable ``checkpoint()``/table write between rounds.
+    growing lineage; the only driver-side value is the per-round label sum
+    (one decimal — convergence test, see below).  At 100 TB swap the
+    localCheckpoint for a reliable ``checkpoint()``/table write between
+    rounds.
 
     The pair input is typically :func:`minhash_lsh_pairs`,
     :func:`simhash_pairs`, :func:`ngram_jaccard_pairs`, or
@@ -359,9 +360,12 @@ def connected_components(
     pair) are not represented — callers union them back as their own
     singleton cluster if needed.
     """
+    # materialize the (usually expensive) pair pipeline ONCE before the
+    # symmetric-closure union — the two union branches would otherwise each
+    # recompute the full upstream (LSH banding, bucket explosion, ...)
+    directed = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        directed.unionByName(directed.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .localCheckpoint()
     )
@@ -371,6 +375,14 @@ def connected_components(
         .select("id", F.col("id").alias("cluster_id"))
         .localCheckpoint()
     )
+    # labels only ever decrease (min over self+neighbors), so the label SUM
+    # strictly decreases iff any vertex changed — a map-side-combined agg per
+    # round instead of an O(V) join-and-compare.  decimal(38,0) keeps the sum
+    # exact for 64-bit ids at any vertex count.
+    label_sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         neighbor = edges.join(labels, edges["d"] == labels["id"]).select(
             F.col("s").alias("id"), F.col("cluster_id")
@@ -381,14 +393,11 @@ def connected_components(
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
-            .where(F.col("cluster_id") != F.col("_old"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
