@@ -1156,14 +1156,61 @@ def q_stream_exact_dedup(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _place_stream_file(src: str, d: str, i: int) -> None:
+    """Move a part file into the stream dir as slice ``i`` with a forced
+    modification time — FileStreamSource orders by mtime, so this pins
+    chronological arrival."""
+    dst = os.path.join(d, f"slice_{i:03d}.parquet")
+    shutil.move(src, dst)
+    os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def _add_stream_file(df, root: str, d: str, i: int) -> None:
+    """Append one more single-file slice (e.g. a watermark sentinel)."""
+    import glob
+
+    tmp = os.path.join(root, f"slice_{i}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _place_stream_file(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], d, i)
+
+
+def _write_chrono_slices(df, root: str, ts_col: str = "ts", n: int = 10):
+    """Write ``df`` as ``n`` chronological single-file parquet slices under
+    ``root``/ev (event time ≈ arrival order — the realistic stream pattern,
+    and the one watermark semantics depend on; see streaming/windowed.py).
+    All ``n`` slices come from ONE partitioned write job.  Returns
+    ``(stream_dir, min_ts, max_ts)``."""
+    import glob
+
+    d = os.path.join(root, "ev")
+    os.makedirs(d)
+    bounds = df.agg(F.min(ts_col), F.max(ts_col)).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    span_s = ((hi - lo) / n).total_seconds()
+    sliced = df.withColumn(
+        "_slice",
+        F.least(
+            F.floor(
+                (F.unix_timestamp(ts_col) - F.unix_timestamp(F.lit(lo))) / span_s
+            ),
+            F.lit(n - 1),
+        ).cast("int"),
+    )
+    tmp_all = os.path.join(root, "slices")
+    sliced.repartition("_slice").write.partitionBy("_slice").parquet(tmp_all)
+    for i in range(n):
+        parts = glob.glob(os.path.join(tmp_all, f"_slice={i}", "part-*.parquet"))
+        assert parts, f"slice {i} empty"
+        _place_stream_file(parts[0], d, i)
+    return d, lo, hi
+
+
 def q_stream_windowed_counts(spark, sf):
     """Watermarked event-time window aggregation drained to batch parity:
     files arrive in chronological slices (event time ≈ arrival order, delay
     ≪ slice span so nothing is late), far-future sentinel rows advance the
     watermark past the tail, and the append-mode output must equal the
     batch hourly aggregation row-for-row."""
-    import glob
-
     from azuredatalakeindexer_spark.streaming.windowed import (
         SENTINEL_TYPE,
         run_stream_windowed_counts,
@@ -1172,40 +1219,7 @@ def q_stream_windowed_counts(spark, sf):
     ev = load_table(spark, sf, "events").select("event_id", "ts", "event_type")
     root = tempfile.mkdtemp(prefix="adls_swin_")
     try:
-        d = os.path.join(root, "ev")
-        os.makedirs(d)
-        bounds = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-        lo, hi = bounds[0], bounds[1]
-        span = (hi - lo) / 10
-
-        def place(src: str, i: int) -> None:
-            dst = os.path.join(d, f"slice_{i:03d}.parquet")
-            shutil.move(src, dst)
-            # FileStreamSource orders by modification time: force chronology
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-
-        def add_file(df, i: int) -> None:
-            tmp = os.path.join(root, f"slice_{i}")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            place(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], i)
-
-        # all 10 chronological slices in ONE partitioned write job
-        span_s = span.total_seconds()
-        sliced = ev.withColumn(
-            "_slice",
-            F.least(
-                F.floor(
-                    (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(lo))) / span_s
-                ),
-                F.lit(9),
-            ).cast("int"),
-        )
-        tmp_all = os.path.join(root, "slices")
-        sliced.repartition("_slice").write.partitionBy("_slice").parquet(tmp_all)
-        for i in range(10):
-            parts = glob.glob(os.path.join(tmp_all, f"_slice={i}", "part-*.parquet"))
-            assert parts, f"slice {i} empty"
-            place(parts[0], i)
+        d, lo, hi = _write_chrono_slices(ev, root)
 
         def sentinel(i: int):
             return spark.createDataFrame(
@@ -1219,14 +1233,14 @@ def q_stream_windowed_counts(spark, sf):
         # real windows, but emission needs a subsequent batch) …  3 files
         # per trigger keeps multiple micro-batches (intra-run watermark
         # progression stays exercised) without 12 rounds of batch overhead
-        add_file(sentinel(1), 10)
+        _add_stream_file(sentinel(1), root, d, 10)
         run_stream_windowed_counts(
             spark, d, schema, out_dir, ckpt, max_files_per_trigger=3,
             state_partitions=8,
         )
         # … which drain 2's sentinel-2 batch provides: every real window is
         # now behind the watermark and flushes
-        add_file(sentinel(2), 11)
+        _add_stream_file(sentinel(2), root, d, 11)
         run_stream_windowed_counts(
             spark, d, schema, out_dir, ckpt, max_files_per_trigger=3,
             state_partitions=8,
@@ -1236,6 +1250,44 @@ def q_stream_windowed_counts(spark, sf):
             spark.read.parquet(out_dir)
             .where(F.col("event_type") != SENTINEL_TYPE)
             .select(_fmt(F.col("window_start")).alias("window_start"), "event_type", "n")
+        )
+        return _persisted(spark, got)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_stream_view_click_join(spark, sf):
+    """Watermarked stream-stream interval join (streaming/joins.py): views
+    joined to same-user clicks within [view_ts, view_ts + 6h), drained over
+    chronological file slices.  Inner joins emit eagerly, so the drained
+    output must equal the batch time-bounded self-join exactly — which is
+    the DuckDB oracle."""
+    from azuredatalakeindexer_spark.streaming.joins import run_stream_interval_join
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="adls_sjoin_")
+    try:
+        d, _lo, _hi = _write_chrono_slices(ev, root)
+        schema = spark.read.parquet(d).schema
+        out_dir = os.path.join(root, "out")
+        ckpt = os.path.join(root, "ckpt")
+        # state_partitions sized to the join-key cardinality (150 users at
+        # sf0.01): a join checkpoint commits FOUR state stores per shuffle
+        # partition per micro-batch, so oversized partitioning multiplies
+        # fixed commit cost (8 partitions → ~87 s; 2 → ~7 s, same result)
+        run_stream_interval_join(
+            spark, d, schema, out_dir, ckpt,
+            max_files_per_trigger=3, state_partitions=2,
+        )
+        got = spark.read.parquet(out_dir).select(
+            "view_id",
+            "click_id",
+            "user_id",
+            _fmt(F.col("view_ts")).alias("view_ts"),
+            _fmt(F.col("click_ts")).alias("click_ts"),
+            "delay_s",
         )
         return _persisted(spark, got)
     finally:
@@ -1380,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_deleted_index": q_stream_deleted_index,
         "stream_exact_dedup": q_stream_exact_dedup,
         "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_view_click_join": q_stream_view_click_join,
         "partitioned_runs": q_partitioned_runs,
         "partitioned_counts": q_partitioned_counts,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -2002,6 +2055,21 @@ def oracle_sql() -> dict[str, str]:
       SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
              event_type, count(*) AS n
       FROM events GROUP BY 1, 2
+    """
+
+    # the stream-stream interval join drains to exactly the batch
+    # time-bounded self-join (inner joins emit eagerly; chronological
+    # arrival keeps every row inside the watermark)
+    sqls["stream_view_click_join"] = f"""
+      SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+             strftime(v.ts::TIMESTAMP, '{TS_FMT_DUCK}') AS view_ts,
+             strftime(c.ts::TIMESTAMP, '{TS_FMT_DUCK}') AS click_ts,
+             date_diff('second', v.ts::TIMESTAMP, c.ts::TIMESTAMP) AS delay_s
+      FROM events v JOIN events c
+        ON v.user_id = c.user_id
+       AND c.ts::TIMESTAMP >= v.ts::TIMESTAMP
+       AND c.ts::TIMESTAMP < v.ts::TIMESTAMP + INTERVAL 6 HOUR
+      WHERE v.event_type = 'view' AND c.event_type = 'click'
     """
 
     # ---- time-series gap filling ----------------------------------------

@@ -32,6 +32,7 @@ SKIP = {
     "stream_deleted_index",
     "stream_exact_dedup",
     "stream_windowed_counts",
+    "stream_view_click_join",
     "indexer_run",
     "indexer_run_metrics",
     "partitioned_runs",

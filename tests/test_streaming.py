@@ -97,3 +97,50 @@ def test_stream_exact_dedup_split_invariant(spark, tmp_path):
     # 10 dup docs collapse to one hash owned by the min id with count 10
     assert (0, 10) in states[0].values()
     assert len(states[0]) == 21
+
+
+def test_interval_join_crosses_micro_batches(spark, tmp_path):
+    """Stream-stream interval join: a click in a LATER micro-batch matches a
+    view buffered from an earlier one; the interval is half-open
+    [view_ts, view_ts + within); sentinel types never join."""
+    import glob
+    import shutil
+
+    from azuredatalakeindexer_spark.streaming.joins import run_stream_interval_join
+
+    d = os.path.join(str(tmp_path), "ev")
+    os.makedirs(d)
+    base = "2024-06-01 {}"
+    rows = [
+        # file 0: two views
+        [(1, base.format("10:00:00"), 7, "view"),
+         (2, base.format("10:00:00"), 8, "view")],
+        # file 1: in-window click (user 7), boundary click exactly +6h (user 8
+        # never matches: half-open upper bound), other-type event
+        [(3, base.format("12:30:00"), 7, "click"),
+         (4, base.format("16:00:00"), 8, "click"),
+         (5, base.format("12:00:00"), 7, "purchase")],
+        # file 2: click BEFORE any view of its user -> no match
+        [(6, base.format("17:00:00"), 9, "click")],
+    ]
+    for i, rs in enumerate(rows):
+        df = (
+            spark.createDataFrame(
+                rs, "event_id long, ts string, user_id long, event_type string"
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        tmp = os.path.join(str(tmp_path), f"w{i}")
+        df.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(d, f"f{i}.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = os.path.join(str(tmp_path), "out")
+    ck = os.path.join(str(tmp_path), "ck")
+    schema = spark.read.parquet(d).schema
+    run_stream_interval_join(
+        spark, d, schema, out, ck, max_files_per_trigger=1, state_partitions=2
+    )
+    got = {(r["view_id"], r["click_id"], r["delay_s"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 3, 9000)}
