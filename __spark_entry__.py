@@ -1294,6 +1294,69 @@ def q_stream_view_click_join(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_join_left_outer(spark, sf):
+    """Left-outer watermarked interval join: matched view→click pairs emit
+    eagerly; each unmatched view emits (null click columns) only once the
+    watermark passes view_ts + 6h.  Far-future sentinel rows of BOTH event
+    types advance both sides' watermarks (min-policy) past every real
+    window, and a second drain provides the later micro-batch emission
+    requires — after which the drained output must equal the batch
+    time-bounded LEFT join exactly."""
+    from azuredatalakeindexer_spark.streaming.joins import run_stream_interval_join
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="adls_sjlo_")
+    try:
+        d, _lo, hi = _write_chrono_slices(ev, root)
+
+        def sentinel(i: int):
+            # user_id must be NON-NULL but impossible (-1): the join key
+            # equality makes Catalyst infer isnotnull(user_id) and push it
+            # BELOW the watermark node, so a null-user sentinel would be
+            # filtered before ever advancing the watermark (min-policy →
+            # global watermark stuck, unmatched views never emit).  ids < 0
+            # are filtered at read-back so the sentinels' own left windows
+            # cannot leak into the result.
+            return spark.createDataFrame(
+                [(-2 * i - 2, hi, -1, "view"), (-2 * i - 3, hi, -1, "click")],
+                "event_id long, ts timestamp, user_id long, event_type string",
+            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {9 + 3 * i} HOURS"))
+
+        schema = spark.read.parquet(d).schema
+        out_dir = os.path.join(root, "out")
+        ckpt = os.path.join(root, "ckpt")
+        # drain 1: real slices + sentinel-0 (watermark ends at hi+9h-delay,
+        # past every real view's hi+6h close, but emission needs a later
+        # batch) … which drain 2's sentinel-1 batch provides
+        _add_stream_file(sentinel(0), root, d, 10)
+        run_stream_interval_join(
+            spark, d, schema, out_dir, ckpt,
+            max_files_per_trigger=3, state_partitions=2, join_type="left_outer",
+        )
+        _add_stream_file(sentinel(1), root, d, 11)
+        run_stream_interval_join(
+            spark, d, schema, out_dir, ckpt,
+            max_files_per_trigger=3, state_partitions=2, join_type="left_outer",
+        )
+        got = (
+            spark.read.parquet(out_dir)
+            .where(F.col("view_id") >= 0)
+            .select(
+                "view_id",
+                "click_id",
+                "user_id",
+                _fmt(F.col("view_ts")).alias("view_ts"),
+                _fmt(F.col("click_ts")).alias("click_ts"),
+                "delay_s",
+            )
+        )
+        return _persisted(spark, got)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_partitioned_runs(spark, sf):
     """T5: one scheduled cycle of partition-prefix indexer runs
     (DatalakeIndexerFunc.cs:20-48) — five prefix-filtered S2 queries merged
@@ -1433,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_exact_dedup": q_stream_exact_dedup,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_view_click_join": q_stream_view_click_join,
+        "stream_join_left_outer": q_stream_join_left_outer,
         "partitioned_runs": q_partitioned_runs,
         "partitioned_counts": q_partitioned_counts,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -2070,6 +2134,20 @@ def oracle_sql() -> dict[str, str]:
        AND c.ts::TIMESTAMP >= v.ts::TIMESTAMP
        AND c.ts::TIMESTAMP < v.ts::TIMESTAMP + INTERVAL 6 HOUR
       WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """
+
+    # the left-outer variant: unmatched views null-extend once their window
+    # closes (sentinels + second drain close every real window)
+    sqls["stream_join_left_outer"] = f"""
+      SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+             strftime(v.ts::TIMESTAMP, '{TS_FMT_DUCK}') AS view_ts,
+             strftime(c.ts::TIMESTAMP, '{TS_FMT_DUCK}') AS click_ts,
+             date_diff('second', v.ts::TIMESTAMP, c.ts::TIMESTAMP) AS delay_s
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON v.user_id = c.user_id
+       AND c.ts::TIMESTAMP >= v.ts::TIMESTAMP
+       AND c.ts::TIMESTAMP < v.ts::TIMESTAMP + INTERVAL 6 HOUR
     """
 
     # ---- time-series gap filling ----------------------------------------

@@ -45,6 +45,7 @@ def run_stream_interval_join(
     watermark_delay: str = "30 minutes",
     max_files_per_trigger: int | None = 3,
     state_partitions: int | None = None,
+    join_type: str = "inner",
 ) -> None:
     """One availableNow drain joining ``left_type`` events to same-user
     ``right_type`` events in ``[left.ts, left.ts + within)``, append mode.
@@ -54,6 +55,22 @@ def run_stream_interval_join(
     for the drain (restored afterwards) — the join state store creates one
     directory per shuffle partition at first checkpoint, so size it to the
     key cardinality, not the session default.
+
+    ``join_type="left_outer"`` additionally emits each unmatched left row
+    (null right columns) — but only once the watermark passes
+    ``left.ts + within``, because until then a matching right row could
+    still arrive.  Like append-mode window aggregation, that emission needs
+    a LATER micro-batch after the watermark advances, so harnesses close
+    tail windows with far-future sentinel rows and a second drain.  The
+    sentinels must carry the real ``left_type``/``right_type`` event types:
+    each side's watermark is tracked AFTER its type filter, so a row of a
+    type that is filtered out advances neither side (and the global
+    watermark is the MIN of both sides under the default
+    ``multipleWatermarkPolicy``).  They must also carry a NON-NULL join
+    key: the key equality makes Catalyst infer ``isnotnull(key)`` and push
+    it below the watermark node, so a null-key sentinel is silently
+    filtered before it can advance anything — use an impossible non-null
+    key instead.
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
@@ -87,6 +104,7 @@ def run_stream_interval_join(
                 "v_user = c_user AND click_ts >= view_ts "
                 f"AND click_ts < view_ts + INTERVAL {within}"
             ),
+            join_type,
         ).select(
             "view_id",
             "click_id",

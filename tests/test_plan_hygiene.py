@@ -33,6 +33,7 @@ SKIP = {
     "stream_exact_dedup",
     "stream_windowed_counts",
     "stream_view_click_join",
+    "stream_join_left_outer",
     "indexer_run",
     "indexer_run_metrics",
     "partitioned_runs",

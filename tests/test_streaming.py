@@ -144,3 +144,50 @@ def test_interval_join_crosses_micro_batches(spark, tmp_path):
     got = {(r["view_id"], r["click_id"], r["delay_s"])
            for r in spark.read.parquet(out).collect()}
     assert got == {(1, 3, 9000)}
+
+
+def test_interval_join_left_outer_emits_unmatched_after_close(spark, tmp_path):
+    """Left-outer: an unmatched view null-extends only once the watermark
+    passes view_ts + within — sentinel rows (real event types, NON-NULL
+    impossible join key: isnotnull(key) is pushed below the watermark node)
+    close the window, and a later batch performs the emission."""
+    import glob
+    import shutil
+
+    from azuredatalakeindexer_spark.streaming.joins import run_stream_interval_join
+
+    d = os.path.join(str(tmp_path), "ev")
+    os.makedirs(d)
+    rows = [
+        [(1, "2024-06-01 10:00:00", 7, "view"),
+         (2, "2024-06-01 10:00:00", 8, "view")],
+        [(3, "2024-06-01 12:30:00", 7, "click")],
+        # sentinels: both types, key -1, far enough that 10:00 + 6h + delay
+        # is behind the watermark
+        [(-2, "2024-06-02 10:00:00", -1, "view"),
+         (-3, "2024-06-02 10:00:00", -1, "click")],
+        [(-4, "2024-06-02 13:00:00", -1, "view"),
+         (-5, "2024-06-02 13:00:00", -1, "click")],
+    ]
+    for i, rs in enumerate(rows):
+        df = (
+            spark.createDataFrame(
+                rs, "event_id long, ts string, user_id long, event_type string"
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        tmp = os.path.join(str(tmp_path), f"w{i}")
+        df.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(d, f"f{i}.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = os.path.join(str(tmp_path), "out")
+    ck = os.path.join(str(tmp_path), "ck")
+    schema = spark.read.parquet(d).schema
+    run_stream_interval_join(
+        spark, d, schema, out, ck,
+        max_files_per_trigger=1, state_partitions=2, join_type="left_outer",
+    )
+    got = {(r["view_id"], r["click_id"])
+           for r in spark.read.parquet(out).where(F.col("view_id") >= 0).collect()}
+    assert got == {(1, 3), (2, None)}
