@@ -494,6 +494,18 @@ def q_approx_distinct_users(spark, sf):
     return approx_distinct_by(ev, ["event_type"], "user_id", rsd=0.05)
 
 
+def q_approx_event_quantiles(spark, sf):
+    """Per-type approximate percentiles via the mergeable Greenwald-Khanna
+    sketch (`approx_percentile`) — the 100 TB path where the exact
+    `event_quantiles` sort-per-group would not hold.  Rows-only gate BY
+    DESIGN (sketch collapse decisions are engine-specific); pytest pins the
+    rank error vs the exact percentiles."""
+    from azuredatalakeindexer_spark.operators.profile import approx_quantiles_by
+
+    ev = load_table(spark, sf, "events")
+    return approx_quantiles_by(ev, ["event_type"], "value")
+
+
 def q_distinct_users_daily(spark, sf):
     """Exact distinct aggregation per day (SURVEY §2.4: distinct-agg is a
     Spark-native extension beyond the reference's counters)."""
@@ -1486,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "profile_orders": q_profile_orders,
         "approx_distinct_users": q_approx_distinct_users,
+        "approx_event_quantiles": q_approx_event_quantiles,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "index_ddl": q_index_ddl,

@@ -87,3 +87,34 @@ def approx_distinct_by(
         )
         .orderBy(*group_cols)
     )
+
+
+def approx_quantiles_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group approximate percentiles via Spark's ``approx_percentile``
+    (Greenwald-Khanna sketch).
+
+    Like the HLL sketch above, the GK summary is MERGEABLE: each partition
+    keeps a bounded summary of ~``accuracy`` entries and the shuffle moves
+    one summary per (partition, group) instead of every raw value — at
+    100 TB that is the difference between an O(n log n) global sort per
+    group (the exact ``percentile``) and a fixed-size sketch merge.  The
+    rank error is bounded by ``1/accuracy`` of the group size.
+
+    The summary's collapse decisions are engine-specific, so queries built
+    on this operator register WITHOUT an oracle (rows-only gate); the rank
+    error vs the exact interpolated percentile is pinned in pytest.
+    """
+    pct = F.percentile_approx(
+        value_col, F.array(*[F.lit(q) for q in quantiles]), F.lit(accuracy)
+    )
+    out = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"), pct.alias("_qs")
+    )
+    cols = [F.col("_qs")[i].alias(f"p{int(q * 100)}") for i, q in enumerate(quantiles)]
+    return out.select(*group_cols, "n_rows", *cols).orderBy(*group_cols)

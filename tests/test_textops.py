@@ -94,3 +94,27 @@ def test_approx_distinct_within_tolerance(spark):
     assert set(approx) == set(exact)
     for et, nd in exact.items():
         assert abs(approx[et] - nd) / nd <= 0.15, (et, approx[et], nd)
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    """GK sketch guarantee: the returned element's RANK is within
+    n/accuracy (+1 for boundary) of the target rank, per group."""
+    from azuredatalakeindexer_spark.operators.profile import approx_quantiles_by
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    acc = 100  # coarse on purpose: exercises summary collapse at n > acc
+    got = approx_quantiles_by(
+        ev, ["event_type"], "value", quantiles=(0.5, 0.9, 0.99), accuracy=acc
+    ).collect()
+    vals = {
+        r.event_type: sorted(v.value for v in rows)
+        for r in got
+        for rows in [ev.where(F.col("event_type") == r.event_type).select("value").collect()]
+    }
+    for r in got:
+        xs = vals[r.event_type]
+        n = len(xs)
+        assert r.n_rows == n
+        for q, v in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            rank = sum(1 for x in xs if x <= v)
+            assert abs(rank - q * n) <= n / acc + 1, (r.event_type, q, rank, n)
