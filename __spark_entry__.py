@@ -612,6 +612,19 @@ def q_stratified_sample(spark, sf):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_weighted_sample(spark, sf):
+    """Deterministic Efraimidis-Spirakis weighted sample: per language, the
+    20 docs with the largest ln(u)/n_chars keys, u drawn from the doc-id
+    hash — inclusion odds ∝ document length, yet a pure function of
+    (id, seed) the oracle replays exactly."""
+    from azuredatalakeindexer_spark.operators.sampling import weighted_sample
+
+    out = weighted_sample(
+        _docs(spark, sf), "n_chars", 20, strata_cols=["lang"], seed=0
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_token_budget_mix(spark, sf):
     """Greedy quality-first token-budget mix: per-language, keep the
     highest-quality documents until 3000 tokens are reached."""
@@ -1481,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "dedup_simhash": q_dedup_simhash,
@@ -2388,6 +2402,21 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY {bucket3} ASC, doc_id ASC) AS rk
         FROM documents)
       SELECT doc_id, lang, source, n_chars FROM ranked WHERE rk <= 10
+    """
+
+    # ES weighted reservoir: same hash-derived uniform, same 1e-6-rounded
+    # sort key (rank must order by the value both engines agree on)
+    bucket0 = f"({_ph('doc_id::VARCHAR', 0)}) % 1000000"
+    sqls["weighted_sample"] = f"""
+      WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               round(ln(({bucket0} + 0.5) / 1000000) / n_chars, 6) AS es
+        FROM documents WHERE n_chars > 0),
+      ranked AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id ASC) AS rk
+        FROM keyed)
+      SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 20
     """
 
     sqls["token_budget_mix"] = f"""

@@ -89,6 +89,52 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    strata_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the ``k``
+    rows (per stratum) with the largest Efraimidis-Spirakis keys
+    ``u^(1/w)`` — equivalently the largest ``ln(u)/w`` — where ``u`` is a
+    deterministic uniform drawn from the row key's hash.
+
+    Every row's inclusion probability is proportional to its weight (the
+    ES weighted-reservoir scheme, Efraimidis & Spirakis 2006), but the
+    draw is a pure function of ``(key, seed)``: rerun-, partitioning- and
+    engine-stable like everything else in this module, so the oracle
+    replays it exactly.  The sort key is rounded to 1e-6 BEFORE ranking
+    (cross-engine ``ln`` agrees to far better than that, but rank must
+    order by the very value both engines agree on), with the unique key as
+    tie-break.
+
+    Same two-phase top-k shape as :func:`stratified_sample`: a mega-corpus
+    never funnels through one reducer.  Weights must be > 0 (rows with
+    non-positive weight are dropped, matching ES semantics where w → 0
+    means never sampled).
+    """
+    strata = list(strata_cols or [])
+    u = (sample_bucket(F.col(key_col), seed) + F.lit(0.5)) / F.lit(SAMPLE_DENOM)
+    es_key = F.round(F.log(u) / F.col(weight_col), 6)
+    order = [F.col("_es").desc(), F.col(key_col).asc()]
+    w1 = Window.partitionBy(*strata, "_pid").orderBy(*order)
+    w2 = Window.partitionBy(*strata).orderBy(*order)
+    return (
+        ensure_parallelism(df)
+        .where(F.col(weight_col) > 0)
+        .withColumn("_es", es_key)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("_rk", F.row_number().over(w2))
+        .where(F.col("_rk") <= k)
+        .drop("_pid", "_r1", "_rk")
+    )
+
+
 def pack_training_sequences(
     docs: DataFrame,
     seq_len: int = 2048,

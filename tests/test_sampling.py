@@ -80,3 +80,25 @@ def test_pack_sequences_invariants(spark):
     # all chunks except each shard's last are exactly full
     last = {s: max(c for (s2, c) in per_chunk if s2 == s) for s in {s for s, _ in per_chunk}}
     assert all(v == 64 for (s, c), v in per_chunk.items() if c != last[s])
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """ES draw is partitioning-invariant, exact-k, and weight-dominated:
+    with 100 heavy (w=100000) and 100 light (w=1) rows, the top-20 draw is
+    overwhelmingly heavy (deterministic given the fixed seed/keys)."""
+    from azuredatalakeindexer_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100_000 if i < 100 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = weighted_sample(df, "w", 20, seed=3)
+    b = weighted_sample(df.repartition(13), "w", 20, seed=3)
+    got_a = sorted(r["doc_id"] for r in a.collect())
+    got_b = sorted(r["doc_id"] for r in b.collect())
+    assert got_a == got_b and len(got_a) == 20
+    heavy = sum(1 for i in got_a if i < 100)
+    assert heavy >= 18  # P(light beats heavy) ~ u^1e5 vs u — vanishing
+
+    # k larger than the population returns everything, weights > 0 only
+    small = spark.createDataFrame([(1, 5), (2, 0), (3, -1)], "doc_id long, w long")
+    kept = sorted(r["doc_id"] for r in weighted_sample(small, "w", 10).collect())
+    assert kept == [1]
