@@ -506,6 +506,15 @@ def q_approx_event_quantiles(spark, sf):
     return approx_quantiles_by(ev, ["event_type"], "value")
 
 
+def q_value_histogram(spark, sf):
+    """Per-type equi-width histogram of event values (20 shared global
+    bins) — portable floor-arithmetic bucketing, one aggregate shuffle."""
+    from azuredatalakeindexer_spark.operators.profile import histogram_by
+
+    ev = load_table(spark, sf, "events")
+    return histogram_by(ev, ["event_type"], "value", n_bins=20)
+
+
 def q_distinct_users_daily(spark, sf):
     """Exact distinct aggregation per day (SURVEY §2.4: distinct-agg is a
     Spark-native extension beyond the reference's counters)."""
@@ -1513,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
+        "value_histogram": q_value_histogram,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "index_ddl": q_index_ddl,
@@ -2175,6 +2185,20 @@ def oracle_sql() -> dict[str, str]:
         ON v.user_id = c.user_id
        AND c.ts::TIMESTAMP >= v.ts::TIMESTAMP
        AND c.ts::TIMESTAMP < v.ts::TIMESTAMP + INTERVAL 6 HOUR
+    """
+
+    # equi-width histogram: identical floor-arithmetic bucket expression
+    # (no width_bucket — DuckDB lacks it and the explicit form is portable)
+    sqls["value_histogram"] = """
+      WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+      t AS (
+        SELECT event_type,
+               least(floor((value - b.lo) / ((b.hi - b.lo) / 20)), 19)::INT AS bucket,
+               b.lo AS lo, (b.hi - b.lo) / 20 AS wd
+        FROM events, b)
+      SELECT event_type, bucket, count(*)::BIGINT AS n,
+             round(min(lo) + bucket * min(wd), 6) AS bucket_lo
+      FROM t GROUP BY event_type, bucket
     """
 
     # ---- time-series gap filling ----------------------------------------

@@ -118,3 +118,39 @@ def approx_quantiles_by(
     )
     cols = [F.col("_qs")[i].alias(f"p{int(q * 100)}") for i, q in enumerate(quantiles)]
     return out.select(*group_cols, "n_rows", *cols).orderBy(*group_cols)
+
+
+def histogram_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-group equi-width histogram of a numeric column.
+
+    Bounds come from ONE global min/max aggregate (a single-row frame,
+    broadcast by the cross join — the same shape as the gap-filling grid
+    seed), so every group shares the same bins and rows stay comparable
+    across groups.  The bucket expression is plain floor arithmetic —
+    ``least(floor((v - lo) / width), n_bins - 1)`` — rather than
+    ``width_bucket``, so any engine replays it bit-for-bit.  One Expand-free
+    aggregate shuffle; output is one row per (group, non-empty bucket).
+    """
+    bounds = df.agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(n_bins)
+    bucket = F.least(
+        F.floor((F.col(value_col) - F.col("_lo")) / width), F.lit(n_bins - 1)
+    ).cast("int")
+    lo, wd = F.min("_lo"), (F.min("_hi") - F.min("_lo")) / F.lit(n_bins)
+    return (
+        df.crossJoin(bounds)
+        .withColumn("bucket", bucket)
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(lo + F.col("bucket") * wd, 6).alias("bucket_lo"),
+        )
+        .orderBy(*group_cols, "bucket")
+    )

@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_topk",        # broadcast 16-row centroid table (documented crossJoin)
     "run_metrics",         # crossJoin of three SINGLE-ROW aggregate frames
     "events_gapfill",      # crossJoin of a SINGLE-ROW bounds frame (grid seed)
+    "value_histogram",     # crossJoin of the SINGLE-ROW global-bounds frame
     "tfidf_top_terms",     # crossJoin of the SINGLE-ROW corpus-size N frame
 }
 

@@ -118,3 +118,12 @@ def test_approx_quantiles_rank_error_bound(spark):
         for q, v in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
             rank = sum(1 for x in xs if x <= v)
             assert abs(rank - q * n) <= n / acc + 1, (r.event_type, q, rank, n)
+
+
+def test_histogram_partitions_all_rows(spark):
+    from azuredatalakeindexer_spark.operators.profile import histogram_by
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    h = histogram_by(ev, ["event_type"], "value", n_bins=10).collect()
+    assert sum(r.n for r in h) == ev.count()       # every row lands in a bin
+    assert all(0 <= r.bucket <= 9 for r in h)      # max value clamped to last
