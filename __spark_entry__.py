@@ -1239,6 +1239,29 @@ def _write_chrono_slices(df, root: str, ts_col: str = "ts", n: int = 10):
     return d, lo, hi
 
 
+def q_stream_curated_dedup(spark, sf):
+    """Streaming curation: documents arrive (availableNow, 1 file/trigger),
+    are gated by the SAME language/quality expressions as the batch funnel,
+    and survivors merge into the incremental exact-dedup state — the final
+    state must equal the batch gate + exact_dedup over the whole corpus."""
+    from azuredatalakeindexer_spark.streaming.corpus import run_stream_curated_dedup
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="adls_scur_")
+    try:
+        docs_dir = os.path.join(root, "docs")
+        docs.repartition(4).write.parquet(docs_dir)
+        schema = spark.read.parquet(docs_dir).schema
+        state_dir = os.path.join(root, "state")
+        ckpt = os.path.join(root, "ckpt")
+        run_stream_curated_dedup(
+            spark, docs_dir, schema, state_dir, ckpt, max_files_per_trigger=1
+        )
+        return _persisted(spark, spark.read.parquet(state_dir))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_windowed_counts(spark, sf):
     """Watermarked event-time window aggregation drained to batch parity:
     files arrive in chronological slices (event time ≈ arrival order, delay
@@ -1531,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_run_metrics": q_indexer_run_metrics,
         "stream_deleted_index": q_stream_deleted_index,
         "stream_exact_dedup": q_stream_exact_dedup,
+        "stream_curated_dedup": q_stream_curated_dedup,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_view_click_join": q_stream_view_click_join,
         "stream_join_left_outer": q_stream_join_left_outer,
@@ -2149,6 +2173,33 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, pred_lang, quality, n_tokens, stage,
              (stage = 'kept')::INT AS kept
       FROM staged
+    """
+
+    # the streaming curated drain must equal the batch gate + exact dedup:
+    # same scored/eligible derivation as train_corpus, then the dedup state
+    sqls["stream_curated_dedup"] = f"""
+      WITH scored AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_hash,
+               {pred_case.replace("hits_", "s_hits_")} AS pred_lang,
+               round(0.25 * least(s_n_tok / 100.0, 1.0)
+                   + 0.25 * least(s_mean_len / 8.0, 1.0)
+                   + 0.5 * s_sw_ratio, 6) AS quality
+        FROM (
+          SELECT doc_id, text, words,
+                 len(words) AS s_n_tok,
+                 CASE WHEN len(words) > 0
+                   THEN (list_sum(list_transform(words, t -> length(t))))::DOUBLE / len(words)
+                   ELSE 0.0 END AS s_mean_len,
+                 CASE WHEN len(words) > 0
+                   THEN len(list_filter(words, t -> list_contains({en_lex}, t))) / len(words)
+                   ELSE 0.0 END AS s_sw_ratio,
+                 {hit_cols.replace("hits_", "s_hits_")}
+          FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents))),
+      eligible AS (
+        SELECT * FROM scored WHERE quality >= 0.3 AND pred_lang = 'en')
+      SELECT content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+      FROM eligible GROUP BY content_hash
     """
 
     # the drained watermarked stream must equal the batch hourly rollup

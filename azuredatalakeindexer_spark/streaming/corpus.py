@@ -93,3 +93,68 @@ def run_stream_exact_dedup(
         .start()
         .awaitTermination()
     )
+
+
+def run_stream_curated_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    schema: StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_threshold: float = 0.3,
+    lang: str = "en",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming twin of the curation funnel's gate + exact-dedup prefix
+    (plans/corpus.py::build_training_corpus): as documents arrive, score
+    them (language-ID + quality — the SAME column expressions as the batch
+    funnel, so streaming and batch can never disagree on a gate decision),
+    drop the sub-threshold / wrong-language ones, and merge the survivors
+    into the incremental exact-dedup state.
+
+    The state merge stays associative (min id, summed counts), so the drain
+    is batch-split invariant and the final state must equal the batch gate
+    + ``exact_dedup`` over the whole corpus — which is what the oracle
+    checks.  The scoring is a narrow per-batch projection (no shuffle
+    added); the only stateful piece remains the hash-keyed state table, so
+    at 100 TB this inherits `run_stream_exact_dedup`'s shape: per-batch
+    work ∝ batch size, state ∝ distinct surviving content hashes.
+    """
+    from azuredatalakeindexer_spark.functions.text import tokens
+    from azuredatalakeindexer_spark.operators.textops import (
+        language_pred,
+        language_scores,
+        quality_columns,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        toks = tokens(F.col(text_col))
+        qcols = quality_columns(toks)
+        scored = batch.select(
+            F.col(id_col).alias("doc_id"),
+            _content_hash(text_col).alias("content_hash"),
+            language_pred(language_scores(toks)).alias("pred_lang"),
+            qcols["quality"].alias("quality"),
+        )
+        eligible = scored.where(
+            (F.col("quality") >= quality_threshold) & (F.col("pred_lang") == lang)
+        )
+        agg = eligible.groupBy("content_hash").agg(
+            F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
+        )
+        _merge_dedup_state(batch.sparkSession, agg, state_dir)
+
+    (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

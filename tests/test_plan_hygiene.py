@@ -32,6 +32,7 @@ SKIP = {
     "stream_upsert_events",
     "stream_deleted_index",
     "stream_exact_dedup",
+    "stream_curated_dedup",
     "stream_windowed_counts",
     "stream_view_click_join",
     "stream_join_left_outer",

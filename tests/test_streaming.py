@@ -191,3 +191,28 @@ def test_interval_join_left_outer_emits_unmatched_after_close(spark, tmp_path):
     got = {(r["view_id"], r["click_id"])
            for r in spark.read.parquet(out).where(F.col("view_id") >= 0).collect()}
     assert got == {(1, 3), (2, None)}
+
+
+def test_curated_stream_gates_and_is_split_invariant(spark, tmp_path):
+    """The curated drain filters before the dedup merge (state strictly
+    smaller than the ungated corpus) and converges identically for 1 vs 3
+    micro-batches."""
+    from azuredatalakeindexer_spark.streaming.corpus import run_stream_curated_dedup
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    states = []
+    for n_files, tag in ((1, "one"), (3, "three")):
+        dd = os.path.join(str(tmp_path), f"docs_{tag}")
+        docs.repartition(n_files).write.parquet(dd)
+        schema = spark.read.parquet(dd).schema
+        st = os.path.join(str(tmp_path), f"state_{tag}")
+        ck = os.path.join(str(tmp_path), f"ck_{tag}")
+        run_stream_curated_dedup(
+            spark, dd, schema, st, ck, max_files_per_trigger=1
+        )
+        states.append(spark.read.parquet(st))
+    a, b = states
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert 0 < a.count() < docs.count()  # the gate dropped something
+    assert a.agg(F.sum("dup_count")).collect()[0][0] < docs.count()
