@@ -1313,6 +1313,50 @@ def q_stream_windowed_counts(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_sessionize(spark, sf):
+    """Streaming sessionization drained to batch parity: session_window
+    state merges across micro-batches, sessions emit when the watermark
+    passes last_event + gap, sentinels close the tail — the drained output
+    must equal the batch events_sessionize rows exactly (same oracle)."""
+    from azuredatalakeindexer_spark.streaming.windowed import run_stream_sessionize
+
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id")
+    root = tempfile.mkdtemp(prefix="adls_sses_")
+    try:
+        d, lo, hi = _write_chrono_slices(ev, root)
+
+        def sentinel(i: int):
+            return spark.createDataFrame(
+                [(-i, hi, -1)], "event_id long, ts timestamp, user_id long"
+            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {3 * i} HOURS"))
+
+        schema = spark.read.parquet(d).schema
+        out_dir = os.path.join(root, "out")
+        ckpt = os.path.join(root, "ckpt")
+        _add_stream_file(sentinel(1), root, d, 10)
+        run_stream_sessionize(
+            spark, d, schema, out_dir, ckpt, max_files_per_trigger=3,
+            state_partitions=8,
+        )
+        _add_stream_file(sentinel(2), root, d, 11)
+        run_stream_sessionize(
+            spark, d, schema, out_dir, ckpt, max_files_per_trigger=3,
+            state_partitions=8,
+        )
+        got = (
+            spark.read.parquet(out_dir)
+            .where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                _fmt(F.col("session_start")).alias("session_start"),
+                "n_events",
+            )
+        )
+        return _persisted(spark, got)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_view_click_join(spark, sf):
     """Watermarked stream-stream interval join (streaming/joins.py): views
     joined to same-user clicks within [view_ts, view_ts + 6h), drained over
@@ -1555,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_deleted_index": q_stream_deleted_index,
         "stream_exact_dedup": q_stream_exact_dedup,
         "stream_curated_dedup": q_stream_curated_dedup,
+        "stream_sessionize": q_stream_sessionize,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_view_click_join": q_stream_view_click_join,
         "stream_join_left_outer": q_stream_join_left_outer,
@@ -2201,6 +2246,10 @@ def oracle_sql() -> dict[str, str]:
       SELECT content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
       FROM eligible GROUP BY content_hash
     """
+
+    # the drained streaming sessionization must equal the batch gap-and-
+    # island sessionize rows exactly (same oracle)
+    sqls["stream_sessionize"] = sqls["events_sessionize"]
 
     # the drained watermarked stream must equal the batch hourly rollup
     sqls["stream_windowed_counts"] = f"""

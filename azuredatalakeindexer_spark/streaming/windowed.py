@@ -93,3 +93,59 @@ def _run_drain(
         .start()
         .awaitTermination()
     )
+
+
+def run_stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    max_files_per_trigger: int | None = 3,
+    state_partitions: int | None = None,
+) -> None:
+    """Streaming sessionization: ``session_window`` with an inactivity gap
+    over the watermarked event stream, append mode — the streaming twin of
+    the batch ``events_sessionize`` query.
+
+    Session state MERGES across micro-batches (an event inside an open
+    session's gap extends it, even if the session started many batches
+    ago); a session emits exactly once, when the watermark passes its end
+    (last event + gap).  Same drain/sentinel mechanics as the windowed
+    aggregation above — and the same chronological-arrival requirement,
+    since an event older than the watermark is dropped rather than merged.
+    State is one (user, open-session) row regardless of session length, so
+    at 100 TB state ∝ concurrently-active users, not history.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(events_dir)
+        agg = (
+            stream.withWatermark("ts", watermark_delay)
+            .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                "n_events",
+            )
+        )
+        (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -33,6 +33,7 @@ SKIP = {
     "stream_deleted_index",
     "stream_exact_dedup",
     "stream_curated_dedup",
+    "stream_sessionize",
     "stream_windowed_counts",
     "stream_view_click_join",
     "stream_join_left_outer",

@@ -96,3 +96,47 @@ def test_watermark_drops_late_events_and_flushes_on_advance(spark, tmp_path):
     # events 1+3 counted; the later-arriving late event 4 is NOT
     assert rows[("2024-01-01T10:00:00", "a")] == 2
     assert rows[("2024-01-01T14:00:00", "a")] == 1
+
+
+def test_stream_sessions_merge_across_micro_batches(spark, tmp_path):
+    """An event arriving in a LATER micro-batch inside the gap extends the
+    open session (one merged row); beyond the gap it starts a new one."""
+    import glob
+    import os
+    import shutil
+
+    from azuredatalakeindexer_spark.streaming.windowed import run_stream_sessionize
+
+    d = os.path.join(str(tmp_path), "ev")
+    os.makedirs(d)
+    files = [
+        [(1, "2024-06-01 10:00:00", 7)],
+        [(2, "2024-06-01 10:10:00", 7),   # +10 min: merges into session 1
+         (3, "2024-06-01 11:00:00", 7)],  # +50 min: new session
+        [(-1, "2024-06-02 10:00:00", -1)],  # sentinels close the tail
+        [(-2, "2024-06-02 13:00:00", -1)],
+    ]
+    for i, rs in enumerate(files):
+        df = spark.createDataFrame(
+            rs, "event_id long, ts string, user_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        tmp = os.path.join(str(tmp_path), f"w{i}")
+        df.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(d, f"f{i}.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = os.path.join(str(tmp_path), "out")
+    ck = os.path.join(str(tmp_path), "ck")
+    schema = spark.read.parquet(d).schema
+    run_stream_sessionize(
+        spark, d, schema, out, ck, max_files_per_trigger=1, state_partitions=2
+    )
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.read.parquet(out).where(F.col("user_id") >= 0).collect()
+    }
+    assert got == {
+        (7, "2024-06-01 10:00:00", 2),
+        (7, "2024-06-01 11:00:00", 1),
+    }
