@@ -47,23 +47,29 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver fixture table (TESTDATA.md).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark reads as int64
-    nanos under ``spark.sql.legacy.parquet.nanosAsLong`` (set by the session
-    factory); every value is µs-aligned, so converting via ``timestamp_micros``
-    is lossless and matches DuckDB's ``ts::TIMESTAMP``.
+    The fixtures store timezone-naive timestamps, which different generator
+    versions have written as TIMESTAMP(NANOS) (read as int64 under
+    ``spark.sql.legacy.parquet.nanosAsLong``) or TIMESTAMP(MICROS) with
+    ``isAdjustedToUTC=false`` (read as TIMESTAMP_NTZ).  Both are normalized
+    here to the session-default TIMESTAMP (LTZ): streaming watermarks reject
+    NTZ event-time columns, and under the UTC session timezone the LTZ values
+    render identically to the naive fixtures (and to DuckDB's
+    ``ts::TIMESTAMP`` oracle reads).
     """
-    if name == "events":
-        # tolerate sessions built without the factory (e.g. the driver's):
-        # nanos-typed parquet needs the legacy read path, and the ns→µs
-        # conversion below produces an LTZ timestamp whose rendering must be
-        # UTC to agree with the timezone-naive fixtures (and the oracle)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # tolerate sessions built without the factory (e.g. the driver's):
+    # nanos-typed parquet needs the legacy read path, and the normalizations
+    # below produce LTZ timestamps whose rendering must be UTC to agree with
+    # the timezone-naive fixtures (and the oracle)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV, not `/`: double division of ~1.7e18 ns loses the last
         # microsecond (53-bit mantissa), diverging from DuckDB's ts::TIMESTAMP
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for fname, ftype in df.dtypes:
+        if ftype == "timestamp_ntz":
+            df = df.withColumn(fname, F.col(fname).cast("timestamp"))
     return df
 
 
