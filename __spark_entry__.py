@@ -2357,7 +2357,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["events_json_extract"] = """
       SELECT event_type, count(*) AS n,
-             sum(json_extract(props, '$.k')::BIGINT) AS k_sum,
+             (sum(json_extract(props, '$.k')::BIGINT))::BIGINT AS k_sum,
              min(json_extract(props, '$.k')::BIGINT) AS k_min,
              max(json_extract(props, '$.k')::BIGINT) AS k_max
       FROM events GROUP BY event_type
@@ -2567,7 +2567,7 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY quality DESC, doc_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         FROM scored)
-      SELECT doc_id, lang, n_tokens, quality, cum_tokens
+      SELECT doc_id, lang, n_tokens, quality, cum_tokens::BIGINT AS cum_tokens
       FROM packed WHERE cum_tokens - n_tokens < 3000
     """
 

@@ -80,6 +80,14 @@ def main() -> int:
             print(f"okND {name}: rows={len(srows)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             continue
         try:
+            rel = con.sql(oracles[name])
+            # HUGEINT/DECIMAL normalize differently through the driver's
+            # dataframe fetch than Spark's bigint/double — flag them here
+            # (tests/test_oracle_types.py pins the same invariant).
+            for c, ty in zip(rel.columns, rel.types):
+                ts = str(ty)
+                if ts in ("HUGEINT", "UHUGEINT") or ts.startswith("DECIMAL"):
+                    print(f"WARN {name}: oracle column {c} has driver-unstable type {ts}")
             cur = con.execute(oracles[name])
             ocols_raw = [d[0] for d in cur.description]
             orows_raw = cur.fetchall()
