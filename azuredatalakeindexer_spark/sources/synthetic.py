@@ -78,16 +78,26 @@ def write_document_lake(lake: DataFrame, root: str) -> int:
 
 
 def _write_files(rows_df: DataFrame, root: str) -> int:
-    """Write (path, doc) rows as files.  Driver-side loop by design: this is
-    the test-corpus generator (the reference's console harness does the same,
-    DataLakeWriter.cs:24-46); corpus size is fixture-bounded."""
-    import os
+    """Write (path, doc) rows as files, one task per partition.
 
-    n = 0
-    for r in rows_df.collect():
-        full = os.path.join(root, r["path"])
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        with open(full, "w") as fh:
-            fh.write(r["doc"])
-        n += 1
-    return n
+    ``foreachPartition`` writes from the executors in parallel (paths are
+    distinct, ``makedirs(exist_ok=True)`` is concurrency-safe), which is
+    what makes the §3.1 end-to-end harness affordable at bench scale —
+    the previous driver-side ``collect()`` loop wrote one file at a time.
+    Local-mode fixture generator (the reference's console harness role,
+    DataLakeWriter.cs:24-46): on a multi-executor cluster ``root`` must be
+    a shared filesystem or the lake lands on executor-local disks.
+    """
+
+    def write_partition(rows) -> None:
+        import os
+
+        for r in rows:
+            full = os.path.join(root, r["path"])
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full, "w") as fh:
+                fh.write(r["doc"])
+
+    frame = rows_df.select("path", "doc")
+    frame.foreachPartition(write_partition)
+    return frame.count()
