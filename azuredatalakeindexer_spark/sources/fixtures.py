@@ -55,6 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     NTZ event-time columns, and under the UTC session timezone the LTZ values
     render identically to the naive fixtures (and to DuckDB's
     ``ts::TIMESTAMP`` oracle reads).
+
+    SIDE EFFECT: sets ``spark.sql.legacy.parquet.nanosAsLong`` and pins
+    ``spark.sql.session.timeZone=UTC`` on the session (required for every
+    later fixture-derived comparison, so it is asserted on each load rather
+    than scoped).  Fixture schemas are flat; a nested timestamp field would
+    need a recursive walk, which :func:`_assert_flat` guards instead.
     """
     # tolerate sessions built without the factory (e.g. the driver's):
     # nanos-typed parquet needs the legacy read path, and the normalizations
@@ -63,14 +69,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer DIV, not `/`: double division of ~1.7e18 ns loses the last
-        # microsecond (53-bit mantissa), diverging from DuckDB's ts::TIMESTAMP
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _assert_flat(name, df)
     for fname, ftype in df.dtypes:
-        if ftype == "timestamp_ntz":
+        if ftype == "bigint" and _NANOS_TS.get((name, fname)):
+            # a nanos-typed parquet timestamp surfaced as int64 under
+            # nanosAsLong.  Integer DIV, not `/`: double division of ~1.7e18
+            # ns loses the last microsecond (53-bit mantissa), diverging
+            # from DuckDB's ts::TIMESTAMP
+            df = df.withColumn(fname, F.timestamp_micros(F.expr(f"{fname} DIV 1000")))
+        elif ftype == "timestamp_ntz":
             df = df.withColumn(fname, F.col(fname).cast("timestamp"))
+        elif ftype == "bigint" and fname in _TS_NAMES:
+            raise ValueError(
+                f"fixture {name}.{fname} is bigint but looks like a timestamp "
+                "column not registered in _NANOS_TS — add it so the ns→µs "
+                "conversion applies instead of silently staying integer"
+            )
     return df
+
+
+#: known nanos-written timestamp columns per fixture table (generator-version
+#: dependent); any OTHER bigint column with a timestamp-like name fails fast
+#: in load_table instead of silently loading as int64
+_NANOS_TS = {("events", "ts"): True}
+
+#: column names that denote event time in the fixtures
+_TS_NAMES = {"ts", "lastModified", "fileLastModified", "o_orderdate", "l_shipdate"}
+
+
+def _assert_flat(name: str, df: DataFrame) -> None:
+    """Fixture schemas are flat (TESTDATA.md); the NTZ/nanos normalization
+    above inspects only top-level dtypes, so fail loudly if that assumption
+    ever breaks rather than passing a nested NTZ through unconverted."""
+    for f in df.schema.fields:
+        if f.dataType.typeName() in ("struct", "array", "map") and name != "embeddings":
+            # embeddings.vec is array<float> by design — scalar payload only
+            if f.dataType.typeName() == "array" and f.dataType.elementType.typeName() in (
+                "float",
+                "double",
+            ):
+                continue
+            raise ValueError(
+                f"fixture {name}.{f.name} is nested ({f.dataType.simpleString()}); "
+                "extend load_table's timestamp normalization recursively before using it"
+            )
 
 
 def build_path_index(orders: DataFrame) -> DataFrame:
