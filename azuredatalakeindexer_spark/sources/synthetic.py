@@ -89,15 +89,22 @@ def _write_files(rows_df: DataFrame, root: str) -> int:
     a shared filesystem or the lake lands on executor-local disks.
     """
 
-    def write_partition(rows) -> None:
+    def write_batches(batches):
         import os
 
-        for r in rows:
-            full = os.path.join(root, r["path"])
-            os.makedirs(os.path.dirname(full), exist_ok=True)
-            with open(full, "w") as fh:
-                fh.write(r["doc"])
+        import pandas as pd
 
-    frame = rows_df.select("path", "doc")
-    frame.foreachPartition(write_partition)
-    return frame.count()
+        for pdf in batches:
+            for path, doc in zip(pdf["path"], pdf["doc"]):
+                full = os.path.join(root, path)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                with open(full, "w") as fh:
+                    fh.write(doc)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    # mapInPandas, not foreachPartition: Arrow batch transfer instead of
+    # row-at-a-time pickling, and the per-batch counts make the write a
+    # single pass (no second count() evaluation)
+    counted = rows_df.select("path", "doc").mapInPandas(write_batches, "n long")
+    total = counted.agg(F.sum("n").alias("n")).collect()[0]["n"]
+    return int(total or 0)

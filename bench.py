@@ -98,14 +98,24 @@ def ann_recall_metrics(spark, sf_dir: str) -> dict[str, float]:
     q = emb.where(F.col("vec_id") < 20)
     bf = brute_force_topk(emb, q, k=10).cache()
     bf.count()
+    lsh_d8_f2 = lsh_bucketed_topk(emb, q, k=10, sign_dims=8, n_flip_bits=2)
+    # sign-LSH's design regime is NEAR-DUP retrieval: recall against only
+    # the exact neighbors the scheme targets (cosine ≥ near_cos) is the
+    # metric that matches embedding_near_dup's use of the same buckets —
+    # general weak-cosine top-k belongs to IVF (see lsh_bucketed_topk docs)
+    near_cos = 0.8
+    bf_near = bf.where(F.col("cosine") >= near_cos).cache()
     out = {
         "lsh_d8_p0": ann_recall(bf, lsh_bucketed_topk(emb, q, k=10, sign_dims=8)),
+        "lsh_d8_f2": ann_recall(bf, lsh_d8_f2),
         "lsh_d4_f4": ann_recall(
             bf, lsh_bucketed_topk(emb, q, k=10, sign_dims=4, n_flip_bits=4)
         ),
+        "lsh_d8_f2_neardup_c80": ann_recall(bf_near, lsh_d8_f2),
         "ivf_c16_p2": ann_recall(bf, ivf_topk(emb, q, k=10, n_centroids=16, n_probe=2)),
         "ivf_c32_p4": ann_recall(bf, ivf_topk(emb, q, k=10, n_centroids=32, n_probe=4)),
     }
+    bf_near.unpersist()
     bf.unpersist()
     emb.unpersist()
     return {k: round(v, 3) for k, v in out.items()}
