@@ -98,24 +98,39 @@ def ann_recall_metrics(spark, sf_dir: str) -> dict[str, float]:
     q = emb.where(F.col("vec_id") < 20)
     bf = brute_force_topk(emb, q, k=10).cache()
     bf.count()
-    lsh_d8_f2 = lsh_bucketed_topk(emb, q, k=10, sign_dims=8, n_flip_bits=2)
-    # sign-LSH's design regime is NEAR-DUP retrieval: recall against only
-    # the exact neighbors the scheme targets (cosine ≥ near_cos) is the
-    # metric that matches embedding_near_dup's use of the same buckets —
-    # general weak-cosine top-k belongs to IVF (see lsh_bucketed_topk docs)
-    near_cos = 0.8
-    bf_near = bf.where(F.col("cosine") >= near_cos).cache()
+    # sign-LSH's design regime is NEAR-DUP retrieval, and the fixture's
+    # exact top-10 tops out at cosine ~0.5 (no true near-dups), so the
+    # regime metric uses PLANTED pairs: add a deterministic ±0.05
+    # element-wise pattern to 20 corpus vectors (unit-norm 64-dim fixture
+    # → cosine ≈ 0.93 to the source; ADDITIVE so near-zero dims can flip
+    # their sign bit — the case multi-probe exists to recover), query
+    # under fresh ids, and
+    # score whether the source is retrieved in the top-k.  General
+    # weak-cosine top-k belongs to IVF (see lsh_bucketed_topk docs).
+    qid_off = 10_000_000
+    planted = q.select(
+        (F.col("vec_id") + qid_off).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + 0.05 * F.when((F.col("vec_id") + i) % 2 == 0, 1.0).otherwise(-1.0),
+        ).alias("embedding"),
+    )
+    lsh_planted = lsh_bucketed_topk(emb, planted, k=10, sign_dims=8, n_flip_bits=2)
+    planted_hits = (
+        lsh_planted.where(F.col("neighbor_id") == F.col("query_id") - qid_off).count()
+    )
     out = {
         "lsh_d8_p0": ann_recall(bf, lsh_bucketed_topk(emb, q, k=10, sign_dims=8)),
-        "lsh_d8_f2": ann_recall(bf, lsh_d8_f2),
+        "lsh_d8_f2": ann_recall(
+            bf, lsh_bucketed_topk(emb, q, k=10, sign_dims=8, n_flip_bits=2)
+        ),
         "lsh_d4_f4": ann_recall(
             bf, lsh_bucketed_topk(emb, q, k=10, sign_dims=4, n_flip_bits=4)
         ),
-        "lsh_d8_f2_neardup_c80": ann_recall(bf_near, lsh_d8_f2),
+        "lsh_d8_f2_planted_neardup": planted_hits / q.count(),
         "ivf_c16_p2": ann_recall(bf, ivf_topk(emb, q, k=10, n_centroids=16, n_probe=2)),
         "ivf_c32_p4": ann_recall(bf, ivf_topk(emb, q, k=10, n_centroids=32, n_probe=4)),
     }
-    bf_near.unpersist()
     bf.unpersist()
     emb.unpersist()
     return {k: round(v, 3) for k, v in out.items()}
