@@ -634,6 +634,26 @@ def q_weighted_sample(spark, sf):
     return out.select("doc_id", "lang", "n_chars")
 
 
+def q_temperature_mix(spark, sf):
+    """Temperature-based (alpha=0.5) domain mixing toward a 300-doc target:
+    per-source keep rates flatten the source distribution (mT5 recipe),
+    membership a pure hash function the oracle replays exactly."""
+    from azuredatalakeindexer_spark.operators.sampling import temperature_mix
+
+    out = temperature_mix(_docs(spark, sf), alpha=0.5, target_total=300, seed=5)
+    return out.select("doc_id", "lang", "source")
+
+
+def q_shuffle_shards(spark, sf):
+    """Deterministic global training-order shuffle into 8 shards: (shard,
+    pos) are pure functions of (doc_id, seed) — the rerun-stable
+    shuffle-then-shard step between curation and sequence packing."""
+    from azuredatalakeindexer_spark.operators.sampling import shuffle_shards
+
+    out = shuffle_shards(_docs(spark, sf), n_shards=8, seed=0)
+    return out.select("doc_id", "lang", "shard", "pos")
+
+
 def q_token_budget_mix(spark, sf):
     """Greedy quality-first token-budget mix: per-language, keep the
     highest-quality documents until 3000 tokens are reached."""
@@ -1564,6 +1584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_view_click_join": q_stream_view_click_join,
         "stream_join_left_outer": q_stream_join_left_outer,
+        "temperature_mix": q_temperature_mix,
+        "shuffle_shards": q_shuffle_shards,
         # -- 2. SURVEY §2 core ------------------------------------------
         "list_changed_paths": q_list_changed_paths,
         "keyset_page": q_keyset_page,
@@ -2563,6 +2585,29 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id ASC) AS rk
         FROM keyed)
       SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 20
+    """
+
+    bucket5 = f"({_ph('doc_id::VARCHAR', 5)}) % 1000000"
+    sqls["temperature_mix"] = f"""
+      WITH counts AS (
+        SELECT source, count(*)::BIGINT AS _n FROM documents GROUP BY source),
+      wsum AS (SELECT sum(pow(_n::DOUBLE, 0.5)) AS _wsum FROM counts),
+      rates AS (
+        SELECT source,
+               least(floor(300 * pow(_n::DOUBLE, 0.5) / _wsum / _n * 1000000)::BIGINT,
+                     1000000::BIGINT) AS _thresh
+        FROM counts, wsum)
+      SELECT doc_id, lang, d.source
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE {bucket5} < r._thresh
+    """
+
+    ph0 = _ph("doc_id::VARCHAR", 0)
+    sqls["shuffle_shards"] = f"""
+      WITH h AS (SELECT doc_id, lang, {ph0} AS hh FROM documents)
+      SELECT doc_id, lang, (hh % 8)::INT AS shard,
+             (row_number() OVER (PARTITION BY hh % 8 ORDER BY hh // 8, doc_id))::BIGINT AS pos
+      FROM h
     """
 
     sqls["token_budget_mix"] = f"""

@@ -215,3 +215,89 @@ def token_budget_pack(
         .withColumn("cum_tokens", F.sum(token_col).over(w))
         .where(F.col("cum_tokens") - F.col(token_col) < budget_tokens)
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float,
+    target_total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based domain mixing: sample each source at a rate that
+    flattens the corpus distribution toward ``n_s^alpha`` (the mT5 /
+    multilingual-pretraining recipe — alpha=1 keeps natural proportions,
+    alpha=0 equalizes sources).
+
+    Per source, weight ``q_s = n_s^alpha / sum_t n_t^alpha``, target rows
+    ``target_total * q_s``, keep rate ``min(target / n_s, 1)`` quantized to
+    millionths; membership is then :func:`hash_sample`'s deterministic
+    bucket test, so the mix is a pure function of (id, seed) and the DuckDB
+    oracle replays it exactly.
+
+    Scale shape: one tiny groupBy on the source column (hundreds of rows at
+    any corpus size), rates broadcast-joined back, then a narrow filter —
+    the corpus itself never shuffles.  Exact expected counts, not exact
+    counts: quantized-rate sampling is the scheme that needs no global sort
+    or per-source row_number at 10^10 rows.
+    """
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    total_w = counts.agg(
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha))).alias("_wsum")
+    )
+    rates = counts.crossJoin(F.broadcast(total_w)).select(
+        source_col,
+        F.least(
+            F.floor(
+                F.lit(target_total)
+                * F.pow(F.col("_n").cast("double"), F.lit(alpha))
+                / F.col("_wsum")
+                / F.col("_n")
+                * SAMPLE_DENOM
+            ).cast("bigint"),
+            F.lit(SAMPLE_DENOM).cast("bigint"),
+        ).alias("_thresh"),
+    )
+    return (
+        ensure_parallelism(docs)
+        .join(F.broadcast(rates), source_col)
+        .where(sample_bucket(F.col(id_col), seed) < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding: every row
+    gets a ``shard`` in [0, n_shards) and a dense ``pos`` within its shard,
+    both pure functions of (id, seed) — the "shuffle then shard" step
+    between curation and sequence packing, rerun-stable and replayable by
+    the oracle (unlike ``orderBy(rand())``).
+
+    ``h = portable_hash64(id, seed)``; ``shard = h mod n_shards``; ``pos``
+    ranks ``h div n_shards`` (independent low/high bits of the same 60-bit
+    hash) with the id as tie-break.  One shuffle on the shard key; within a
+    shard the sort is the write-time sort every shard writer needs anyway.
+    A global total order would be a single-task sort at 10^10 rows — the
+    per-shard order is what downstream loaders consume (they interleave
+    shards), so none is needed.
+    """
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_horder").asc(), F.col(id_col).asc()
+    )
+    return (
+        ensure_parallelism(docs)
+        .withColumn("_h", portable_hash64(F.col(id_col), seed))
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        # integer DIV, not `/`: double division of a 60-bit hash rounds away
+        # the low bits (53-bit mantissa) and the order stops matching the
+        # oracle's exact integer arithmetic
+        .withColumn("_horder", F.expr(f"_h DIV {int(n_shards)}"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("_h", "_horder")
+    )

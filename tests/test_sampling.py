@@ -102,3 +102,66 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     small = spark.createDataFrame([(1, 5), (2, 0), (3, -1)], "doc_id long, w long")
     kept = sorted(r["doc_id"] for r in weighted_sample(small, "w", 10).collect())
     assert kept == [1]
+
+
+def test_temperature_mix_flattens_and_is_deterministic(spark):
+    from azuredatalakeindexer_spark.operators.sampling import temperature_mix
+
+    # the fixture's sources are uniform, so flattening needs a SKEWED corpus:
+    # 1600 / 400 / 100 docs across three sources
+    docs = (
+        spark.range(2100)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 1600, "big")
+            .when(F.col("id") < 2000, "mid")
+            .otherwise("small")
+            .alias("source"),
+        )
+    )
+    out = temperature_mix(docs, alpha=0.5, target_total=700, seed=5).cache()
+    mix = dict(
+        (r["source"], r["count"]) for r in out.groupBy("source").count().collect()
+    )
+    total_mix = sum(mix.values())
+    # alpha=0.5 weights ∝ sqrt(n): 40/20/10 → shares 4/7, 2/7, 1/7 of 700
+    # (rates 0.25, 0.5, 1.0) — sampling noise hits only the two sampled
+    # sources, so assert ±20% around the expected counts
+    assert abs(mix["big"] - 400) < 80
+    assert abs(mix["mid"] - 200) < 40
+    assert mix["small"] == 100  # rate clamps at 1.0: everything kept
+    # alpha < 1 flattens: small source's mixed share ≫ its natural 100/2100
+    assert mix["small"] / total_mix > 100 / 2100
+    assert mix["big"] / total_mix < 1600 / 2100
+    # pure function of (id, seed): partitioning cannot change membership
+    again = temperature_mix(
+        docs.repartition(13), alpha=0.5, target_total=700, seed=5
+    )
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {
+        r["doc_id"] for r in again.select("doc_id").collect()
+    }
+    out.unpersist()
+
+
+def test_shuffle_shards_dense_balanced_deterministic(spark):
+    from azuredatalakeindexer_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = shuffle_shards(docs, n_shards=8, seed=0).cache()
+    n = docs.count()
+    assert out.count() == n
+    # dense positions 1..m per shard (no gaps/dupes)
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("m"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    for r in per.collect():
+        assert (r["mn"], r["mx"]) == (1, r["m"])
+    # 8 shards, none pathologically empty or dominant
+    sizes = [r["m"] for r in per.collect()]
+    assert len(sizes) == 8 and min(sizes) > n / 8 / 3 and max(sizes) < n / 8 * 3
+    # partitioning-independent assignment AND order
+    again = shuffle_shards(docs.repartition(13), n_shards=8, seed=0)
+    assert sorted(map(tuple, out.select("doc_id", "shard", "pos").collect())) == sorted(
+        map(tuple, again.select("doc_id", "shard", "pos").collect())
+    )
+    out.unpersist()
