@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "events_gapfill",      # crossJoin of a SINGLE-ROW bounds frame (grid seed)
     "value_histogram",     # crossJoin of the SINGLE-ROW global-bounds frame
     "tfidf_top_terms",     # crossJoin of the SINGLE-ROW corpus-size N frame
+    "temperature_mix",     # crossJoin of the SINGLE-ROW weight-sum frame
 }
 
 #: queries that RUN work at plan-build time (streaming drains, temp lakes) —
