@@ -56,6 +56,8 @@ HEADLINE = [
     "doc_fingerprints",
     "tfidf_top_terms",
     "profile_orders",
+    "temperature_mix",
+    "shuffle_shards",
 ]
 
 
