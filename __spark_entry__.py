@@ -654,6 +654,23 @@ def q_shuffle_shards(spark, sf):
     return out.select("doc_id", "lang", "shard", "pos")
 
 
+def q_embedding_quantize(spark, sf):
+    """Int8 symmetric quantization of the embedding store (4x smaller at
+    100 TB): per-vector scale + integer summaries of the quantized codes,
+    bit-replayed by the oracle thanks to explicit floor(+0.5) rounding."""
+    from azuredatalakeindexer_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_emb(spark, sf), bits=8)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, x: a + x * x).alias("q_l2"),
+        F.array_min("qvec").cast("int").alias("q_min"),
+        F.array_max("qvec").cast("int").alias("q_max"),
+    )
+
+
 def q_token_budget_mix(spark, sf):
     """Greedy quality-first token-budget mix: per-language, keep the
     highest-quality documents until 3000 tokens are reached."""
@@ -1586,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_left_outer": q_stream_join_left_outer,
         "temperature_mix": q_temperature_mix,
         "shuffle_shards": q_shuffle_shards,
+        "embedding_quantize": q_embedding_quantize,
         # -- 2. SURVEY §2 core ------------------------------------------
         "list_changed_paths": q_list_changed_paths,
         "keyset_page": q_keyset_page,
@@ -2585,6 +2603,23 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id ASC) AS rk
         FROM keyed)
       SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 20
+    """
+
+    sqls["embedding_quantize"] = """
+      WITH s AS (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 1e-30) AS scale
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, scale,
+               list_transform(embedding, v -> floor(v::DOUBLE / scale * 127 + 0.5)::BIGINT) AS qv
+        FROM s)
+      SELECT vec_id, round(scale, 6) AS scale,
+             (list_sum(qv))::BIGINT AS q_sum,
+             (list_sum(list_transform(qv, x -> x * x)))::BIGINT AS q_l2,
+             (list_min(qv))::INT AS q_min,
+             (list_max(qv))::INT AS q_max
+      FROM q
     """
 
     bucket5 = f"({_ph('doc_id::VARCHAR', 5)}) % 1000000"

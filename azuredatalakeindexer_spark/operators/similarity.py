@@ -375,3 +375,59 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization to ``bits``-bit integers —
+    the storage format a 100 TB embedding store actually ships (int8 is 4×
+    smaller than float32 before any codec, and dot products stay exact
+    integer arithmetic until the final two scale multiplies).
+
+    ``scale = max|x_i|``; ``q_i = floor(x_i / scale * qmax + 0.5)`` with
+    ``qmax = 2^(bits-1) - 1``.  The EXPLICIT floor(+0.5) rounding (round
+    half toward +∞) is chosen over ``round()`` because Spark rounds
+    HALF_UP-from-zero while DuckDB rounds half away from zero only for some
+    types — floor arithmetic is bit-identical everywhere, which keeps the
+    quantized index oracle-replayable.  Zero vectors quantize to zeros
+    (scale clamped to 1 to avoid 0/0).
+
+    Returns ``(id_col, scale double, qvec array<int>)``; reconstruct with
+    :func:`dequantize_embeddings`.  Narrow, zero-shuffle, whole-stage
+    codegen — quantizing 10^9 vectors is one scan.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    x = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v))).cast("double"), F.lit(1e-30)
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.transform(
+            x, lambda v: F.floor(v / scale * qmax + F.lit(0.5)).cast("int")
+        ).alias("qvec"),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+    bits: int = 8,
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x_i ≈ q_i * scale / qmax``
+    as float64 — feed straight back into any of the cosine top-k operators
+    (recall loss at int8 is negligible for retrieval; pinned in
+    tests/test_dedup_similarity.py)."""
+    qmax = (1 << (bits - 1)) - 1
+    return df.withColumn(
+        "embedding",
+        F.transform(
+            F.col(qvec_col), lambda q: (q * F.col(scale_col) / qmax).cast("double")
+        ),
+    )

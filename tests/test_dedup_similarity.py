@@ -321,3 +321,37 @@ def test_kmeans_centroids_recover_clusters_and_beat_seed_quantizer(spark):
     assert r_km > r_seed + 0.1    # measured: 1.0 vs 0.85
     assert r_km > 0.95
     bf.unpersist(); emb.unpersist(); km.unpersist()
+
+
+def test_quantize_roundtrip_bound_and_retrieval_recall(spark):
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q8 = quantize_embeddings(emb, bits=8)
+    # codes stay in int8 range
+    rng = q8.agg(
+        F.min(F.array_min("qvec")).alias("lo"), F.max(F.array_max("qvec")).alias("hi")
+    ).collect()[0]
+    assert -127 <= rng["lo"] and rng["hi"] <= 127
+    # per-element reconstruction error ≤ half a quantization step
+    deq = dequantize_embeddings(q8).select("vec_id", "embedding", "scale")
+    joined = emb.select("vec_id", F.col("embedding").alias("orig")).join(deq, "vec_id")
+    max_rel = joined.select(
+        F.array_max(
+            F.zip_with("orig", "embedding", lambda a, b: F.abs(a - b) / F.col("scale"))
+        ).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert max_rel <= 0.5 / 127 + 1e-9
+    # retrieval on the dequantized store matches the exact store
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = brute_force_topk(deq.select("vec_id", "embedding"), queries, k=5)
+    assert ann_recall(exact, approx) >= 0.9
