@@ -1088,12 +1088,27 @@ def _persisted(spark, df: DataFrame) -> DataFrame:
     return spark.read.parquet(result_dir)
 
 
+#: per-(session, sf) cache of shared harness runs: indexer_run and
+#: indexer_run_metrics both need the same §3.1 run, stream_upsert_events and
+#: stream_deleted_index the same streaming drain.  The computation is
+#: deterministic and the cached results are _persisted lazy reads (no bound
+#: temp state), so replaying it per query only doubles gate wall-time.
+_HARNESS_MEMO: dict = {}
+
+
+def _memo_key(spark, sf, tag):
+    return (spark.sparkContext.applicationId, sf, tag)
+
+
 def _indexer_result(spark, sf):
     """Shared §3.1 end-to-end run: write a real JSON lake (malformed files
     included) from the documents fixture, then run the full
     ``run_document_indexer`` composition — S3/S4 file read+parse, J1 join,
     P1/P2 map+null-drop, P11, W1, J3, S6 MERGE, A1-A3 metrics
-    (reference DataLakeIndexer.cs:20-49)."""
+    (reference DataLakeIndexer.cs:20-49).  Memoized per (session, sf)."""
+    key = _memo_key(spark, sf, "indexer")
+    if key in _HARNESS_MEMO:
+        return _HARNESS_MEMO[key]
     from azuredatalakeindexer_spark.plans.indexer import run_document_indexer
     from azuredatalakeindexer_spark.sources.fixtures import (
         build_document_lake,
@@ -1125,6 +1140,8 @@ def _indexer_result(spark, sf):
         res.merged = _persisted(spark, out)
         if res.batch is not None:
             res.batch.unpersist()
+            res.batch = None
+        _HARNESS_MEMO[key] = res
         return res
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1161,8 +1178,14 @@ def q_indexer_run_metrics(spark, sf):
 def _stream_run(spark, sf, target: str) -> DataFrame:
     """Shared T1-T4/T7 streaming harness: readStream over the derived
     blob-event batch, foreachBatch LWW merge into BOTH indexes, availableNow
-    drain — then one of the two resulting tables."""
+    drain — then one of the two resulting tables.  One drain serves both
+    queries (memoized per session/sf); both indexes are persisted before the
+    temp lake disappears."""
     from azuredatalakeindexer_spark.streaming.events import run_event_stream_upsert
+
+    key = _memo_key(spark, sf, "stream_run")
+    if key in _HARNESS_MEMO:
+        return _HARNESS_MEMO[key][target]
 
     ev = build_blob_events(load_table(spark, sf, "events"))
     root = tempfile.mkdtemp(prefix="adls_stream_")
@@ -1179,12 +1202,16 @@ def _stream_run(spark, sf, target: str) -> DataFrame:
             spark, events_dir, schema, pi_dir, del_dir, ckpt, now=W,
             max_files_per_trigger=1, shuffle_partitions=8,
         )
-        out_dir = pi_dir if target == "created" else del_dir
-        out = spark.read.parquet(out_dir).drop("_seq")
-        # persist before the temp dir disappears, return a lazy read — at
-        # real scale "one row per lake file" is the unbounded catalog, so no
-        # driver collect here
-        return _persisted(spark, _pi_str(out))
+        # persist BOTH indexes before the temp dir disappears, return lazy
+        # reads — at real scale "one row per lake file" is the unbounded
+        # catalog, so no driver collect here
+        _HARNESS_MEMO[key] = {
+            dest: _persisted(
+                spark, _pi_str(spark.read.parquet(d).drop("_seq"))
+            )
+            for dest, d in (("created", pi_dir), ("deleted", del_dir))
+        }
+        return _HARNESS_MEMO[key][target]
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
