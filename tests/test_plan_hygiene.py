@@ -58,3 +58,24 @@ def test_no_allpairs_plans(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a BroadcastNestedLoopJoin outside the whitelist"
         )
+
+
+def test_new_sampling_quant_plan_shapes(spark):
+    """Scale pins for the round-4 operators: quantization is a pure narrow
+    scan (zero exchanges), sharding shuffles once on the shard key (plus at
+    most the fixture-parallelism repartition), and temperature_mix joins
+    its broadcast rate table with a BroadcastHashJoin — the corpus side
+    never sort-merge-shuffles."""
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+
+    plan = qs["embedding_quantize"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    plan = qs["shuffle_shards"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert "hashpartitioning(shard" in plan
+
+    plan = qs["temperature_mix"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
