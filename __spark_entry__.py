@@ -654,6 +654,15 @@ def q_shuffle_shards(spark, sf):
     return out.select("doc_id", "lang", "shard", "pos")
 
 
+def q_span_dedup(spark, sf):
+    """Span-level exact dedup (C4/RefinedWeb line dedup at 10-word-chunk
+    granularity): first corpus-wide occurrence of each chunk survives,
+    documents reassembled from their surviving spans."""
+    from azuredatalakeindexer_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf), span_words=10)
+
+
 def q_embedding_quantize(spark, sf):
     """Int8 symmetric quantization of the embedding store (4x smaller at
     100 TB): per-vector scale + integer summaries of the quantized codes,
@@ -1622,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "shuffle_shards": q_shuffle_shards,
         "embedding_quantize": q_embedding_quantize,
+        "span_dedup": q_span_dedup,
         "embedding_topk_np": q_embedding_topk_np,
         # -- 2a. SURVEY §2 core (fast) ----------------------------------
         "list_changed_paths": q_list_changed_paths,
@@ -2635,6 +2645,29 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id ASC) AS rk
         FROM keyed)
       SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 20
+    """
+
+    sqls["span_dedup"] = f"""
+      WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+      chunks AS (
+        SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, cast(ceil(len(w) / 10.0) AS BIGINT)),
+                        i -> {{'pos': i, 'chunk': array_to_string(w[(i*10+1):(i*10+10)], ' ')}})) AS u
+          FROM toks) t),
+      ranked AS (
+        SELECT doc_id, pos, chunk,
+               row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+        FROM chunks),
+      kept AS (
+        SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(chunk, ' ' ORDER BY pos) AS cleaned
+        FROM ranked WHERE rn = 1 GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM chunks GROUP BY doc_id)
+      SELECT t.doc_id, t.n_chunks,
+             coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+             coalesce(k.cleaned, '') AS cleaned
+      FROM tot t LEFT JOIN kept k USING (doc_id)
     """
 
     sqls["embedding_quantize"] = """

@@ -467,3 +467,68 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+def span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """Span-level exact dedup (the C4/RefinedWeb line-dedup technique at
+    word-chunk granularity): split each document into consecutive
+    ``span_words``-word chunks, drop every chunk whose exact content already
+    appeared earlier in the corpus — first occurrence by ``(doc_id, pos)``
+    survives — and reassemble each document's surviving text.
+
+    Unlike whole-document dedup this removes boilerplate *inside* otherwise
+    distinct documents (headers, licence blocks, navigation).  Scale shape:
+    one shuffle on the chunk hash (the window), one on ``doc_id`` for both
+    reassembly and totals (same partitioning, one exchange reused), no
+    joins against the corpus body.  Chunk text rides the shuffles; at
+    100 TB replace the md5 partition key with the chunk itself bucketed, or
+    pre-filter chunks by a frequency sketch to shuffle only repeated spans.
+
+    Returns ``(id_col, n_chunks, n_kept, cleaned)``; docs whose every chunk
+    was dropped keep ``n_kept = 0`` and empty ``cleaned``.
+    """
+    docs = ensure_parallelism(docs)
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    n_chunks = F.ceil(F.size("_t") / span_words).cast("int")
+    # _t is a bound column attribute, so lambda references are cheap reads
+    # (the word_ngrams lambda-CSE trap applies to inline expressions only)
+    chunk_list = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice("_t", i * span_words + 1, span_words), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = toks.select(
+        id_col, F.posexplode(chunk_list).alias("pos", "chunk")
+    ).localCheckpoint()  # feeds the window AND the totals; tokenize once
+    w = Window.partitionBy(F.md5("chunk")).orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    kept = (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )

@@ -355,3 +355,26 @@ def test_quantize_roundtrip_bound_and_retrieval_recall(spark):
     exact = brute_force_topk(emb, queries, k=5)
     approx = brute_force_topk(deq.select("vec_id", "embedding"), queries, k=5)
     assert ann_recall(exact, approx) >= 0.9
+
+
+def test_span_dedup_drops_repeated_spans_and_reassembles(spark):
+    from azuredatalakeindexer_spark.operators.dedup import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-word chunk
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + " ".join(f"x{i}" for i in range(10))),
+            (2, boiler + " " + " ".join(f"y{i}" for i in range(10))),
+            (3, " ".join(f"z{i}" for i in range(5))),  # short tail chunk only
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, span_words=10).collect()}
+    # doc 1 keeps both chunks; doc 2 loses the boilerplate chunk it shares
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["cleaned"] == " ".join(f"y{i}" for i in range(10))
+    assert out[1]["cleaned"].startswith(boiler)
+    # sub-chunk documents survive untouched
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (1, 1)
+    assert out[3]["cleaned"] == " ".join(f"z{i}" for i in range(5))
