@@ -58,6 +58,7 @@ HEADLINE = [
     "profile_orders",
     "temperature_mix",
     "shuffle_shards",
+    "span_dedup",
 ]
 
 
