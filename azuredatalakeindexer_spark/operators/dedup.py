@@ -474,6 +474,7 @@ def span_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_words: int = 10,
+    broadcast_repeats: bool = False,
 ) -> DataFrame:
     """Span-level exact dedup (the C4/RefinedWeb line-dedup technique at
     word-chunk granularity): split each document into consecutive
@@ -485,9 +486,15 @@ def span_dedup(
     distinct documents (headers, licence blocks, navigation).  Scale shape:
     one shuffle on the chunk hash (the window), one on ``doc_id`` for both
     reassembly and totals (same partitioning, one exchange reused), no
-    joins against the corpus body.  Chunk text rides the shuffles; at
-    100 TB replace the md5 partition key with the chunk itself bucketed, or
-    pre-filter chunks by a frequency sketch to shuffle only repeated spans.
+    joins against the corpus body.
+
+    ``broadcast_repeats=True`` is the 100 TB path: a hash-only aggregate
+    finds the spans that occur more than once, that (small) hash set is
+    broadcast back, and ONLY repeated spans enter the first-occurrence
+    window — singleton spans, the vast majority of a real corpus, never
+    leave their input partition and their text never rides a shuffle.  The
+    default windows everything (fewer jobs; right when duplication is
+    heavy, as in this fixture).  Results are identical either way.
 
     Returns ``(id_col, n_chunks, n_kept, cleaned)``; docs whose every chunk
     was dropped keep ``n_kept = 0`` and empty ``cleaned``.
@@ -507,13 +514,29 @@ def span_dedup(
     chunks = toks.select(
         id_col, F.posexplode(chunk_list).alias("pos", "chunk")
     ).localCheckpoint()  # feeds the window AND the totals; tokenize once
-    w = Window.partitionBy(F.md5("chunk")).orderBy(
-        F.col(id_col).asc(), F.col("pos").asc()
-    )
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    hashed = chunks.withColumn("_h", F.md5("chunk"))
+    if broadcast_repeats:
+        # hash-only shuffle to find repeated spans; chunk TEXT stays put
+        repeats = (
+            hashed.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
+            .select("_h")
+        )
+        repeated = hashed.join(F.broadcast(repeats), "_h", "left_semi")
+        singles = hashed.join(F.broadcast(repeats), "_h", "left_anti")
+        survivors = singles.unionByName(
+            repeated.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        survivors = hashed.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1
+        )
     kept = (
-        chunks.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .groupBy(id_col)
+        survivors.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.array_join(

@@ -378,3 +378,18 @@ def test_span_dedup_drops_repeated_spans_and_reassembles(spark):
     # sub-chunk documents survive untouched
     assert (out[3]["n_chunks"], out[3]["n_kept"]) == (1, 1)
     assert out[3]["cleaned"] == " ".join(f"z{i}" for i in range(5))
+
+
+def test_span_dedup_broadcast_repeats_identical_and_text_stays_local(spark):
+    from azuredatalakeindexer_spark.operators.dedup import span_dedup
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = span_dedup(docs, span_words=10)
+    fast = span_dedup(docs, span_words=10, broadcast_repeats=True)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, fast.collect()))
+    # the scale property: singleton-span text reaches the reassembly via
+    # broadcast joins only — both repeat-set joins are broadcast, so no
+    # SortMergeJoin appears before the doc_id reassembly
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
