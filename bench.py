@@ -151,6 +151,11 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    # ... and spin up the Arrow Python worker pool (a session-level one-off,
+    # otherwise billed entirely to the first mapInPandas query)
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
