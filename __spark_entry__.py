@@ -604,6 +604,27 @@ def q_dedup_clusters(spark, sf):
     return dedup_cluster_assignments(docs, minhash_lsh_pairs(docs))
 
 
+def q_cluster_canonical(spark, sf):
+    """Canonical selection per near-dup cluster: the highest-quality member
+    (doc_id tie-break) survives, with n_members recording how much
+    duplication it represents — the keep/drop rule between clustering and
+    corpus assembly."""
+    from azuredatalakeindexer_spark.operators.dedup import cluster_canonical
+    from azuredatalakeindexer_spark.operators.textops import quality_columns
+    from azuredatalakeindexer_spark.functions.text import tokens
+
+    docs = _docs(spark, sf)
+    clusters = dedup_cluster_assignments(docs, minhash_lsh_pairs(docs)).select(
+        "doc_id", "cluster_id"
+    )
+    qc = quality_columns(tokens(F.col("text")))
+    scored = docs.select("doc_id", qc["quality"].alias("quality")).join(
+        clusters, "doc_id"
+    )
+    out = cluster_canonical(scored)
+    return out.select("cluster_id", "doc_id", "quality", "n_members")
+
+
 def q_hash_sample(spark, sf):
     """Deterministic shuffle-free 25% sample: pure function of the doc id
     (rerun- and partitioning-stable, unlike df.sample)."""
@@ -1632,7 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "embedding_quantize": q_embedding_quantize,
         "span_dedup": q_span_dedup,
-        "embedding_topk_np": q_embedding_topk_np,
+        "cluster_canonical": q_cluster_canonical,
         # -- 2a. SURVEY §2 core (fast) ----------------------------------
         "list_changed_paths": q_list_changed_paths,
         "keyset_page": q_keyset_page,
@@ -1675,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- 50-entry window boundary ---------------------
         # -- 4. rotation tail (green in r02/r03 or pytest-pinned; ------
         # --    re-window next rounds) ----------------------------------
+        "embedding_topk_np": q_embedding_topk_np,
         "stream_sessionize": q_stream_sessionize,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_view_click_join": q_stream_view_click_join,
@@ -2736,6 +2758,38 @@ def oracle_sql() -> dict[str, str]:
         FROM scored)
       SELECT doc_id, lang, n_tokens, quality, cum_tokens::BIGINT AS cum_tokens
       FROM packed WHERE cum_tokens - n_tokens < 3000
+    """
+
+    sqls["cluster_canonical"] = f"""
+      WITH RECURSIVE {minhash_ctes("documents")},
+      {components_ctes},
+      assign AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      toksq AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+      featsq AS (
+        SELECT doc_id,
+               len(words) AS n_tok,
+               CASE WHEN len(words) > 0
+                 THEN (list_sum(list_transform(words, t -> length(t))))::DOUBLE / len(words)
+                 ELSE 0.0 END AS mean_len,
+               CASE WHEN len(words) > 0
+                 THEN len(list_filter(words, t -> list_contains({en_lex}, t))) / len(words)
+                 ELSE 0.0 END AS sw_ratio
+        FROM toksq),
+      scoredq AS (
+        SELECT doc_id,
+               round(0.25 * least(n_tok / 100.0, 1.0)
+                   + 0.25 * least(mean_len / 8.0, 1.0)
+                   + 0.5 * sw_ratio, 6) AS quality
+        FROM featsq),
+      sizedq AS (
+        SELECT a.cluster_id, a.doc_id, s.quality,
+               (count(*) OVER (PARTITION BY a.cluster_id))::BIGINT AS n_members,
+               row_number() OVER (PARTITION BY a.cluster_id
+                 ORDER BY s.quality DESC, a.doc_id ASC) AS rn
+        FROM assign a JOIN scoredq s USING (doc_id))
+      SELECT cluster_id, doc_id, quality, n_members FROM sizedq WHERE rn = 1
     """
 
     sqls["pack_sequences"] = f"""

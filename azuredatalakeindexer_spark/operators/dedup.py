@@ -555,3 +555,32 @@ def span_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("cleaned", F.lit("")).alias("cleaned"),
     )
+
+
+def cluster_canonical(
+    scored: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: keep the highest-
+    quality member (id as the deterministic tie-break) instead of the
+    min-id default of :func:`dedup_cluster_assignments` — the curation
+    pipeline's actual keep/drop rule between clustering and corpus
+    assembly.
+
+    One shuffle on ``cluster_col``; the size window and the rank window
+    share the partitioning, so Catalyst plans a single exchange.  Adds
+    ``n_members`` so downstream mix accounting knows how much duplication
+    each survivor represents.
+    """
+    wc = Window.partitionBy(cluster_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -393,3 +393,20 @@ def test_span_dedup_broadcast_repeats_identical_and_text_stays_local(spark):
     # SortMergeJoin appears before the doc_id reassembly
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_cluster_canonical_picks_quality_argmax(spark):
+    from azuredatalakeindexer_spark.operators.dedup import cluster_canonical
+
+    scored = spark.createDataFrame(
+        [
+            (1, 10, 0.5),
+            (2, 10, 0.9),   # winner of cluster 10
+            (3, 10, 0.9),   # quality tie → lower id wins over doc 2? no: 2 < 3
+            (4, 40, 0.1),   # singleton
+        ],
+        ["doc_id", "cluster_id", "quality"],
+    )
+    out = {r["cluster_id"]: r for r in cluster_canonical(scored).collect()}
+    assert out[10]["doc_id"] == 2 and out[10]["n_members"] == 3
+    assert out[40]["doc_id"] == 4 and out[40]["n_members"] == 1
