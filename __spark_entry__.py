@@ -1653,7 +1653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "embedding_quantize": q_embedding_quantize,
         "span_dedup": q_span_dedup,
-        "cluster_canonical": q_cluster_canonical,
         # -- 2a. SURVEY §2 core (fast) ----------------------------------
         "list_changed_paths": q_list_changed_paths,
         "keyset_page": q_keyset_page,
@@ -1691,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_deleted_index": q_stream_deleted_index,
         "indexer_run": q_indexer_run,
         "indexer_run_metrics": q_indexer_run_metrics,
+        "cluster_canonical": q_cluster_canonical,
         "stream_exact_dedup": q_stream_exact_dedup,
         "stream_curated_dedup": q_stream_curated_dedup,
         # ---------------- 50-entry window boundary ---------------------
