@@ -5,6 +5,11 @@ DuckDB over the same sf directory, then compares row count, column names, and
 an order-insensitive multiset of normalized values.  Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [sf_dir] --window    # first 50 only
+    python tools/check_correctness.py [sf_dir] --vanilla   # default-conf session
+
+``--window`` replays exactly the driver's 50-entry cap (round-4 solo run:
+50/50 green in ~67s at sf0.01).
 """
 
 from __future__ import annotations
@@ -36,8 +41,9 @@ def norm(v):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    args = [a for a in sys.argv[1:] if a not in ("--vanilla", "--window")]
     vanilla = "--vanilla" in sys.argv[1:]
+    window = "--window" in sys.argv[1:]  # first 50 only — the driver's cap
     sf = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
     if vanilla:
@@ -59,6 +65,8 @@ def main() -> int:
         )
 
     qs = entrymod.queries()
+    if window:
+        qs = dict(list(qs.items())[:50])
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
