@@ -617,8 +617,12 @@ def q_cluster_canonical(spark, sf):
     clusters = dedup_cluster_assignments(docs, minhash_lsh_pairs(docs)).select(
         "doc_id", "cluster_id"
     )
-    qc = quality_columns(tokens(F.col("text")))
-    scored = docs.select("doc_id", qc["quality"].alias("quality")).join(
+    # bind tokens to a column first — quality_columns references its toks
+    # argument several times, and an inline tokens(text) would re-split per
+    # reference (the lambda-CSE lesson in SCALE.md)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    qc = quality_columns(F.col("_toks"))
+    scored = toked.select("doc_id", qc["quality"].alias("quality")).join(
         clusters, "doc_id"
     )
     out = cluster_canonical(scored)
@@ -2716,7 +2720,7 @@ def oracle_sql() -> dict[str, str]:
       wsum AS (SELECT sum(pow(_n::DOUBLE, 0.5)) AS _wsum FROM counts),
       rates AS (
         SELECT source,
-               least(floor(300 * pow(_n::DOUBLE, 0.5) / _wsum / _n * 1000000)::BIGINT,
+               least(floor(round(300 * pow(_n::DOUBLE, 0.5) / _wsum / _n * 1000000, 6))::BIGINT,
                      1000000::BIGINT) AS _thresh
         FROM counts, wsum)
       SELECT doc_id, lang, d.source

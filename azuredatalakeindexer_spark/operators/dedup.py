@@ -513,7 +513,11 @@ def span_dedup(
     ).otherwise(F.array().cast("array<string>"))
     chunks = toks.select(
         id_col, F.posexplode(chunk_list).alias("pos", "chunk")
-    ).localCheckpoint()  # feeds the window AND the totals; tokenize once
+    ).localCheckpoint()
+    # feeds the window AND the totals (and, under broadcast_repeats, two
+    # more joins); tokenize once.  Blocks are released by the ContextCleaner
+    # once the returned frame is GC'd — same lifecycle as the other
+    # localCheckpoint relations (ngram_jaccard, _bounded_bucket_pairs)
     w = Window.partitionBy("_h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
     hashed = chunks.withColumn("_h", F.md5("chunk"))
     if broadcast_repeats:

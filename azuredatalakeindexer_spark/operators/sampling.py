@@ -249,12 +249,20 @@ def temperature_mix(
     rates = counts.crossJoin(F.broadcast(total_w)).select(
         source_col,
         F.least(
+            # round to 1e-6 of a ppm BEFORE floor: the pow/sum/divide chain
+            # is double arithmetic, and a last-ulp engine difference exactly
+            # at an integer boundary would otherwise flip floor (and with it
+            # every doc in that bucket) between Spark and the oracle — the
+            # same quantize-before-rank rule weighted_sample applies
             F.floor(
-                F.lit(target_total)
-                * F.pow(F.col("_n").cast("double"), F.lit(alpha))
-                / F.col("_wsum")
-                / F.col("_n")
-                * SAMPLE_DENOM
+                F.round(
+                    F.lit(target_total)
+                    * F.pow(F.col("_n").cast("double"), F.lit(alpha))
+                    / F.col("_wsum")
+                    / F.col("_n")
+                    * SAMPLE_DENOM,
+                    6,
+                )
             ).cast("bigint"),
             F.lit(SAMPLE_DENOM).cast("bigint"),
         ).alias("_thresh"),

@@ -102,8 +102,9 @@ def _assert_flat(name: str, df: DataFrame) -> None:
     above inspects only top-level dtypes, so fail loudly if that assumption
     ever breaks rather than passing a nested NTZ through unconverted."""
     for f in df.schema.fields:
-        if f.dataType.typeName() in ("struct", "array", "map") and name != "embeddings":
-            # embeddings.vec is array<float> by design — scalar payload only
+        if f.dataType.typeName() in ("struct", "array", "map"):
+            # numeric vectors (embeddings.embedding) are the one sanctioned
+            # nested shape — no timestamp can hide inside them
             if f.dataType.typeName() == "array" and f.dataType.elementType.typeName() in (
                 "float",
                 "double",

@@ -43,6 +43,7 @@ SKIP = {
     "partitioned_runs",
     "partitioned_counts",
     "dedup_clusters",      # iterative: runs jobs while building
+    "cluster_canonical",   # same iterative connected-components upstream
     "train_corpus",
     "batch_packing_greedy",
     "rebuild_batches",

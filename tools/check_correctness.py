@@ -65,7 +65,10 @@ def main() -> int:
         )
 
     qs = entrymod.queries()
-    if window:
+    if window and not only:
+        # --window emulates the driver's 50-entry cap; explicit query names
+        # override it (slicing first would silently skip a requested tail
+        # query and exit green)
         qs = dict(list(qs.items())[:50])
     oracles = entrymod.oracle_sql()
     failures = 0
