@@ -1306,12 +1306,17 @@ def _add_stream_file(df, root: str, d: str, i: int) -> None:
     _place_stream_file(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], d, i)
 
 
-def _write_chrono_slices(df, root: str, ts_col: str = "ts", n: int = 10):
+def _write_chrono_slices(df, root: str, ts_col: str = "ts", n: int = 6):
     """Write ``df`` as ``n`` chronological single-file parquet slices under
     ``root``/ev (event time ≈ arrival order — the realistic stream pattern,
     and the one watermark semantics depend on; see streaming/windowed.py).
     All ``n`` slices come from ONE partitioned write job.  Returns
-    ``(stream_dir, min_ts, max_ts)``."""
+    ``(stream_dir, min_ts, max_ts)``.
+
+    ``n=6`` with ``maxFilesPerTrigger=3`` gives 3 micro-batches per drain —
+    still multiple watermark advances (the property the drained-to-batch
+    parity depends on) at roughly half the per-batch state-store overhead
+    of the previous 10-slice layout."""
     import glob
 
     d = os.path.join(root, "ev")
