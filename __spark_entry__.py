@@ -196,8 +196,11 @@ _COSINE = (
 )
 
 
-def _sign_bucket_sql(vec: str, dims: int) -> str:
-    bits = " + ".join(f"CASE WHEN {vec}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(dims))
+def _sign_bucket_sql(vec: str, dims: int, offset: int = 0) -> str:
+    bits = " + ".join(
+        f"CASE WHEN {vec}[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(dims)
+    )
     return f"({bits})"
 
 
@@ -484,26 +487,78 @@ def q_profile_orders(spark, sf):
 
 def q_approx_distinct_users(spark, sf):
     """Per-event-type HLL++ approximate distinct users (mergeable sketch:
-    fixed-size registers shuffle instead of raw user ids).  Rows-only gate
-    BY DESIGN: HLL estimates are implementation-specific, so there is no
-    cross-engine oracle; pytest pins |approx-exact|/exact <= 3*rsd and the
-    driver's weaker rows/schema check applies here."""
+    fixed-size registers shuffle instead of raw user ids), emitted as a
+    BOUNDED CHECK: the HLL estimate itself is engine-specific, so the query
+    outputs the exact side plus ``within_tol`` = |approx−exact|/exact ≤
+    3·rsd, and the oracle replays the exact side expecting ``within_tol=1``
+    — a full row+hash gate on the sketch's accuracy contract instead of the
+    old rows-only non-check (VERDICT r4 next-#7).  Pytest pins the same
+    tolerance on the raw operator."""
     from azuredatalakeindexer_spark.operators.profile import approx_distinct_by
 
     ev = load_table(spark, sf, "events")
-    return approx_distinct_by(ev, ["event_type"], "user_id", rsd=0.05)
+    approx = approx_distinct_by(ev, ["event_type"], "user_id", rsd=0.05)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        approx.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 3 * 0.05 * F.col("exact_distinct")
+            )
+            .cast("int")
+            .alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def q_approx_event_quantiles(spark, sf):
     """Per-type approximate percentiles via the mergeable Greenwald-Khanna
     sketch (`approx_percentile`) — the 100 TB path where the exact
-    `event_quantiles` sort-per-group would not hold.  Rows-only gate BY
-    DESIGN (sketch collapse decisions are engine-specific); pytest pins the
-    rank error vs the exact percentiles."""
+    `event_quantiles` sort-per-group would not hold — emitted as a BOUNDED
+    RANK CHECK: for each (type, q) the query counts how many values fall
+    below/at the estimate and outputs ``within_tol`` = the estimate's rank
+    is within the GK guarantee (±n/accuracy, +1 for discreteness) of q·n.
+    The oracle replays the exact side expecting ``within_tol=1`` — a full
+    row+hash gate on the sketch's error contract instead of the old
+    rows-only non-check (VERDICT r4 next-#7)."""
     from azuredatalakeindexer_spark.operators.profile import approx_quantiles_by
 
     ev = load_table(spark, sf, "events")
-    return approx_quantiles_by(ev, ["event_type"], "value")
+    acc = 10_000
+    approx = approx_quantiles_by(ev, ["event_type"], "value", accuracy=acc)
+    est = approx.select(
+        "event_type",
+        "n_rows",
+        F.explode(
+            F.array(
+                F.struct(F.lit(50).alias("q"), F.col("p50").alias("est")),
+                F.struct(F.lit(90).alias("q"), F.col("p90").alias("est")),
+                F.struct(F.lit(99).alias("q"), F.col("p99").alias("est")),
+            )
+        ).alias("e"),
+    ).select("event_type", "n_rows", "e.q", "e.est")
+    ranks = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "q", "n_rows", "est")
+        .agg(
+            F.count_if(F.col("value") < F.col("est")).alias("n_lt"),
+            F.count_if(F.col("value") <= F.col("est")).alias("n_le"),
+        )
+    )
+    target = F.col("q") / F.lit(100.0) * F.col("n_rows")
+    tol = F.col("n_rows") / F.lit(float(acc)) + F.lit(1.0)
+    within = ((F.col("n_lt") - tol) <= target) & (target <= (F.col("n_le") + tol))
+    return ranks.select(
+        "event_type", "q", "n_rows", within.cast("int").alias("within_tol")
+    ).orderBy("event_type", "q")
 
 
 def q_value_histogram(spark, sf):
@@ -1031,6 +1086,18 @@ def q_ann_lsh_topk(spark, sf):
     emb = _emb(spark, sf)
     q = emb.where(F.col("vec_id") < 5)
     out = lsh_bucketed_topk(emb, q, k=5, sign_dims=8)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def q_ann_lsh_mt_topk(spark, sf):
+    """OR-amplified multi-table sign-LSH ANN top-k (4 tables × 8 dims over
+    the 64-dim fixture) — the recall-amplified variant of `ann_lsh_topk`
+    (VERDICT r4 next-#6)."""
+    from azuredatalakeindexer_spark.operators.similarity import lsh_multitable_topk
+
+    emb = _emb(spark, sf)
+    q = emb.where(F.col("vec_id") < 5)
+    out = lsh_multitable_topk(emb, q, k=5, sign_dims=8, n_tables=4)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -1633,83 +1700,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round (round 3 recorded exactly the first 50 of 82, in registration
     order), so ordering is load-bearing:
 
-    1. Cheap entries with no green CORRECTNESS row in any prior round —
-       round-3/4 additions, P4/F8 closures, fixes.
-    2. The SURVEY §2 core (S/P/J/A/W/O/F components) so their rows stay
-       current, plus the fast LLM-pipeline flagships.
-    3. The expensive never-green compositions LAST inside the window
-       (§3.1 e2e indexer, T2/T5, streaming extensions): if the driver's
-       cutoff is a time budget rather than an entry count, the cheap
-       critical rows above still land; under a pure 50-entry cap the
-       within-window order is irrelevant.
-    4. Rotation tail: everything else stays registered (pytest +
-       tools/check_correctness.py cover all entries every round) and
-       rotates into the window in later rounds; green rows for these
-       exist in CORRECTNESS_r02/r03 (see COVERAGE.md).
+    1. The 5 entries that had NEVER received a driver correctness row
+       through round 4 (VERDICT r4 finding #1) lead the window.
+    2. The round-2/3 rotation tail — entries whose last driver row is from
+       r02/r03 — re-windows in full (32 entries).
+    3. Round-5 additions and changed queries (approx tolerance gates,
+       span_dedup zero-chunk rows, partitioned fast path, the new
+       multi-table LSH), which need fresh rows.
+    4. Flagship compositions re-confirmed every round (e2e indexer,
+       streaming drains, MinHash).
+    5. Rotation tail: everything below the boundary was green in
+       CORRECTNESS_r04.json and stays registered — pytest +
+       tools/check_correctness.py cover ALL entries every round; these
+       re-window next rounds.
     """
     return {
-        # -- 1. cheap, no green row yet: fixes + round-3/4 additions ----
-        "listing_to_path_rows": q_listing_to_path_rows,
-        "iso_ts": q_iso_ts,
-        "events_json_extract": q_events_json_extract,
-        "token_budget_mix": q_token_budget_mix,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "profile_orders": q_profile_orders,
-        "approx_distinct_users": q_approx_distinct_users,
-        "approx_event_quantiles": q_approx_event_quantiles,
-        "value_histogram": q_value_histogram,
-        "temperature_mix": q_temperature_mix,
-        "shuffle_shards": q_shuffle_shards,
-        "embedding_quantize": q_embedding_quantize,
-        "span_dedup": q_span_dedup,
-        # -- 2a. SURVEY §2 core (fast) ----------------------------------
-        "list_changed_paths": q_list_changed_paths,
-        "keyset_page": q_keyset_page,
-        "path_keys": q_path_keys,
-        "url_roundtrip": q_url_roundtrip,
-        "split_blob_urls": q_split_blob_urls,
-        "events_to_path_rows": q_events_to_path_rows,
-        "dedup_last_writer": q_dedup_last_writer,
-        "upsert_status_counts": q_upsert_status_counts,
-        "upsert_merge": q_upsert_merge,
-        "deleted_anti_join": q_deleted_anti_join,
-        "oversize_filter": q_oversize_filter,
-        "batch_packing": q_batch_packing,
-        "batch_packing_greedy": q_batch_packing_greedy,
-        "rebuild_batches": q_rebuild_batches,
-        "run_metrics": q_run_metrics,
-        "doc_count": q_doc_count,
-        "watermark_filter_agg": q_watermark_filter_agg,
-        "directory_filter": q_directory_filter,
-        "index_ddl": q_index_ddl,
-        # -- 2b. fast LLM-pipeline flagships ----------------------------
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_topk": q_embedding_topk,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "doc_fingerprints": q_doc_fingerprints,
-        # -- 3. expensive never-green compositions (end of window) ------
-        "stream_upsert_events": q_stream_upsert_events,
-        "partitioned_counts": q_partitioned_counts,
-        "partitioned_runs": q_partitioned_runs,
-        "stream_deleted_index": q_stream_deleted_index,
-        "indexer_run": q_indexer_run,
-        "indexer_run_metrics": q_indexer_run_metrics,
-        "cluster_canonical": q_cluster_canonical,
-        "stream_exact_dedup": q_stream_exact_dedup,
-        "stream_curated_dedup": q_stream_curated_dedup,
-        # ---------------- 50-entry window boundary ---------------------
-        # -- 4. rotation tail (green in r02/r03 or pytest-pinned; ------
-        # --    re-window next rounds) ----------------------------------
+        # -- 1. never driver-checked through r4 (VERDICT r4 #1) ---------
         "embedding_topk_np": q_embedding_topk_np,
         "stream_sessionize": q_stream_sessionize,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_view_click_join": q_stream_view_click_join,
         "stream_join_left_outer": q_stream_join_left_outer,
+        # -- 2. last driver row r02/r03: re-window ----------------------
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1742,6 +1754,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_values": q_zorder_values,
         "events_gapfill": q_events_gapfill,
         "user_running_stats": q_user_running_stats,
+        # -- 3. round-5 additions / changed queries ---------------------
+        "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
+        "approx_distinct_users": q_approx_distinct_users,
+        "approx_event_quantiles": q_approx_event_quantiles,
+        "span_dedup": q_span_dedup,
+        "partitioned_counts": q_partitioned_counts,
+        "partitioned_runs": q_partitioned_runs,
+        "upsert_merge": q_upsert_merge,
+        # -- 4. flagships re-confirmed every round ----------------------
+        "indexer_run": q_indexer_run,
+        "indexer_run_metrics": q_indexer_run_metrics,
+        "stream_upsert_events": q_stream_upsert_events,
+        "stream_deleted_index": q_stream_deleted_index,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "list_changed_paths": q_list_changed_paths,
+        # ---------------- 50-entry window boundary ---------------------
+        # -- 5. rotation tail: ALL green in CORRECTNESS_r04.json; -------
+        # --    re-window next rounds -----------------------------------
+        "listing_to_path_rows": q_listing_to_path_rows,
+        "iso_ts": q_iso_ts,
+        "events_json_extract": q_events_json_extract,
+        "token_budget_mix": q_token_budget_mix,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "profile_orders": q_profile_orders,
+        "value_histogram": q_value_histogram,
+        "temperature_mix": q_temperature_mix,
+        "shuffle_shards": q_shuffle_shards,
+        "embedding_quantize": q_embedding_quantize,
+        "keyset_page": q_keyset_page,
+        "path_keys": q_path_keys,
+        "url_roundtrip": q_url_roundtrip,
+        "split_blob_urls": q_split_blob_urls,
+        "events_to_path_rows": q_events_to_path_rows,
+        "dedup_last_writer": q_dedup_last_writer,
+        "upsert_status_counts": q_upsert_status_counts,
+        "deleted_anti_join": q_deleted_anti_join,
+        "oversize_filter": q_oversize_filter,
+        "batch_packing": q_batch_packing,
+        "batch_packing_greedy": q_batch_packing_greedy,
+        "rebuild_batches": q_rebuild_batches,
+        "run_metrics": q_run_metrics,
+        "doc_count": q_doc_count,
+        "watermark_filter_agg": q_watermark_filter_agg,
+        "directory_filter": q_directory_filter,
+        "index_ddl": q_index_ddl,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprints": q_doc_fingerprints,
+        "cluster_canonical": q_cluster_canonical,
+        "stream_exact_dedup": q_stream_exact_dedup,
+        "stream_curated_dedup": q_stream_curated_dedup,
     }
 
 
@@ -2233,6 +2301,31 @@ def oracle_sql() -> dict[str, str]:
       QUALIFY rank <= 5
     """
 
+    mt_cb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sign_bucket_sql('v', 8, t * 8)} AS bkt FROM c"
+        for t in range(4)
+    )
+    mt_qb = " UNION ALL ".join(
+        f"SELECT query_id, {t} AS tbl, {_sign_bucket_sql('qv', 8, t * 8)} AS bkt FROM q"
+        for t in range(4)
+    )
+    sqls["ann_lsh_mt_topk"] = f"""
+      WITH {emb_base},
+      cb AS ({mt_cb}),
+      qb AS ({mt_qb}),
+      cand AS (
+        SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+        FROM cb JOIN qb USING (tbl, bkt) WHERE cb.vec_id != qb.query_id),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id, {_COSINE} AS cosine
+        FROM cand JOIN c ON c.vec_id = cand.neighbor_id
+                 JOIN q ON q.query_id = cand.query_id)
+      SELECT query_id, neighbor_id, cosine,
+             (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+      FROM scored
+      QUALIFY rank <= 5
+    """
+
     # NOTE: substr() slices CHARACTERS while sample_frames slices the UTF-8
     # byte payload — equivalent only because the documents fixture is
     # ASCII-only (DuckDB md5 can't take a BLOB, so a byte-exact oracle is
@@ -2251,12 +2344,20 @@ def oracle_sql() -> dict[str, str]:
     sqls["embedding_near_dup"] = f"""
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       b AS (SELECT vec_id, v, {_sign_bucket_sql('v', 4)} AS bucket FROM c),
+      sized AS (
+        SELECT vec_id, v, bucket,
+               count(*) OVER (PARTITION BY bucket) AS bsz,
+               min(vec_id) OVER (PARTITION BY bucket) AS rep
+        FROM b),
+      -- bucket cap mirror of _bounded_bucket_pairs: full clique for buckets
+      -- <= 64 members, star around the min-id member above
       scored AS (
         SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                round(list_sum(list_transform(range(1, 65), i -> l.v[i] * r.v[i]))
                  / (sqrt(list_sum(list_transform(range(1, 65), i -> l.v[i] * l.v[i])))
                   * sqrt(list_sum(list_transform(range(1, 65), i -> r.v[i] * r.v[i])))), 6) AS cosine
-        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+        FROM sized l JOIN sized r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE l.bsz <= 64 OR l.vec_id = l.rep)
       SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.1
     """
 
@@ -2434,6 +2535,26 @@ def oracle_sql() -> dict[str, str]:
       SELECT event_type, bucket, count(*)::BIGINT AS n,
              round(min(lo) + bucket * min(wd), 6) AS bucket_lo
       FROM t GROUP BY event_type, bucket
+    """
+
+    # ---- approx-sketch tolerance gates: the oracle replays the EXACT side
+    # and expects within_tol=1 — the estimate itself is engine-specific, its
+    # accuracy contract is not (VERDICT r4 next-#7) -----------------------
+    sqls["approx_distinct_users"] = """
+      SELECT event_type,
+             count(*)::BIGINT AS n_rows,
+             count(DISTINCT user_id)::BIGINT AS exact_distinct,
+             1::INT AS within_tol
+      FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    sqls["approx_event_quantiles"] = """
+      WITH qs AS (SELECT unnest([50, 90, 99]) AS q)
+      SELECT event_type, q::INT AS q, count(*)::BIGINT AS n_rows,
+             1::INT AS within_tol
+      FROM events CROSS JOIN qs
+      GROUP BY event_type, q
+      ORDER BY event_type, q
     """
 
     # ---- time-series gap filling ----------------------------------------
@@ -2694,7 +2815,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*)::BIGINT AS n_kept,
                string_agg(chunk, ' ' ORDER BY pos) AS cleaned
         FROM ranked WHERE rn = 1 GROUP BY doc_id),
-      tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM chunks GROUP BY doc_id)
+      -- anchored on documents so zero-chunk docs emit n_chunks = 0
+      tot AS (
+        SELECT d.doc_id, count(c.doc_id)::BIGINT AS n_chunks
+        FROM documents d LEFT JOIN chunks c USING (doc_id) GROUP BY d.doc_id)
       SELECT t.doc_id, t.n_chunks,
              coalesce(k.n_kept, 0)::BIGINT AS n_kept,
              coalesce(k.cleaned, '') AS cleaned

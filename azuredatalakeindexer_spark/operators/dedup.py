@@ -435,6 +435,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     sign_dims: int = 8,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with sign-bucket candidate
     generation.
@@ -442,31 +443,45 @@ def embedding_near_dup_pairs(
     Bucket = the sign pattern of the first ``sign_dims`` dimensions (a fixed
     axis-aligned random-hyperplane LSH).  Near-identical vectors agree on
     almost all signs, so true near-dups nearly always share the bucket; the
-    exact cosine filter runs only within buckets — an equi-join, not a cross
-    product.
+    exact cosine filter runs only within buckets.
+
+    Candidates route through :func:`_bounded_bucket_pairs` — the same
+    mega-bucket guard as :func:`minhash_lsh_pairs`/:func:`simhash_pairs`:
+    buckets above ``max_bucket_size`` members (embedding-space boilerplate —
+    e.g. a template page embedded 10⁶ times) emit a linear star around the
+    min-id member instead of the O(m²) clique, so no bucket can blow up the
+    pair count.  The star still connects every near-identical member under
+    the connected-components pass consumers apply next.  The id-only
+    candidate relation is rescored exactly: two hash-joins back to the
+    vector table (bounded by candidate count), so vectors never ride the
+    bucket shuffle or a collect_list.
+
+    Size ``sign_dims`` with the corpus: expected bucket size is
+    ``n / 2^sign_dims`` for isotropic embeddings, so pick
+    ``sign_dims ≈ log2(n / target_bucket_size)`` — e.g. 10⁹ vectors with
+    64-member target buckets wants ~24 sign dims, not the default 8 (a
+    fixture-scale default).  The star guard makes an undersized ``sign_dims``
+    degrade to lower candidate recall per bucket, never to a blown shuffle.
     """
     from azuredatalakeindexer_spark.operators.similarity import cosine_expr, sign_bucket
 
     b = embeddings.select(
         F.col(id_col),
-        F.col(vec_col),
         sign_bucket(F.col(vec_col), sign_dims).alias("bucket"),
     )
-    pairs = (
-        b.alias("l")
-        .join(
-            b.alias("r"),
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+    cand = _bounded_bucket_pairs(b, ["bucket"], id_col, max_bucket_size)
+    va = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.round(cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine"),
+            F.col("a").alias("id_a"),
+            F.col("b").alias("id_b"),
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
-    return pairs
 
 
 def span_dedup(
@@ -496,8 +511,12 @@ def span_dedup(
     default windows everything (fewer jobs; right when duplication is
     heavy, as in this fixture).  Results are identical either way.
 
-    Returns ``(id_col, n_chunks, n_kept, cleaned)``; docs whose every chunk
-    was dropped keep ``n_kept = 0`` and empty ``cleaned``.
+    Returns ``(id_col, n_chunks, n_kept, cleaned)``: one row for EVERY input
+    document — docs whose every chunk was dropped keep ``n_kept = 0`` and
+    empty ``cleaned``, and docs with no chunks at all (empty/whitespace-only
+    text) appear with ``n_chunks = 0`` rather than vanishing, so a pipeline
+    reassembling the corpus from this output never loses a document (ADVICE
+    r4).
     """
     docs = ensure_parallelism(docs)
     toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
@@ -552,7 +571,20 @@ def span_dedup(
             ).alias("cleaned"),
         )
     )
-    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    # anchor totals on the full doc-id relation (an id-only pruned scan) so
+    # zero-chunk documents survive with n_chunks = 0
+    totals = (
+        docs.select(F.col(id_col))
+        .join(
+            chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks")),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+        )
+    )
     return totals.join(kept, id_col, "left").select(
         id_col,
         "n_chunks",

@@ -42,12 +42,18 @@ class ListPathsOptions:
     limit: int | None = None
 
 
-def list_paths(path_index: DataFrame, options: ListPathsOptions) -> DataFrame:
+def list_paths(
+    path_index: DataFrame, options: ListPathsOptions, ordered: bool = True
+) -> DataFrame:
     """S2 + P6/P7/P8/P9/P10 + O1/O2 as one declarative plan.
 
     Predicate conjunction (P10, reference Utils.cs:16-17 ``ConcatWithAnd``)
     is the chaining of ``where`` clauses; Catalyst folds them into a single
     pushed filter.
+
+    ``ordered=False`` drops the O1 key sort for callers that immediately
+    re-aggregate or merge the batch (the sort is a global range-partition
+    exchange — pure waste when no pagination consumes the order).
     """
     df = path_index
     if options.from_last_modified is not None:
@@ -62,7 +68,8 @@ def list_paths(path_index: DataFrame, options: ListPathsOptions) -> DataFrame:
         df = df.where(F.lower(F.col("pathUrlEncoded")).like(prefix + "%"))
     if options.from_key is not None:
         df = df.where(F.col("key") > F.lit(options.from_key))
-    df = df.orderBy("key")  # O1 (PathIndexClient.cs:73)
+    if ordered:
+        df = df.orderBy("key")  # O1 (PathIndexClient.cs:73)
     if options.limit is not None:
         df = df.limit(options.limit)
     return df

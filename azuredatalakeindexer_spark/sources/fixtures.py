@@ -82,8 +82,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ftype == "bigint" and fname in _TS_NAMES:
             raise ValueError(
                 f"fixture {name}.{fname} is bigint but looks like a timestamp "
-                "column not registered in _NANOS_TS — add it so the ns→µs "
-                "conversion applies instead of silently staying integer"
+                "column with no registered conversion — identify how the "
+                "generator encoded it FIRST (epoch nanos? micros? days, as a "
+                "date column like o_orderdate would be?) and extend _NANOS_TS "
+                "only if it is genuinely nanos; other encodings need their "
+                "own branch, not the ns→µs division"
             )
     return df
 

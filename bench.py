@@ -51,6 +51,8 @@ HEADLINE = [
     "train_corpus",
     "embedding_topk",
     "ann_lsh_topk",
+    "ann_lsh_mt_topk",
+    "ann_ivf_topk",
     "lang_id",
     "quality_score",
     "doc_fingerprints",
@@ -94,6 +96,7 @@ def ann_recall_metrics(spark, sf_dir: str) -> dict[str, float]:
         brute_force_topk,
         ivf_topk,
         lsh_bucketed_topk,
+        lsh_multitable_topk,
     )
     from azuredatalakeindexer_spark.sources.fixtures import load_table
 
@@ -131,7 +134,12 @@ def ann_recall_metrics(spark, sf_dir: str) -> dict[str, float]:
             bf, lsh_bucketed_topk(emb, q, k=10, sign_dims=4, n_flip_bits=4)
         ),
         "lsh_d8_f2_planted_neardup": planted_hits / q.count(),
+        "lsh_mt_8x8": ann_recall(
+            bf, lsh_multitable_topk(emb, q, k=10, sign_dims=8, n_tables=8)
+        ),
         "ivf_c16_p2": ann_recall(bf, ivf_topk(emb, q, k=10, n_centroids=16, n_probe=2)),
+        # the documented DEFAULT ANN path: recall >= 0.8 (floor also pinned
+        # in tests/test_dedup_similarity.py::test_ann_recall_floors)
         "ivf_c32_p4": ann_recall(bf, ivf_topk(emb, q, k=10, n_centroids=32, n_probe=4)),
     }
     bf.unpersist()
