@@ -195,6 +195,11 @@ def main() -> None:
                     "the oracle computes from parquet directly",
                     "first_query": "first timed query pays one-time plan "
                     "codegen (~4s); steady-state is ~0.6s (amortized at scale)",
+                    "upsert_merge": "r3->r4 +32% investigated (VERDICT r4 "
+                    "next-#4): operator and plan unchanged; re-timing the "
+                    "identical query twice in one session gives 2.8s then "
+                    "1.5s — the delta is JIT/codegen variance at sub-second "
+                    "real work, not a regression",
                 },
                 "sf": sf,
             }
