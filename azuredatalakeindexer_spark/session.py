@@ -27,6 +27,15 @@ def get_spark(app_name: str = "adls-indexer", cpus: int | None = None) -> SparkS
         # One shuffle partition per core locally; a cluster keeps its own
         # setting (2-3x total cores) or lets AQE coalesce.
         builder = builder.config("spark.sql.shuffle.partitions", str(cpus))
+        # Local mode defaults to a 1g driver heap regardless of machine
+        # size — with N executor threads sharing it, scan/aggregate buffers
+        # OOM long before the hardware does (observed at the 5x-replicated
+        # bench SF).  Size the single local JVM like the executor it stands
+        # in for; a real cluster sets its own executor/driver memory and is
+        # untouched by this branch.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     return (
         builder
         # AQE: coalesce tiny shuffle partitions, split skewed ones at runtime.
