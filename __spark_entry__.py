@@ -1016,6 +1016,19 @@ def q_decontam_report(spark, sf):
     return ngram_contamination(docs, bench, n=8)
 
 
+def q_fuzzy_decontam(spark, sf):
+    """Fuzzy (near-duplicate) decontamination: MinHash-LSH banding between
+    the training split and a benchmark split of the documents table, exact
+    shingle-Jaccard rescoring — catches the paraphrased eval leakage the
+    exact n-gram check (`decontam_report`) misses."""
+    from azuredatalakeindexer_spark.operators.decontam import fuzzy_contamination_pairs
+
+    docs = _docs(spark, sf)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    return fuzzy_contamination_pairs(train, bench, threshold=0.2)
+
+
 def q_pii_redaction(spark, sf):
     """PII redaction over documents with deterministically injected PII
     (emails / IPv4 / long digit runs): redacted text + per-pattern counts."""
@@ -1755,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "user_running_stats": q_user_running_stats,
         # -- 3. round-5 additions / changed queries ---------------------
+        "fuzzy_decontam": q_fuzzy_decontam,
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
@@ -1768,10 +1782,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_events": q_stream_upsert_events,
         "stream_deleted_index": q_stream_deleted_index,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "list_changed_paths": q_list_changed_paths,
         # ---------------- 50-entry window boundary ---------------------
         # -- 5. rotation tail: ALL green in CORRECTNESS_r04.json; -------
-        # --    re-window next rounds -----------------------------------
+        # --    re-window next rounds (list_changed_paths additionally
+        # --    runs every round as the entry() smoke check) ------------
+        "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
         "iso_ts": q_iso_ts,
         "events_json_extract": q_events_json_extract,
@@ -2126,6 +2141,29 @@ def oracle_sql() -> dict[str, str]:
     sqls["dedup_minhash_lsh"] = f"""
       WITH {minhash_ctes("documents")}
       SELECT id_a, id_b FROM pairs
+    """
+
+    # bipartite (train x bench) banding: band the whole table (banding is
+    # per-document deterministic), split by the fixture's % 17 rule, then
+    # exact-Jaccard rescore — mirrors fuzzy_contamination_pairs
+    sqls["fuzzy_decontam"] = f"""
+      WITH {minhash_ctes("documents")},
+      tb AS (SELECT doc_id, band, bh FROM banded WHERE doc_id % 17 != 0),
+      bb AS (SELECT doc_id AS bench_id, band, bh FROM banded WHERE doc_id % 17 = 0),
+      cand AS (
+        SELECT DISTINCT tb.doc_id, bb.bench_id
+        FROM tb JOIN bb USING (band, bh)),
+      cscored AS (
+        SELECT cand.doc_id, cand.bench_id,
+               len(list_intersect(a.grams, b.grams)) AS inter,
+               len(a.grams) AS na, len(b.grams) AS nb
+        FROM cand
+        JOIN nonempty a ON a.doc_id = cand.doc_id
+        JOIN nonempty b ON b.doc_id = cand.bench_id)
+      SELECT doc_id, bench_id,
+             round(inter / (na + nb - inter), 6) AS jaccard
+      FROM cscored
+      WHERE round(inter / (na + nb - inter), 6) >= 0.2
     """
 
     # connected components over the same pair graph: min reachable id via a

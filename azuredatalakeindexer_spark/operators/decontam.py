@@ -85,6 +85,92 @@ def ngram_contamination(
     )
 
 
+def fuzzy_contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Cross-corpus NEAR-duplicate contamination: MinHash-LSH banding
+    between the training corpus and a benchmark/eval set.
+
+    :func:`ngram_contamination` catches verbatim n-gram overlap; this
+    catches the paraphrased/reformatted eval leakage that exact n-grams
+    miss (whitespace changes, a reworded sentence) — the fuzzy
+    decontamination pass modern pretraining pipelines run alongside the
+    exact one.  A (train, bench) pair is a candidate when any band of
+    their MinHash signatures collides (the same banding scheme as
+    :func:`~azuredatalakeindexer_spark.operators.dedup.minhash_lsh_pairs`);
+    candidates are then rescored with the EXACT shingle Jaccard, so the
+    reported similarity is true overlap, not an estimate.
+
+    Plan shape: banding is per-document and narrow on both sides; the
+    benchmark side (small by construction) broadcasts into the band
+    equi-join, candidates dedup to id pairs before rescoring, and the
+    rescore joins the train shingle relation once — the corpus never
+    self-joins and the bipartite fan-out is bounded by |bench| per band
+    bucket.  Returns ``(doc_id, bench_id, jaccard)`` for pairs ≥
+    ``threshold``.
+    """
+    from azuredatalakeindexer_spark.functions.text import (
+        band_key,
+        gram_hashes,
+        minhash_signature,
+    )
+    from azuredatalakeindexer_spark.operators.dedup import _shingled
+
+    band_size = num_hashes // bands
+
+    def prep(df: DataFrame, ident: str) -> tuple[DataFrame, DataFrame]:
+        # shingles feed banding AND exact rescoring — tokenize once
+        sh = _shingled(df, text_col, id_col, shingle).localCheckpoint()
+        hashed = sh.select(F.col(id_col), gram_hashes(F.col("grams")).alias("hs"))
+        sig = hashed.select(
+            F.col(id_col), minhash_signature(F.col("hs"), num_hashes).alias("sig")
+        )
+        banded = sig.select(
+            F.col(id_col).alias(ident),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_key(F.col("sig"), b, band_size).alias("bh"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bk"),
+        ).select(ident, "bk.band", "bk.bh")
+        return sh, banded
+
+    tsh, tband = prep(docs, id_col)
+    bsh, bband = prep(benchmark, "bench_id")
+    cand = (
+        tband.join(F.broadcast(bband), ["band", "bh"])
+        .select(id_col, "bench_id")
+        .distinct()
+    )
+    ga = tsh.select(F.col(id_col), F.col("grams").alias("_ga"))
+    gb = bsh.select(F.col(id_col).alias("bench_id"), F.col("grams").alias("_gb"))
+    return (
+        cand.join(ga, id_col)
+        .join(F.broadcast(gb), "bench_id")
+        .withColumn("_inter", F.size(F.array_intersect("_ga", "_gb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter") / (F.size("_ga") + F.size("_gb") - F.col("_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col(id_col), F.col("bench_id"), F.col("jaccard"))
+    )
+
+
 def redact_pii(
     docs: DataFrame,
     text_col: str = "text",

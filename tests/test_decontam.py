@@ -71,3 +71,33 @@ def test_repetition_stats_known_values(spark):
     assert abs(out[0]["top_bigram_frac"] - 3 / 5) < 1e-6   # "spam ham" ×3
     assert out[1]["dup_2gram_frac"] == 0.0 and out[1]["top_bigram_frac"] == 0.2
     assert out[2]["n_bigrams"] == 0 and out[2]["top_bigram_frac"] == 0.0
+
+
+def test_fuzzy_contamination_catches_paraphrase_and_skips_unrelated(spark):
+    """Planted leakage: a training doc that is a benchmark doc with one word
+    changed must surface with high exact-rescored Jaccard; an unrelated doc
+    must not appear.  The exact n-gram check (8-grams) would need a long
+    verbatim run — the near-dup pass is what catches this edit."""
+    from azuredatalakeindexer_spark.operators.decontam import (
+        fuzzy_contamination_pairs,
+    )
+
+    bench_text = (
+        "what is the capital of france paris is the capital and largest city"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, bench_text.replace("largest", "biggest")),  # paraphrased leak
+            (2, "completely unrelated text about spark shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in fuzzy_contamination_pairs(train, bench).collect()}
+    assert 1 in out and out[1]["bench_id"] == 100
+    assert out[1]["jaccard"] > 0.5
+    assert 2 not in out
+    plan = fuzzy_contamination_pairs(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -23,7 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_FULL_CORRECTNESS") != "1",
-    reason="full 88-query oracle replay (~3 min); set SPARK_GRAFT_FULL_CORRECTNESS=1",
+    reason="full oracle replay of every registered query (~3 min); set SPARK_GRAFT_FULL_CORRECTNESS=1",
 )
 def test_all_registered_queries_match_oracle():
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
