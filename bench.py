@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_simhash",
     "ngram_jaccard",
+    "fuzzy_decontam",
     "train_corpus",
     "embedding_topk",
     "ann_lsh_topk",
