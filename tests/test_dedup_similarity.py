@@ -461,6 +461,47 @@ def test_span_dedup_drops_repeated_spans_and_reassembles(spark):
     assert out[3]["cleaned"] == " ".join(f"z{i}" for i in range(5))
 
 
+def test_span_dedup_keeps_zero_chunk_docs(spark):
+    """ADVICE r4: documents with empty/whitespace-only text must appear in
+    the output with n_chunks = 0 rather than vanishing — a pipeline
+    reassembling the corpus from span_dedup output must not lose docs."""
+    from azuredatalakeindexer_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "some normal words in a document here"),
+            (2, ""),          # no tokens at all
+            (3, "    "),      # whitespace-only
+        ],
+        ["doc_id", "text"],
+    )
+    for kwargs in ({}, {"broadcast_repeats": True}):
+        out = {r["doc_id"]: r for r in span_dedup(docs, span_words=10, **kwargs).collect()}
+        assert set(out) == {1, 2, 3}
+        assert (out[2]["n_chunks"], out[2]["n_kept"], out[2]["cleaned"]) == (0, 0, "")
+        assert (out[3]["n_chunks"], out[3]["n_kept"], out[3]["cleaned"]) == (0, 0, "")
+        assert out[1]["n_kept"] == 1
+
+
+def test_fuzzy_contamination_empty_benchmark_is_empty(spark):
+    from azuredatalakeindexer_spark.operators.decontam import fuzzy_contamination_pairs
+
+    train = spark.createDataFrame(
+        [(1, "some words that form a training document")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert fuzzy_contamination_pairs(train, bench).count() == 0
+
+
+def test_embedding_near_dup_single_vector_is_empty(spark):
+    from azuredatalakeindexer_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [0.5] * 8)], "vec_id long, embedding array<double>"
+    )
+    assert embedding_near_dup_pairs(emb, sign_dims=4).count() == 0
+
+
 def test_span_dedup_broadcast_repeats_identical_and_text_stays_local(spark):
     from azuredatalakeindexer_spark.operators.dedup import span_dedup
     from azuredatalakeindexer_spark.sources.fixtures import load_table
