@@ -211,12 +211,19 @@ def ngram_jaccard_pairs(
         F.struct(F.col(id_col).alias("id"), F.size("grams").alias("n")).alias("doc"),
         F.explode("grams").alias("gram"),
     )
-    # the doc-frequency cap is a bucket-size filter (df(gram) == len(bucket)),
-    # bounding collect_list memory by construction
+    # the doc-frequency cap is applied BEFORE any array is built: a window
+    # count sizes each gram bucket (no arrays, spillable sort state), the
+    # filter drops singleton and boilerplate grams, and only then does
+    # collect_list materialize a bucket — so no task ever holds a
+    # mega-bucket (df = 10^8 boilerplate shingle) in memory.  The window
+    # and the groupBy share the gram partitioning, so Catalyst plans ONE
+    # exchange for both.
+    wg = Window.partitionBy("gram")
     buckets = (
-        exploded.groupBy("gram")
+        exploded.withColumn("_df", F.count(F.lit(1)).over(wg))
+        .where((F.col("_df") > 1) & (F.col("_df") <= max_doc_freq))
+        .groupBy("gram")
         .agg(F.collect_list("doc").alias("xs"))
-        .where((F.size("xs") > 1) & (F.size("xs") <= max_doc_freq))
     )
     cand = (
         _bucket_pairs(buckets)

@@ -79,6 +79,28 @@ def test_mega_bucket_output_stays_linear(spark):
     assert {r["hamming"] for r in sp.collect()} == {0}
 
 
+def test_ngram_mega_gram_never_collected(spark):
+    """A boilerplate shingle shared by every document (df ≫ max_doc_freq)
+    must be dropped by the windowed df count BEFORE collect_list builds any
+    array — candidates then come only from rare shingles, and the common
+    gram contributes no pairs.  (Previously the mega-bucket was collected
+    and THEN filtered — an OOM at corpus-scale df.)"""
+    n = 300
+    boiler = "common header words three"  # one shared 3-shingle source
+    rows = [
+        (i, boiler + f" unique{i} tail{i} words{i} here{i}") for i in range(n)
+    ]
+    # two planted near-dups sharing a rare shingle
+    rows.append((n, "rare alpha beta gamma delta shared suffix one"))
+    rows.append((n + 1, "rare alpha beta gamma delta shared suffix two"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(docs, threshold=0.4, max_doc_freq=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (n, n + 1) in got
+    # the 300 boiler-sharing docs must not pair up through the common gram
+    assert all(a >= n for a, _ in got)
+
+
 def test_bucket_cap_boundary_keeps_clique(spark):
     """At exactly max_bucket_size members the full clique is still emitted."""
     rows = [(i, "identical tiny document body with enough words to shingle") for i in range(5)]
