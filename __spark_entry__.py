@@ -1368,6 +1368,38 @@ def q_stream_exact_dedup(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_minhash_dedup(spark, sf):
+    """Streaming NEAR-dup dedup: drain document arrivals (1 file per
+    trigger → multiple micro-batches) into the incremental MinHash
+    band-bucket-min state, then report each document's near-dup
+    representative as a view over the final state.  Bucket minima are
+    associative, so the drained state — and therefore the report — must
+    equal the batch computation over the whole corpus (the oracle replays
+    the full banding chain in SQL)."""
+    from azuredatalakeindexer_spark.streaming.corpus import (
+        rep_assignments_from_band_state,
+        run_stream_minhash_state,
+    )
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="adls_smh_")
+    try:
+        docs_dir = os.path.join(root, "docs")
+        docs.repartition(4).write.parquet(docs_dir)
+        schema = spark.read.parquet(docs_dir).schema
+        state_dir = os.path.join(root, "state")
+        ckpt = os.path.join(root, "ckpt")
+        run_stream_minhash_state(
+            spark, docs_dir, schema, state_dir, ckpt, max_files_per_trigger=1
+        )
+        state = spark.read.parquet(state_dir)
+        return _persisted(
+            spark, rep_assignments_from_band_state(docs, state)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _place_stream_file(src: str, d: str, i: int) -> None:
     """Move a part file into the stream dir as slice ``i`` with a forced
     modification time — FileStreamSource orders by mtime, so this pins
@@ -1769,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_stats": q_user_running_stats,
         # -- 3. round-5 additions / changed queries ---------------------
         "fuzzy_decontam": q_fuzzy_decontam,
+        "stream_minhash_dedup": q_stream_minhash_dedup,
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
@@ -1781,11 +1814,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_run_metrics": q_indexer_run_metrics,
         "stream_upsert_events": q_stream_upsert_events,
         "stream_deleted_index": q_stream_deleted_index,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # ---------------- 50-entry window boundary ---------------------
         # -- 5. rotation tail: ALL green in CORRECTNESS_r04.json; -------
         # --    re-window next rounds (list_changed_paths additionally
-        # --    runs every round as the entry() smoke check) ------------
+        # --    runs every round as the entry() smoke check; the minhash
+        # --    banding chain is freshly exercised in-window by
+        # --    stream_minhash_dedup and fuzzy_decontam) ----------------
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
         "iso_ts": q_iso_ts,
@@ -2141,6 +2176,21 @@ def oracle_sql() -> dict[str, str]:
     sqls["dedup_minhash_lsh"] = f"""
       WITH {minhash_ctes("documents")}
       SELECT id_a, id_b FROM pairs
+    """
+
+    # streaming minhash state: the drained band-bucket minima equal the
+    # batch minima, so the rep view replays as pure SQL over the full chain
+    sqls["stream_minhash_dedup"] = f"""
+      WITH {minhash_ctes("documents")},
+      bmins AS (SELECT band, bh, min(doc_id) AS bmin FROM banded GROUP BY band, bh),
+      reps AS (
+        SELECT b.doc_id, min(m.bmin) AS rep_id
+        FROM banded b JOIN bmins m USING (band, bh)
+        GROUP BY b.doc_id)
+      SELECT d.doc_id,
+             coalesce(r.rep_id, d.doc_id) AS rep_id,
+             (coalesce(r.rep_id, d.doc_id) = d.doc_id)::INT AS is_kept
+      FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id
     """
 
     # bipartite (train x bench) banding: band the whole table (banding is

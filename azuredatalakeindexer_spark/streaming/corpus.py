@@ -95,6 +95,149 @@ def run_stream_exact_dedup(
     )
 
 
+def _doc_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle: int,
+) -> DataFrame:
+    """(doc_id, band, bh) via the SAME shingle/minhash/band expressions as
+    the batch ``operators/dedup.py::minhash_lsh_pairs`` — streaming and
+    batch can never disagree on a bucket."""
+    from azuredatalakeindexer_spark.functions.text import (
+        band_key,
+        gram_hashes,
+        minhash_signature,
+    )
+    from azuredatalakeindexer_spark.operators.dedup import _shingled
+
+    band_size = num_hashes // bands
+    sh = _shingled(df, text_col, id_col, shingle)
+    hashed = sh.select(F.col(id_col).alias("doc_id"), gram_hashes(F.col("grams")).alias("hs"))
+    sig = hashed.select("doc_id", minhash_signature(F.col("hs"), num_hashes).alias("sig"))
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    band_key(F.col("sig"), b, band_size).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+
+
+def _merge_band_state(spark: SparkSession, batch_mins: DataFrame, state_dir: str) -> None:
+    """Associative merge of per-batch band-bucket minima into the state."""
+    if os.path.isdir(state_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(state_dir)
+    ):
+        existing = spark.read.parquet(state_dir)
+        merged = (
+            existing.unionByName(batch_mins)
+            .groupBy("band", "bh")
+            .agg(F.min("bmin").alias("bmin"))
+        )
+    else:
+        merged = batch_mins
+    tmp = state_dir.rstrip("/") + f"__tmp_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(state_dir):
+        shutil.rmtree(state_dir)
+    os.replace(tmp, state_dir)
+
+
+def run_stream_minhash_state(
+    spark: SparkSession,
+    docs_dir: str,
+    schema: StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming NEAR-dup state: maintain the MinHash band-bucket minima
+    ``(band, bh, bmin)`` incrementally as documents arrive.
+
+    ``min`` per bucket is associative/commutative, so — like the exact-dedup
+    state — ANY micro-batch chopping converges to the same state table: the
+    band-bucket minima over the whole corpus.  The near-dup verdict is then
+    a pure function of that state (:func:`rep_assignments_from_band_state`),
+    which makes the whole pipeline batch-split invariant WITHOUT having to
+    replay a greedy order-dependent "first doc wins" rule (greedy diverges
+    from batch clustering on chain-shaped graphs; bucket-min stars do not).
+
+    At 100 TB the state is one row per non-empty band bucket (≤ docs ×
+    bands, typically far fewer); per-batch work is one map-side-combined
+    groupBy of the batch's bands plus a merge partitioned by (band, bh).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        mins = (
+            _doc_bands(batch, text_col, id_col, num_hashes, bands, shingle)
+            .groupBy("band", "bh")
+            .agg(F.min("doc_id").alias("bmin"))
+        )
+        _merge_band_state(batch.sparkSession, mins, state_dir)
+
+    (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def rep_assignments_from_band_state(
+    docs: DataFrame,
+    band_state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-dup representative per document, as a VIEW over the band state:
+    ``rep_id = min(bucket minimum over the doc's bands)`` — the same
+    star-around-the-min-member semantics as the batch bucket guard
+    (`_bounded_bucket_pairs`).  ``is_kept = (rep_id == doc_id)``; documents
+    with no shingles (empty text) are their own representative.
+
+    One band equi-join against the (small) state and one per-doc min — the
+    corpus never self-joins.  Returns ``(doc_id, rep_id, is_kept)``.
+    """
+    banded = _doc_bands(docs, text_col, id_col, num_hashes, bands, shingle)
+    reps = (
+        banded.join(band_state, ["band", "bh"])
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("rep_id"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"),
+            (F.coalesce("rep_id", F.col("doc_id")) == F.col("doc_id"))
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )
+
+
 def run_stream_curated_dedup(
     spark: SparkSession,
     docs_dir: str,

@@ -216,3 +216,55 @@ def test_curated_stream_gates_and_is_split_invariant(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert 0 < a.count() < docs.count()  # the gate dropped something
     assert a.agg(F.sum("dup_count")).collect()[0][0] < docs.count()
+
+
+def test_stream_minhash_state_split_invariant_and_matches_batch_star(spark, tmp_path):
+    """The band-bucket-min state must be identical whether the stream is
+    drained 1 file per trigger or all at once (min is associative), and the
+    rep view over it must assign every near-identical doc to the bucket-min
+    representative — the same star semantics as the batch bucket guard."""
+    from azuredatalakeindexer_spark.streaming.corpus import (
+        rep_assignments_from_band_state,
+        run_stream_minhash_state,
+    )
+
+    near = "the quick brown fox jumps over the lazy dog again today"
+    distinct_texts = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "parquet row groups carry min max statistics for file pruning",
+        "watermarks bound state retention in append mode aggregations",
+        "broadcast joins avoid shuffling the large probe side entirely",
+    ]
+    docs = spark.createDataFrame(
+        [(i, near) for i in range(8)]          # 8 near-identical (exact) docs
+        + [(100 + i, t) for i, t in enumerate(distinct_texts)]
+        + [(200, "")],                          # shingle-less doc
+        "doc_id long, text string",
+    )
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+
+    states = []
+    for name, mft in (("chopped", 1), ("whole", None)):
+        state = str(tmp_path / f"state_{name}")
+        run_stream_minhash_state(
+            spark, docs_dir, schema, state, str(tmp_path / f"ckpt_{name}"),
+            max_files_per_trigger=mft,
+        )
+        states.append(
+            sorted(map(tuple, spark.read.parquet(state).collect()))
+        )
+    assert states[0] == states[1]
+
+    reps = {
+        r["doc_id"]: (r["rep_id"], r["is_kept"])
+        for r in rep_assignments_from_band_state(
+            docs, spark.read.parquet(str(tmp_path / "state_whole"))
+        ).collect()
+    }
+    for i in range(8):                      # every clone reps to doc 0
+        assert reps[i] == (0, 1 if i == 0 else 0)
+    for i in range(4):                      # distinct docs keep themselves
+        assert reps[100 + i][1] == 1
+    assert reps[200] == (200, 1)            # shingle-less doc is its own rep
