@@ -148,6 +148,24 @@ def ann_recall_metrics(spark, sf_dir: str) -> dict[str, float]:
     return {k: round(v, 3) for k, v in out.items()}
 
 
+def _release_session_state(spark) -> None:
+    """Drop block-manager state a finished query left behind.
+
+    Several operators ``localCheckpoint``/``persist`` intermediates
+    (shingle relations, CC labels, the indexer's mapped batch); each query
+    in isolation releases or bounds its own state, but bench runs 31 of
+    them back-to-back in ONE JVM, so orphaned blocks accumulate on the
+    16 GiB local heap and late queries pay GC thrash for early queries'
+    leftovers (observed: ngram_jaccard 8 s vs 84 s depending on bench
+    position — it runs 6-10 s in a fresh session).  In production each
+    query is its own application/job, so releasing between timings is the
+    representative measurement, not a benchmark cheat.
+    """
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -172,6 +190,7 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        _release_session_state(spark)
 
     recall = ann_recall_metrics(spark, sf_dir)
 
