@@ -1029,6 +1029,35 @@ def q_fuzzy_decontam(spark, sf):
     return fuzzy_contamination_pairs(train, bench, threshold=0.2)
 
 
+def q_events_range_join(spark, sf):
+    """Batch binned range join (operators/rangejoin.py): every view event
+    joined to every click within [view_ts, view_ts + 60 s) with NO equality
+    key — the inequality-join shape Catalyst alone can only plan as a
+    BroadcastNestedLoopJoin.  Binning both sides on the 60 s window width
+    manufactures an equi-key (right: 1 bin; left: ≤2 bins), so the plan is
+    an ordinary shuffled join at any scale.  The oracle is DuckDB's native
+    inequality join — two independent formulations."""
+    from azuredatalakeindexer_spark.operators.rangejoin import range_join_binned
+
+    ev = load_table(spark, sf, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    out = range_join_binned(
+        views, clicks, "view_ts", "click_ts", 0, 60 * 1_000_000
+    )
+    return out.select(
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+        _fmt(F.col("view_ts")).alias("view_ts"),
+        _fmt(F.col("click_ts")).alias("click_ts"),
+    )
+
+
 def q_pii_redaction(spark, sf):
     """PII redaction over documents with deterministically injected PII
     (emails / IPv4 / long digit runs): redacted text + per-pattern counts."""
@@ -1748,10 +1777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. The 5 entries that had NEVER received a driver correctness row
        through round 4 (VERDICT r4 finding #1) lead the window.
     2. The round-2/3 rotation tail — entries whose last driver row is from
-       r02/r03 — re-windows in full (32 entries).
+       r02/r03 — re-windows (a few unchanged pure-SQL rollups yield their
+       slot to the round-5 additions and drop to section 5, keeping their
+       r02/r03 rows as evidence).
     3. Round-5 additions and changed queries (approx tolerance gates,
        span_dedup zero-chunk rows, partitioned fast path, the new
-       multi-table LSH), which need fresh rows.
+       multi-table LSH, binned range join), which need fresh rows.
     4. Flagship compositions re-confirmed every round (e2e indexer,
        streaming drains, MinHash).
     5. Rotation tail: everything below the boundary was green in
@@ -1788,7 +1819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "distinct_users_daily": q_distinct_users_daily,
         "events_sessionize": q_events_sessionize,
-        "orders_cube": q_orders_cube,
         "region_rollup": q_region_rollup,
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
@@ -1803,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontam": q_fuzzy_decontam,
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
+        "events_range_join": q_events_range_join,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -1815,11 +1846,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_events": q_stream_upsert_events,
         "stream_deleted_index": q_stream_deleted_index,
         # ---------------- 50-entry window boundary ---------------------
-        # -- 5. rotation tail: ALL green in CORRECTNESS_r04.json; -------
-        # --    re-window next rounds (list_changed_paths additionally
-        # --    runs every round as the entry() smoke check; the minhash
-        # --    banding chain is freshly exercised in-window by
+        # -- 5. rotation tail: green in CORRECTNESS_r04.json (or, for ---
+        # --    entries displaced by the round-5 additions above, in ----
+        # --    r02/r03 — unchanged pure-SQL rollups); re-window next ---
+        # --    rounds (list_changed_paths additionally runs every ------
+        # --    round as the entry() smoke check; the minhash banding ---
+        # --    chain is freshly exercised in-window by -----------------
         # --    stream_minhash_dedup and fuzzy_decontam) ----------------
+        "orders_cube": q_orders_cube,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -2191,6 +2225,19 @@ def oracle_sql() -> dict[str, str]:
              coalesce(r.rep_id, d.doc_id) AS rep_id,
              (coalesce(r.rep_id, d.doc_id) = d.doc_id)::INT AS is_kept
       FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id
+    """
+
+    # the binned range join must equal DuckDB's native inequality join —
+    # two independent formulations (bin equi-join vs IEJoin)
+    sqls["events_range_join"] = f"""
+      SELECT v.event_id AS view_id, c.event_id AS click_id,
+             date_diff('microsecond', v.ts::TIMESTAMP, c.ts::TIMESTAMP) AS delay_us,
+             strftime(v.ts::TIMESTAMP, '{TS_FMT_DUCK}') AS view_ts,
+             strftime(c.ts::TIMESTAMP, '{TS_FMT_DUCK}') AS click_ts
+      FROM events v JOIN events c
+        ON c.ts::TIMESTAMP >= v.ts::TIMESTAMP
+       AND c.ts::TIMESTAMP < v.ts::TIMESTAMP + INTERVAL 60 SECOND
+      WHERE v.event_type = 'view' AND c.event_type = 'click'
     """
 
     # bipartite (train x bench) banding: band the whole table (banding is
