@@ -1058,6 +1058,22 @@ def q_events_range_join(spark, sf):
     )
 
 
+def q_classifier_scores(spark, sf):
+    """Hash-trick linear quality classifier (operators/classifier.py):
+    tokens → portable-hash buckets → broadcast dim-row weight table → one
+    groupBy(doc) margin.  The margin is an exact int64 sum (immune to
+    float summation order), so both engines agree bit-for-bit; the
+    sigmoid score is rounded to 6 places.  Weights here are the
+    deterministic reference model; trained-model convergence is pinned in
+    tests/test_classifier.py."""
+    from azuredatalakeindexer_spark.operators.classifier import (
+        reference_weights,
+        score_documents,
+    )
+
+    return score_documents(_docs(spark, sf), reference_weights(spark))
+
+
 def q_pii_redaction(spark, sf):
     """PII redaction over documents with deterministically injected PII
     (emails / IPv4 / long digit runs): redacted text + per-pattern counts."""
@@ -1819,7 +1835,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "distinct_users_daily": q_distinct_users_daily,
         "events_sessionize": q_events_sessionize,
-        "region_rollup": q_region_rollup,
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
         "shipping_priority": q_shipping_priority,
@@ -1834,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
         "events_range_join": q_events_range_join,
+        "classifier_scores": q_classifier_scores,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -1854,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --    chain is freshly exercised in-window by -----------------
         # --    stream_minhash_dedup and fuzzy_decontam) ----------------
         "orders_cube": q_orders_cube,
+        "region_rollup": q_region_rollup,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -2238,6 +2255,31 @@ def oracle_sql() -> dict[str, str]:
         ON c.ts::TIMESTAMP >= v.ts::TIMESTAMP
        AND c.ts::TIMESTAMP < v.ts::TIMESTAMP + INTERVAL 60 SECOND
       WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """
+
+    # hash-trick classifier: the margin is an exact int64 sum over token
+    # instances (no float summation-order hazard); only the final sigmoid
+    # is floating point, rounded to 6.  * and % are same-precedence
+    # left-associative in BOTH SQL and the Python building the Spark
+    # expression, so ((b+1)*MULT) % MOD binds identically.
+    sqls["classifier_scores"] = f"""
+      WITH tok AS (
+        SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+      ),
+      m AS (
+        SELECT doc_id,
+               sum((({_ph('tok', 0)}) % 4096 + 1) * 2654435761 % 1000003
+                   - 500001) AS margin_int,
+               count(*) AS n_tokens
+        FROM tok GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(m.n_tokens, 0) AS n_tokens,
+             coalesce(m.margin_int, 0) AS margin_int,
+             coalesce(
+               round(1 / (1 + exp(-(8.0 * m.margin_int / (m.n_tokens * 500001.0)))), 6),
+               0.5) AS score
+      FROM documents d LEFT JOIN m USING (doc_id)
     """
 
     # bipartite (train x bench) banding: band the whole table (banding is
