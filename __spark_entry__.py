@@ -1169,6 +1169,31 @@ def q_ann_ivf_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def q_ann_index_topk(spark, sf):
+    """Persisted IVF index (sources/ann_index.py): build the index to
+    parquet (centroids + cell-partitioned postings), then answer top-k
+    from the SAVED layout with static partition pruning of unprobed
+    cells.  Same seed quantizer as `ann_ivf_topk`, so the saved-index
+    rows are bit-identical to the in-memory path and the oracle replays
+    the whole index from the raw embeddings."""
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = _emb(spark, sf)
+    q = emb.where(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="adls_ivfidx_")
+    try:
+        build_ivf_index(emb, root, n_centroids=16)
+        out = query_ivf_index(spark, root, q, k=5, n_probe=2)
+        return _persisted(
+            spark, out.withColumn("rank", F.col("rank").cast("int"))
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_frames(spark, sf):
     """Frame sampling: mapInPandas exploding each payload into N frame rows
     with per-frame byte-window fingerprints."""
@@ -1840,7 +1865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
         "late_orders_exists": q_late_orders_exists,
-        "events_pivot": q_events_pivot,
         "zorder_values": q_zorder_values,
         "events_gapfill": q_events_gapfill,
         "user_running_stats": q_user_running_stats,
@@ -1850,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
         "events_range_join": q_events_range_join,
         "classifier_scores": q_classifier_scores,
+        "ann_index_topk": q_ann_index_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -1871,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --    stream_minhash_dedup and fuzzy_decontam) ----------------
         "orders_cube": q_orders_cube,
         "region_rollup": q_region_rollup,
+        "events_pivot": q_events_pivot,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -2477,6 +2503,11 @@ def oracle_sql() -> dict[str, str]:
       FROM scored
       QUALIFY rank <= 5
     """
+
+    # the saved-index query is bit-identical to the in-memory IVF path on
+    # the same seed quantizer (parquet roundtrips floats exactly), so the
+    # oracle is the same full index replay
+    sqls["ann_index_topk"] = sqls["ann_ivf_topk"]
 
     mt_cb = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, {_sign_bucket_sql('v', 8, t * 8)} AS bkt FROM c"

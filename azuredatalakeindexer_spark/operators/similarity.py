@@ -155,6 +155,46 @@ def brute_force_topk_np(
     )
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF coarse quantizer as a ``(cid, cvec)`` relation: the caller's
+    learned centroids if given, else the deterministic seed quantizer (the
+    first ``n_centroids`` corpus vectors by id) that the correctness
+    oracle can replay in SQL."""
+    if centroids is not None:
+        return centroids.select("cid", "cvec")
+    return corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+
+def assign_cells(
+    df: DataFrame, cents: DataFrame, ident: str, vec: str, keep: int
+) -> DataFrame:
+    """Nearest-``keep`` centroid cells per vector: corpus × broadcast
+    centroids, ranked on the ROUNDED cosine so cell assignment is stable
+    across engines/platforms (ties broken by centroid id).  Output:
+    ``(ident, vec, cell)`` — the shared primitive of the in-memory IVF
+    path, the saved-index builder, and the probe side."""
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        df[ident],
+        df[vec],
+        F.col("cid"),
+        F.round(cosine_expr(F.col(vec), F.col("cvec")), 6).alias("_ccos"),
+    )
+    w = Window.partitionBy(ident).orderBy(F.col("_ccos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .where(F.col("_crank") <= keep)
+        .select(ident, vec, F.col("cid").alias("cell"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -177,34 +217,12 @@ def ivf_topk(
     join is an equi-join on the cell id.  Per-query scoring work drops to
     ~n_probe/n_centroids of the corpus.
     """
-    if centroids is None:
-        cents = corpus.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-        )
-    else:
-        cents = centroids.select("cid", "cvec")
-
-    def assign(df: DataFrame, ident: str, vec: str, keep: int) -> DataFrame:
-        # rank on the ROUNDED cosine so cell assignment is stable across
-        # engines/platforms (ties broken by centroid id)
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            df[ident],
-            df[vec],
-            F.col("cid"),
-            F.round(cosine_expr(F.col(vec), F.col("cvec")), 6).alias("_ccos"),
-        )
-        w = Window.partitionBy(ident).orderBy(F.col("_ccos").desc(), F.col("cid"))
-        return (
-            scored.withColumn("_crank", F.row_number().over(w))
-            .where(F.col("_crank") <= keep)
-            .select(ident, vec, F.col("cid").alias("cell"))
-        )
-
-    inverted = assign(corpus, id_col, vec_col, 1)
+    cents = seed_centroids(corpus, n_centroids, vec_col, id_col, centroids)
+    inverted = assign_cells(corpus, cents, id_col, vec_col, 1)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    probes = assign(q, "query_id", "_qvec", n_probe)
+    probes = assign_cells(q, cents, "query_id", "_qvec", n_probe)
     scored = (
         inverted.join(F.broadcast(probes), "cell")
         .where(F.col(id_col) != F.col("query_id"))

@@ -1,0 +1,109 @@
+"""Persisted IVF ANN index — build once, probe many, prune partitions.
+
+`operators.similarity.ivf_topk` recomputes the corpus→cell inversion on
+every call; at 100 TB that inversion IS the expensive pass (one scan +
+one cell shuffle), and production retrieval amortizes it: build the index
+once, then serve many query batches against the saved layout.  The index
+is two parquet relations:
+
+- ``<path>/centroids`` — the ``(cid, cvec)`` coarse quantizer (k rows);
+- ``<path>/postings`` — the inverted file: every corpus vector under its
+  nearest cell, written ``partitionBy("cell")`` so each cell is its own
+  parquet directory.
+
+Probing reads ONLY the probed cells: the query batch is assigned to its
+``n_probe`` nearest centroids (broadcast of k rows), the ≤ |q|·n_probe
+distinct cell ids are collected (bounded by k — model-sized, not
+data-sized), and the postings scan applies them as a static partition
+filter — Spark's file index prunes every other cell's directory without
+listing a single row.  ``queried.inputFiles()`` shrinks accordingly,
+which the tests pin.  Scoring within probed cells is the same
+rounded-cosine + rank pipeline as the in-memory path, so a saved-index
+query returns bit-identical rows to ``ivf_topk`` on the same quantizer —
+the DuckDB oracle replays the whole index from the raw embeddings.
+
+At real scale the same layout maps to a metastore table partitioned (or
+Liquid-clustered) by cell; nothing here assumes local paths.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from azuredatalakeindexer_spark.operators.similarity import (
+    assign_cells,
+    cosine_expr,
+    seed_centroids,
+)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Write the IVF index for ``corpus`` under ``path``.
+
+    ``centroids``: pass ``kmeans_centroids(corpus, ...)`` for the learned
+    quantizer; default is the deterministic seed quantizer (oracle-
+    replayable).  Cost: one corpus scan × broadcast centroids + one
+    write shuffled by cell — the amortized-away pass.
+    """
+    cents = seed_centroids(corpus, n_centroids, vec_col, id_col, centroids)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    inverted = assign_cells(corpus, cents, id_col, vec_col, 1)
+    # one directory per cell: the probe-time partition-pruning unit
+    inverted.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/postings")
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a saved index; reads only the probed cells' partitions.
+
+    Returns ``(query_id, neighbor_id, cosine, rank)`` — bit-identical to
+    ``ivf_topk`` with the same quantizer (pinned by test + oracle).
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    probes = assign_cells(q, cents, "query_id", "_qvec", n_probe)
+    # the distinct probed cells are model-sized (≤ n_centroids ints):
+    # collecting them makes the partition filter a literal IN-list the
+    # file index prunes STATICALLY — no row of an unprobed cell is read
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("cell").isin(cells)
+    )
+    scored = (
+        postings.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
