@@ -2301,7 +2301,7 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT d.doc_id,
              coalesce(m.n_tokens, 0) AS n_tokens,
-             coalesce(m.margin_int, 0) AS margin_int,
+             coalesce(m.margin_int, 0)::BIGINT AS margin_int,
              coalesce(
                round(1 / (1 + exp(-(8.0 * m.margin_int / (m.n_tokens * 500001.0)))), 6),
                0.5) AS score
