@@ -62,6 +62,9 @@ HEADLINE = [
     "temperature_mix",
     "shuffle_shards",
     "span_dedup",
+    "events_range_join",
+    "classifier_scores",
+    "ann_index_topk",
 ]
 
 
