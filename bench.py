@@ -197,7 +197,13 @@ def main() -> None:
 
     recall = ann_recall_metrics(spark, sf_dir)
 
-    duck = duckdb_timings(sf_dir, HEADLINE)
+    # SPARK_GRAFT_SKIP_DUCKDB=1 skips the oracle timing pass — for large
+    # scaled-SF runs where DuckDB's ngram/train_corpus oracles run for
+    # tens of minutes and the point of the run is the SPARK scaling curve
+    if os.environ.get("SPARK_GRAFT_SKIP_DUCKDB"):
+        duck = {}
+    else:
+        duck = duckdb_timings(sf_dir, HEADLINE)
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
