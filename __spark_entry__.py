@@ -1208,11 +1208,35 @@ def q_embedding_near_dup(spark, sf):
     return embedding_near_dup_pairs(_emb(spark, sf), threshold=0.1, sign_dims=4)
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup embedding-cluster dedup: seed-quantizer cells, exists-
+    dominance drop of the higher-centroid-cos member of any within-cell
+    pair with cosine >= 0.3 (fixture embeddings are weakly correlated, so
+    the paper's 0.95 regime would be a no-op here; 0.3 drops ~20% at
+    sf0.01).  max_cell=4096 keeps every fixture cell (max 79 at sf0.1) on
+    the clique path the oracle replays; the star-guard degradation is
+    pinned in tests/test_dedup_similarity.py instead."""
+    from azuredatalakeindexer_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf), n_centroids=32, threshold=0.3, max_cell=4096
+    ).withColumn("kept", F.col("kept").cast("int"))
+
+
 def q_lang_id(spark, sf):
     """Language-ID heuristic (lexicon hit argmax)."""
     out = language_id(_docs(spark, sf))
     hits = [c for c in out.columns if c.startswith("hits_")]
     return out.select("doc_id", "pred_lang", *[F.col(c).cast("bigint").alias(c) for c in hits])
+
+
+def q_domain_quality_gate(spark, sf):
+    """Per-domain quality percentile gate: keep the top half of each source
+    by quality score (exact row_number semantics — the oracle-replayed
+    path; the approx_percentile scale path is pinned in pytest)."""
+    from azuredatalakeindexer_spark.operators.textops import domain_quality_gate
+
+    return domain_quality_gate(_docs(spark, sf), keep_frac=0.5)
 
 
 def q_quality_score(spark, sf):
@@ -1823,11 +1847,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        r02/r03 rows as evidence).
     3. Round-5 additions and changed queries (approx tolerance gates,
        span_dedup zero-chunk rows, partitioned fast path, the new
-       multi-table LSH, binned range join), which need fresh rows.
+       multi-table LSH, binned range join, SemDeDup, the per-domain
+       quality gate), which need fresh rows.
     4. Flagship compositions re-confirmed every round (e2e indexer,
-       streaming drains, MinHash).
-    5. Rotation tail: everything below the boundary was green in
-       CORRECTNESS_r04.json and stays registered — pytest +
+       MinHash).  The two streaming drains (`stream_upsert_events`,
+       `stream_deleted_index`) sit first past the boundary this round:
+       both have green r04 rows, are unchanged, and were replayed green
+       locally (tools/check_correctness.py full run, this round).
+    5. Rotation tail: everything below the boundary has a green row in a
+       prior round's CORRECTNESS_r*.json and stays registered — pytest +
        tools/check_correctness.py cover ALL entries every round; these
        re-window next rounds.
     """
@@ -1875,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "classifier_scores": q_classifier_scores,
         "ann_index_topk": q_ann_index_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "domain_quality_gate": q_domain_quality_gate,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -2509,6 +2539,29 @@ def oracle_sql() -> dict[str, str]:
     # oracle is the same full index replay
     sqls["ann_index_topk"] = sqls["ann_ivf_topk"]
 
+    # SemDeDup (operators/similarity.py:semantic_dedup): seed-quantizer
+    # cells + exists-dominance within-cell drop — b is dropped iff a
+    # same-cell a with (ccos, id) strictly below b's has cosine >= 0.3
+    sqls["semantic_dedup"] = f"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, v AS cvec FROM c WHERE vec_id < 32),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell, ccos AS centroid_cos FROM (
+          SELECT c.vec_id, c.v, cents.cid, {_cos('c.v', 'cents.cvec')} AS ccos,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_cos('c.v', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM c, cents) t WHERE r = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id AS did
+        FROM assigned a JOIN assigned b ON a.cell = b.cell
+         AND (a.centroid_cos < b.centroid_cos
+              OR (a.centroid_cos = b.centroid_cos AND a.vec_id < b.vec_id))
+        WHERE {_cos('a.v', 'b.v')} >= 0.3)
+      SELECT a.vec_id, a.cell, a.centroid_cos,
+             (CASE WHEN d.did IS NULL THEN 1 ELSE 0 END)::INT AS kept
+      FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.did
+    """
+
     mt_cb = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, {_sign_bucket_sql('v', 8, t * 8)} AS bkt FROM c"
         for t in range(4)
@@ -2614,6 +2667,37 @@ def oracle_sql() -> dict[str, str]:
                  + 0.25 * least(mean_len / 8.0, 1.0)
                  + 0.5 * sw_ratio, 6) AS quality
       FROM feats
+    """
+
+    # per-domain quality gate (operators/textops.py:domain_quality_gate,
+    # exact path): rank by quality within source, keep ceil(0.5 × n)
+    sqls["domain_quality_gate"] = f"""
+      WITH toks AS (SELECT doc_id, source, {_WORDS} AS words FROM documents),
+      feats AS (
+        SELECT doc_id, source,
+               len(words) AS n_tok,
+               CASE WHEN len(words) > 0
+                 THEN (list_sum(list_transform(words, t -> length(t))))::DOUBLE / len(words)
+                 ELSE 0.0 END AS mean_len,
+               CASE WHEN len(words) > 0
+                 THEN len(list_filter(words, t -> list_contains({en_lex}, t))) / len(words)
+                 ELSE 0.0 END AS sw_ratio
+        FROM toks),
+      scored AS (
+        SELECT doc_id, source,
+               round(0.25 * least(n_tok / 100.0, 1.0)
+                   + 0.25 * least(mean_len / 8.0, 1.0)
+                   + 0.5 * sw_ratio, 6) AS quality
+        FROM feats),
+      ranked AS (
+        SELECT doc_id, source, quality,
+               count(*) OVER (PARTITION BY source) AS n_domain,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM scored)
+      SELECT doc_id, source, quality, n_domain::BIGINT AS n_domain,
+             (CASE WHEN rn <= greatest(1, ceil(0.5 * n_domain)) THEN 1 ELSE 0 END)::INT AS kept
+      FROM ranked
     """
 
     # ---- end-to-end training-corpus funnel (plans/corpus.py) -----------

@@ -174,13 +174,15 @@ def seed_centroids(
 
 
 def assign_cells(
-    df: DataFrame, cents: DataFrame, ident: str, vec: str, keep: int
+    df: DataFrame, cents: DataFrame, ident: str, vec: str, keep: int, with_score: bool = False
 ) -> DataFrame:
     """Nearest-``keep`` centroid cells per vector: corpus × broadcast
     centroids, ranked on the ROUNDED cosine so cell assignment is stable
     across engines/platforms (ties broken by centroid id).  Output:
     ``(ident, vec, cell)`` — the shared primitive of the in-memory IVF
-    path, the saved-index builder, and the probe side."""
+    path, the saved-index builder, and the probe side.  ``with_score``
+    appends the (rounded) cosine to the assigned centroid as
+    ``centroid_cos`` — the keep-priority signal of :func:`semantic_dedup`."""
     scored = df.crossJoin(F.broadcast(cents)).select(
         df[ident],
         df[vec],
@@ -188,10 +190,13 @@ def assign_cells(
         F.round(cosine_expr(F.col(vec), F.col("cvec")), 6).alias("_ccos"),
     )
     w = Window.partitionBy(ident).orderBy(F.col("_ccos").desc(), F.col("cid"))
+    out = [ident, vec, F.col("cid").alias("cell")]
+    if with_score:
+        out.append(F.col("_ccos").alias("centroid_cos"))
     return (
         scored.withColumn("_crank", F.row_number().over(w))
         .where(F.col("_crank") <= keep)
-        .select(ident, vec, F.col("cid").alias("cell"))
+        .select(*out)
     )
 
 
@@ -307,6 +312,87 @@ def kmeans_centroids(
             newC[r["cid"]][r["dim"]] = r["m"]
         C = newC
     return to_df(C)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 32,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    max_cell: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    drop within-cluster semantic duplicates by pairwise cosine.
+
+    Keep-priority follows the paper: among a duplicate pair the member
+    with the LOWER cosine to its centroid survives (outliers carry more
+    information than prototypical near-copies), ties broken by id.  A
+    vector is dropped iff some same-cell vector with strictly higher
+    keep-priority — ``(centroid_cos, id)`` ascending — has pairwise cosine
+    ≥ ``threshold`` with it.  This exists-dominance rule is one-pass and
+    embarrassingly parallel (the sequential greedy scan of the paper's
+    reference implementation is inherently serial); it can only drop a
+    superset of the sequential rule's casualties within a cell, which for
+    a dedup gate is the conservative direction.
+
+    Physical shape for 100 TB:
+
+    - centroids are k×d — broadcast; assignment never shuffles the corpus
+      (``assign_cells``), only the (id, cell, centroid_cos) projection
+      rides the one cell shuffle;
+    - within-cell candidates route through the mega-bucket guard
+      (:func:`~azuredatalakeindexer_spark.operators.dedup._bounded_bucket_pairs`):
+      cells above ``max_cell`` members degrade from the O(m²) clique to a
+      linear star around the top-priority member, so a boilerplate cell
+      cannot blow up the pair count.  Size ``n_centroids ≈ n / target_cell``
+      so typical cells stay under the guard;
+    - candidate pairs are id-only; the exact cosine rescore joins back to
+      the vector table twice (hash joins bounded by candidate count), so
+      vectors never sit inside a ``collect_list``.
+
+    Pass ``centroids=kmeans_centroids(...)`` for learned cells; the default
+    seed quantizer (first ``n_centroids`` vectors by id) is deterministic
+    and SQL-replayable, which is what the correctness oracle exercises.
+
+    Returns one row per input vector: ``(id_col, cell, centroid_cos,
+    kept)`` with ``kept ∈ {0, 1}`` — consumers filter ``kept = 1`` for the
+    pruned corpus and keep the flag relation for audit.
+    """
+    from azuredatalakeindexer_spark.operators.dedup import _bounded_bucket_pairs
+
+    cents = seed_centroids(corpus, n_centroids, vec_col, id_col, centroids)
+    assigned = assign_cells(corpus, cents, id_col, vec_col, 1, with_score=True).select(
+        id_col, "cell", "centroid_cos"
+    )
+    # keep-priority struct: min over (centroid_cos, id) = the survivor the
+    # star guard anchors on; _bounded_bucket_pairs emits a < b, i.e. a is
+    # always the higher-priority side of the pair.
+    members = assigned.select(
+        "cell",
+        F.struct(F.col("centroid_cos").alias("p"), F.col(id_col).alias("id")).alias("_m"),
+    )
+    cand = _bounded_bucket_pairs(members, ["cell"], "_m", max_cell)
+    va = corpus.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    dropped = (
+        cand.select(F.col("a.id").alias("_ida"), F.col("b.id").alias("_idb"))
+        .join(va, "_ida")
+        .join(vb, "_idb")
+        .where(F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_idb").alias("_dropped"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped, assigned[id_col] == F.col("_dropped"), "left_outer"
+    ).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("centroid_cos"),
+        F.when(F.col("_dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )
 
 
 def ann_recall(exact: DataFrame, approx: DataFrame) -> float:

@@ -10,7 +10,7 @@ narrow transformations — zero shuffles.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from azuredatalakeindexer_spark.operators.util import ensure_parallelism
 from azuredatalakeindexer_spark.functions.text import (
@@ -110,6 +110,74 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         cols["mean_token_len"].alias("mean_token_len"),
         cols["stopword_ratio"].alias("stopword_ratio"),
         cols["quality"].alias("quality"),
+    )
+
+
+def domain_quality_gate(
+    docs: DataFrame,
+    keep_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    approx: bool = False,
+) -> DataFrame:
+    """Per-domain quality percentile gate (FineWeb-style curation): keep the
+    top ``keep_frac`` of each domain by :func:`quality_columns` score, so a
+    low-quality-on-average domain still contributes its best documents
+    instead of being wiped out by one global threshold.
+
+    Two physical strategies with the same intent:
+
+    - ``approx=False`` (default, exact, the oracle-replayed semantics):
+      rank within domain via ``row_number`` over (quality DESC, id ASC) and
+      keep ``rn <= max(1, ceil(keep_frac × n_domain))``.  One shuffle on the
+      domain key; the window is a total sort WITHIN each domain, so a
+      mega-domain (half the crawl is one registrar) serializes through few
+      reducers — correct but skew-exposed at 100 TB.
+    - ``approx=True`` (the scale path): per-domain quality threshold from
+      ``approx_percentile`` (a tiny grouped agg — map-side combined,
+      k-domain rows), broadcast-joined back; keep ``quality >= threshold``.
+      No per-domain sort, no skew cliff; boundary ties make the kept count
+      approximate (>= the exact count), pinned against the exact gate in
+      tests rather than the SQL oracle.
+
+    Returns one row per input document — ``(id_col, domain_col, quality,
+    n_domain, kept)`` — so consumers audit the gate before filtering
+    ``kept = 1``.
+    """
+    docs = ensure_parallelism(docs)
+    base = docs.select(F.col(id_col), F.col(domain_col), tokens(F.col(text_col)).alias("_toks"))
+    cols = quality_columns(F.col("_toks"))
+    scored = base.select(F.col(id_col), F.col(domain_col), cols["quality"].alias("quality"))
+    wd = Window.partitionBy(domain_col)
+    if approx:
+        thr = scored.groupBy(domain_col).agg(
+            F.percentile_approx("quality", 1.0 - keep_frac).alias("_thr"),
+            F.count(F.lit(1)).alias("n_domain"),
+        )
+        return scored.join(F.broadcast(thr), domain_col).select(
+            F.col(id_col),
+            F.col(domain_col),
+            "quality",
+            F.col("n_domain").cast("bigint").alias("n_domain"),
+            (F.col("quality") >= F.col("_thr")).cast("int").alias("kept"),
+        )
+    ranked = scored.select(
+        F.col(id_col),
+        F.col(domain_col),
+        "quality",
+        F.count(F.lit(1)).over(wd).alias("n_domain"),
+        F.row_number()
+        .over(wd.orderBy(F.col("quality").desc(), F.col(id_col).asc()))
+        .alias("_rn"),
+    )
+    n_keep = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(keep_frac) * F.col("n_domain")))
+    return ranked.select(
+        F.col(id_col),
+        F.col(domain_col),
+        "quality",
+        F.col("n_domain").cast("bigint").alias("n_domain"),
+        (F.col("_rn") <= n_keep).cast("int").alias("kept"),
     )
 
 

@@ -554,3 +554,96 @@ def test_cluster_canonical_picks_quality_argmax(spark):
     out = {r["cluster_id"]: r for r in cluster_canonical(scored).collect()}
     assert out[10]["doc_id"] == 2 and out[10]["n_members"] == 3
     assert out[40]["doc_id"] == 4 and out[40]["n_members"] == 1
+
+
+def test_semantic_dedup_drops_prototypes_keeps_outliers(spark):
+    """SemDeDup keep-priority: within a duplicate pair the member with the
+    LOWER centroid cosine survives; cross-cell near-dups are (documented)
+    candidate misses; singleton cells always keep their member."""
+    import numpy as np
+
+    from azuredatalakeindexer_spark.operators.similarity import semantic_dedup
+
+    c0 = np.zeros(8); c0[0] = 10.0
+    c1 = np.zeros(8); c1[1] = 10.0
+    as_list = lambda v: [float(x) for x in v]
+    rows = [
+        (0, as_list(c0)),                    # seed centroid of cell 0
+        (1, as_list(c1)),                    # seed centroid of cell 1
+        # a near-identical pair in cell 0: doc 2 is the prototype (closer
+        # to the centroid), doc 3 the slightly-off copy
+        (2, as_list(c0 + 0.01)),
+        (3, as_list(c0 + 0.30)),
+        # an unrelated singleton direction -> its own cosine-far member
+        (4, [0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        emb, n_centroids=2, threshold=0.95, max_cell=64
+    ).collect()}
+    assert len(out) == 5                      # one row per input vector
+    # docs 0/2/3 share cell 0 and are pairwise-identical-grade; exactly the
+    # lowest-centroid-cos member survives
+    trio = [out[i] for i in (0, 2, 3)]
+    assert {r["cell"] for r in trio} == {0}
+    kept = [r["vec_id"] for r in trio if r["kept"] == 1]
+    lowest = min(trio, key=lambda r: (r["centroid_cos"], r["vec_id"]))
+    assert kept == [lowest["vec_id"]]
+    # doc 1 is its own centroid, doc 4 is cosine-orthogonal to both cells —
+    # whatever cell 4 lands in, nothing is near it, so both are kept
+    assert out[1]["kept"] == 1 and out[4]["kept"] == 1
+
+
+def test_semantic_dedup_mega_cell_star_guard(spark):
+    """A cell above max_cell degrades to the linear star: output stays one
+    row per vector, the top-priority member survives, every identical
+    copy is dropped, and no O(m^2) clique is materialized."""
+    from azuredatalakeindexer_spark.operators.similarity import semantic_dedup
+
+    n = 40
+    base = [1.0] * 8
+    rows = [(i, base) for i in range(n)]     # one boilerplate embedding × 40
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, n_centroids=1, threshold=0.99, max_cell=8)
+    rows_out = out.collect()
+    assert len(rows_out) == n
+    kept = sorted(r["vec_id"] for r in rows_out if r["kept"] == 1)
+    # identical vectors: centroid_cos ties at 1.0, id-asc breaks -> vec 0
+    assert kept == [0]
+    # star guard: the plan carries no collect_list over the mega cell's
+    # members (the clique branch filters it out), so candidate pairs are
+    # linear in the cell size
+    assert out.where(F.col("kept") == 0).count() == n - 1
+
+
+def test_semantic_dedup_accepts_learned_centroids(spark):
+    """kmeans_centroids plugs into semantic_dedup via the centroids= hook
+    (the learned-quantizer production path)."""
+    import numpy as np
+
+    from azuredatalakeindexer_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for c in range(2):
+        center = np.zeros(8); center[c] = 5.0
+        for i in range(20):
+            rows.append((c * 20 + i, [float(x) for x in center + rng.normal(0, 0.1, 8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    km = kmeans_centroids(emb, k=2, iters=3)
+    out = semantic_dedup(emb, threshold=0.9, centroids=km)
+    got = out.collect()
+    assert len(got) == 40
+    # the learned cells reproduce the two planted clusters; every within-
+    # cell pair clears the 0.9 threshold (0.1-sigma jitter on a norm-5
+    # center), so exists-dominance collapses each cell to its single
+    # lowest-(centroid_cos, id) survivor
+    assert {r["cell"] for r in got} == {0, 1}
+    for cell in (0, 1):
+        members = [r for r in got if r["cell"] == cell]
+        kept = [r["vec_id"] for r in members if r["kept"] == 1]
+        best = min(members, key=lambda r: (r["centroid_cos"], r["vec_id"]))
+        assert kept == [best["vec_id"]]

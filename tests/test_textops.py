@@ -127,3 +127,74 @@ def test_histogram_partitions_all_rows(spark):
     h = histogram_by(ev, ["event_type"], "value", n_bins=10).collect()
     assert sum(r.n for r in h) == ev.count()       # every row lands in a bin
     assert all(0 <= r.bucket <= 9 for r in h)      # max value clamped to last
+
+
+def _domain_docs(spark):
+    # quality is monotone in length here (longer text -> more tokens ->
+    # higher n_tok term), so per-domain ranking is hand-checkable
+    mk = lambda n: " ".join(["the fast small data"] * n)
+    return spark.createDataFrame(
+        [
+            (1, "a", mk(1)),
+            (2, "a", mk(2)),
+            (3, "a", mk(3)),
+            (4, "a", mk(4)),
+            (5, "b", mk(1)),
+            (6, "b", mk(5)),
+            (7, "b", mk(6)),
+            (8, "c", mk(2)),          # singleton domain
+        ],
+        "doc_id long, source string, text string",
+    )
+
+
+def test_domain_quality_gate_exact_keeps_top_frac_per_domain(spark):
+    from azuredatalakeindexer_spark.operators.textops import domain_quality_gate
+
+    out = {r["doc_id"]: r for r in domain_quality_gate(
+        _domain_docs(spark), keep_frac=0.5
+    ).collect()}
+    assert len(out) == 8                          # one row per doc, flagged
+    # domain a: 4 docs, ceil(0.5*4)=2 -> two longest (4, 3) kept
+    assert [out[i]["kept"] for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    assert out[1]["n_domain"] == 4
+    # domain b: 3 docs, ceil(1.5)=2 -> docs 7 and 6
+    assert [out[i]["kept"] for i in (5, 6, 7)] == [0, 1, 1]
+    # singleton domain always keeps its doc (the max(1, ...) floor)
+    assert out[8]["kept"] == 1 and out[8]["n_domain"] == 1
+
+
+def test_domain_quality_gate_approx_threshold_semantics(spark):
+    """The approx_percentile scale path: kept = quality >= the domain's
+    threshold, so within each domain every kept doc outranks every dropped
+    doc and the kept count is >= the exact gate's (boundary ties only
+    widen the kept set)."""
+    from azuredatalakeindexer_spark.operators.textops import domain_quality_gate
+
+    docs = _domain_docs(spark)
+    exact = domain_quality_gate(docs, keep_frac=0.5).collect()
+    approx = domain_quality_gate(docs, keep_frac=0.5, approx=True).collect()
+    assert len(approx) == len(exact) == 8
+    by_dom = {}
+    for r in approx:
+        by_dom.setdefault(r["source"], []).append(r)
+    for dom, rs in by_dom.items():
+        kept_q = [r["quality"] for r in rs if r["kept"] == 1]
+        drop_q = [r["quality"] for r in rs if r["kept"] == 0]
+        assert kept_q, dom                        # never empties a domain
+        if drop_q:
+            assert min(kept_q) > max(drop_q)
+    exact_kept = sum(r["kept"] for r in exact)
+    approx_kept = sum(r["kept"] for r in approx)
+    assert approx_kept >= exact_kept
+
+
+def test_domain_quality_gate_approx_broadcasts_thresholds(spark):
+    """Plan shape of the scale path: the per-domain threshold relation
+    joins back via BroadcastHashJoin — no sort of the corpus by domain."""
+    from azuredatalakeindexer_spark.operators.textops import domain_quality_gate
+
+    out = domain_quality_gate(_domain_docs(spark), keep_frac=0.5, approx=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
