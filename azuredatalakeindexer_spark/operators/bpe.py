@@ -1,0 +1,185 @@
+"""Distributed BPE tokenizer training + vocabulary-cached encoding.
+
+Byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909) as a Spark-first
+pipeline stage: the corpus is touched ONCE to build the ``(word, count)``
+vocabulary relation, and every training iteration then runs on that
+vocabulary table — classically ~10³-10⁷ rows regardless of corpus size —
+so 100 TB of text trains at the cost of one corpus shuffle plus
+``n_merges`` vocabulary-sized jobs.  Per iteration only ONE (left, right,
+count) row crosses to the driver — model traffic, exactly like
+``kmeans_centroids``.
+
+Symbol-string representation (the trick that keeps every step a built-in
+JVM expression AND SQL-replayable by the DuckDB oracle): a word's current
+segmentation is stored as each symbol wrapped in single spaces and
+concatenated — ``[a, bc]`` ↔ ``' a  bc '`` (note the doubled space between
+symbols: a's trailing + bc's leading wrapper).  Applying merge (l, r) is
+then the plain-string ``replace(' l  r ', ' lr ')``: because every symbol
+owns BOTH its delimiters, consecutive occurrences never share a boundary
+character, so one left-to-right non-overlapping ``replace`` pass — the
+exact semantics of both Spark's and DuckDB's ``replace`` — reproduces the
+greedy "merge all occurrences" BPE iteration, including runs of identical
+symbols (``' a  a  a  a '`` → ``' aa  aa '`` in one pass).  No regex, no
+UDF, no lookahead (which RE2/DuckDB lacks anyway).
+
+Words cannot contain whitespace (they come from the whitespace tokenizer),
+so the space wrapper is collision-free.  Merges never cross word
+boundaries (standard word-level BPE).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from azuredatalakeindexer_spark.functions.text import tokens
+from azuredatalakeindexer_spark.operators.util import ensure_parallelism
+
+#: merge-table schema shared by train_bpe and its consumers
+MERGE_SCHEMA = "rank int, left string, right string, merged string, pair_count bigint"
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The ``(word, wcount)`` vocabulary relation — the ONLY corpus-wide
+    pass of BPE training (one explode + one hash-aggregate shuffle,
+    map-side combined)."""
+    docs = ensure_parallelism(docs)
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+
+
+def _char_sym_str(word: F.Column) -> F.Column:
+    """Initial segmentation: every character wrapped ``' c '``."""
+    return F.concat_ws(
+        "",
+        F.transform(F.split(word, ""), lambda c: F.concat(F.lit(" "), c, F.lit(" "))),
+    )
+
+
+def _symbols(sym_str: F.Column) -> F.Column:
+    """Back from the wrapped string to the symbol array: trim the outer
+    single spaces, split on the doubled inter-symbol space."""
+    return F.split(F.trim(sym_str), "  ")
+
+
+def pair_counts(vocab_syms: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a ``(sym_str, wcount)`` vocabulary:
+    ``(left, right, cnt)`` weighted by word frequency.  Vocabulary-sized
+    explode + one small aggregate — never touches the corpus."""
+    syms = _symbols(F.col("sym_str"))
+    pairs = F.arrays_zip(
+        F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))).alias("l"),
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))).alias("r"),
+    )
+    return (
+        vocab_syms.select(F.explode(pairs).alias("p"), F.col("wcount"))
+        .select(F.col("p.l").alias("left"), F.col("p.r").alias("right"), "wcount")
+        .where((F.col("left") != "") & (F.col("right") != ""))
+        .groupBy("left", "right")
+        .agg(F.sum("wcount").alias("cnt"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the rank-ordered merge table
+    ``(rank, left, right, merged, pair_count)``.
+
+    Iteration = one vocabulary-sized pair-count aggregate, a deterministic
+    argmax (``cnt DESC, left ASC, right ASC`` — single LIMIT 1 row to the
+    driver), and one narrow ``replace`` over the vocabulary, re-anchored
+    with ``localCheckpoint`` so plan depth stays O(1) per round (at 100 TB
+    use a reliable checkpoint / scratch table, as with
+    ``connected_components``).  Stops early if no pair remains.
+
+    The correctness oracle unrolls these exact steps as chained SQL CTEs
+    (``__spark_entry__.py::oracle_sql()['bpe_train']``), so the whole
+    training trajectory — not just the final vocab — is cross-checked.
+    """
+    vocab = (
+        word_vocab(docs, text_col, id_col)
+        .select(_char_sym_str(F.col("word")).alias("sym_str"), "wcount")
+        .localCheckpoint()
+    )
+    spark = docs.sparkSession
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
+        merges.append((rank, l, r, l + r, cnt))
+        vocab = vocab.withColumn(
+            "sym_str",
+            F.replace(
+                F.col("sym_str"), F.lit(f" {l}  {r} "), F.lit(f" {l + r} ")
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def apply_merges(words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word") -> DataFrame:
+    """Segment each distinct word with a learned merge list (rank order):
+    adds ``bpe_tokens array<string>`` and ``n_bpe bigint``.
+
+    The merge chain is a stack of plain ``replace`` expressions over the
+    wrapped symbol string — pure codegen, no shuffle.  For vocabularies ×
+    merge-lists where an expression stack per merge would blow the codegen
+    budget (the round-4 expression-tree lesson), production swaps this for
+    an Arrow ``mapInPandas`` word-level encoder; either way the corpus
+    itself is never re-scanned — encoding joins back over DISTINCT words.
+    """
+    sym = _char_sym_str(F.col(word_col))
+    for l, r in merges:
+        sym = F.replace(sym, F.lit(f" {l}  {r} "), F.lit(f" {l + r} "))
+    toks = _symbols(sym)
+    return words.select(
+        "*",
+        toks.alias("bpe_tokens"),
+        F.size(toks).cast("bigint").alias("n_bpe"),
+    )
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-cached BPE encoding: per-document BPE token counts
+    ``(id_col, n_words, n_bpe_tokens)``.
+
+    Scale shape: the merge chain runs once per DISTINCT word (the
+    vocabulary relation), then a broadcast join maps every (doc, word)
+    occurrence to its cached subword count — the corpus is exploded to
+    id+word pairs but the expensive segmentation never touches it.  This
+    is the distributed analog of the word-cache every production BPE
+    tokenizer keeps in memory.
+    """
+    docs = ensure_parallelism(docs)
+    occurrences = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    vocab = apply_merges(
+        occurrences.select("word").distinct(), merges
+    ).select("word", "n_bpe")
+    return (
+        occurrences.join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

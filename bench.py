@@ -65,6 +65,8 @@ HEADLINE = [
     "events_range_join",
     "classifier_scores",
     "ann_index_topk",
+    "semantic_dedup",
+    "domain_quality_gate",
 ]
 
 
