@@ -1239,6 +1239,58 @@ def q_domain_quality_gate(spark, sf):
     return domain_quality_gate(_docs(spark, sf), keep_frac=0.5)
 
 
+#: query terms for the search-stack queries — drawn from the synthetic
+#: document vocabulary so scores are non-trivial at every SF
+SEARCH_TERMS = ["query", "merge", "stream"]
+
+
+def q_search_bm25(spark, sf):
+    """BM25 full-text top-k over documents — the ranking the reference's
+    `searchable` fields delegate to Azure AI Search (PathIndexClient.cs:49-92),
+    re-expressed as an explicit relation (operators/search.py)."""
+    from azuredatalakeindexer_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf), SEARCH_TERMS, k=20)
+
+
+def q_search_facets(spark, sf):
+    """Azure-Search-style facet counts over the documents corpus (top-5
+    values of the `facetable`-shaped lang/source fields)."""
+    from azuredatalakeindexer_spark.operators.search import facet_counts
+
+    return facet_counts(_docs(spark, sf), ["lang", "source"], top_n=5)
+
+
+def q_search_hybrid_rrf(spark, sf):
+    """Hybrid keyword+vector retrieval: BM25 leg over documents fused with
+    a cosine leg over the aligned embeddings table via Reciprocal Rank
+    Fusion (k=60) — Azure AI Search's hybrid mode, Spark-side."""
+    from azuredatalakeindexer_spark.operators.search import bm25_topk, rrf_fuse
+    from azuredatalakeindexer_spark.operators.similarity import cosine_expr
+
+    docs, emb = _docs(spark, sf), _emb(spark, sf)
+    kw = bm25_topk(docs, SEARCH_TERMS, k=20)
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
+    vec = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_expr(F.col("_qvec"), F.col("embedding")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+    return rrf_fuse([(kw, "bm25"), (vec, "cos")], k=20)
+
+
+def q_search_highlight(spark, sf):
+    """Hit highlighting: first-match position + context snippet for docs
+    containing the term (search-service highlight feature as a relation)."""
+    from azuredatalakeindexer_spark.operators.search import keyword_snippets
+
+    return keyword_snippets(_docs(spark, sf), "merge", radius=20)
+
+
 def q_quality_score(spark, sf):
     """Quality scoring (Gopher/C4-style features)."""
     out = quality_score(_docs(spark, sf))
@@ -1848,7 +1900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3. Round-5 additions and changed queries (approx tolerance gates,
        span_dedup zero-chunk rows, partitioned fast path, the new
        multi-table LSH, binned range join, SemDeDup, the per-domain
-       quality gate), which need fresh rows.
+       quality gate, and the query-side search stack — bm25 / facets /
+       hybrid RRF / highlight), which need fresh rows.  To make room,
+       four more unchanged pure-SQL rollups with r02/r03 rows
+       (pricing_summary, top_customers, events_hourly, region_revenue)
+       dropped to section 5.
     4. Flagship compositions re-confirmed every round (e2e indexer,
        MinHash).  The two streaming drains (`stream_upsert_events`,
        `stream_deleted_index`) sit first past the boundary this round:
@@ -1883,15 +1939,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "events_hourly": q_events_hourly,
         "distinct_users_daily": q_distinct_users_daily,
         "events_sessionize": q_events_sessionize,
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
         "shipping_priority": q_shipping_priority,
-        "region_revenue": q_region_revenue,
         "late_orders_exists": q_late_orders_exists,
         "zorder_values": q_zorder_values,
         "events_gapfill": q_events_gapfill,
@@ -1905,6 +1957,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_topk": q_ann_index_topk,
         "semantic_dedup": q_semantic_dedup,
         "domain_quality_gate": q_domain_quality_gate,
+        "search_bm25": q_search_bm25,
+        "search_facets": q_search_facets,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
+        "search_highlight": q_search_highlight,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -1927,6 +1983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": q_orders_cube,
         "region_rollup": q_region_rollup,
         "events_pivot": q_events_pivot,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_hourly": q_events_hourly,
+        "region_revenue": q_region_revenue,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -2698,6 +2758,78 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, source, quality, n_domain::BIGINT AS n_domain,
              (CASE WHEN rn <= greatest(1, ceil(0.5 * n_domain)) THEN 1 ELSE 0 END)::INT AS kept
       FROM ranked
+    """
+
+    # ---- query-side search stack (operators/search.py) -----------------
+    # terms mirror SEARCH_TERMS sorted+deduped: merge, query, stream.
+    # Expression shapes mirror bm25_topk exactly (same association order)
+    # so the only divergence is sub-ulp libm noise absorbed by round(...,6).
+    bm25_scored = f"""
+      per AS (
+        SELECT doc_id,
+               len(words) AS dl,
+               len(list_filter(words, x -> x = 'merge'))  AS tf0,
+               len(list_filter(words, x -> x = 'query'))  AS tf1,
+               len(list_filter(words, x -> x = 'stream')) AS tf2
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)),
+      stats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM per),
+      bm25_scored AS (
+        SELECT doc_id, round(
+            ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+              / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+              / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+              / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        FROM per, stats),
+      kw AS (SELECT doc_id, bm25 FROM bm25_scored WHERE bm25 > 0
+             ORDER BY bm25 DESC, doc_id LIMIT 20)
+    """
+    sqls["search_bm25"] = f"""
+      WITH {bm25_scored}
+      SELECT doc_id, bm25 FROM kw
+    """
+
+    sqls["search_facets"] = """
+      WITH pairs AS (
+        SELECT 'lang' AS field, lang AS value FROM documents WHERE lang IS NOT NULL
+        UNION ALL
+        SELECT 'source' AS field, source AS value FROM documents WHERE source IS NOT NULL),
+      counts AS (SELECT field, value, count(*) AS n FROM pairs GROUP BY field, value),
+      ranked AS (
+        SELECT field, value, n::BIGINT AS n,
+               (row_number() OVER (PARTITION BY field ORDER BY n DESC, value))::INT AS rank
+        FROM counts)
+      SELECT field, value, n, rank FROM ranked WHERE rank <= 5
+    """
+
+    sqls["search_hybrid_rrf"] = f"""
+      WITH {bm25_scored},
+      kwr AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM kw),
+      ce AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      qv_t AS (SELECT v AS qv FROM ce WHERE vec_id = 0),
+      vec AS (SELECT ce.vec_id AS doc_id, {_COSINE} AS cos
+              FROM ce, qv_t ORDER BY cos DESC, doc_id LIMIT 20),
+      vecr AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY cos DESC, doc_id) AS r FROM vec),
+      u AS (SELECT doc_id, r FROM kwr UNION ALL SELECT doc_id, r FROM vecr)
+      SELECT doc_id, round(sum(1.0 / (60.0 + r)), 6) AS rrf,
+             count(*) AS n_legs
+      FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+
+    sqls["search_highlight"] = """
+      SELECT doc_id,
+             strpos(lower(text), 'merge')::INT AS hit_pos,
+             substring(text, greatest(1, strpos(lower(text), 'merge') - 20), 45) AS snippet
+      FROM documents
+      WHERE strpos(lower(text), 'merge') > 0
     """
 
     # ---- end-to-end training-corpus funnel (plans/corpus.py) -----------

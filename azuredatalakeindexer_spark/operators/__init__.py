@@ -31,6 +31,12 @@ from azuredatalakeindexer_spark.operators.similarity import (
     lsh_bucketed_topk,
     sign_bucket,
 )
+from azuredatalakeindexer_spark.operators.search import (
+    bm25_topk,
+    facet_counts,
+    keyword_snippets,
+    rrf_fuse,
+)
 from azuredatalakeindexer_spark.operators.textops import (
     fingerprints,
     language_id,
@@ -101,4 +107,8 @@ __all__ = [
     "doc_count",
     "observe_reads",
     "run_metrics",
+    "bm25_topk",
+    "facet_counts",
+    "keyword_snippets",
+    "rrf_fuse",
 ]

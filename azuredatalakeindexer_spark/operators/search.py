@@ -1,0 +1,240 @@
+"""Query-side search operators: BM25 ranking, facet counts, hybrid RRF
+fusion, and hit highlighting.
+
+The reference pushes documents INTO Azure AI Search and delegates the query
+side — BM25 full-text ranking, facets, hybrid keyword+vector retrieval —
+to the service (`AzureSearchIndexer/PathIndexClient.cs:49-92` issues
+`SearchAsync` with filter/order/facet options; the index DDL marks fields
+`searchable`/`facetable`, `SearchIndexerTest/Program.cs:55-66`).  A user
+replacing the reference with this engine needs that query surface too, so
+these operators re-express it Spark-side over the same relations.
+
+All pure Catalyst expressions with exact DuckDB oracles.  Scale shapes:
+
+- :func:`bm25_topk` — per-document term frequencies come from
+  ``size(filter(tokens, ...))`` column expressions (a handful of query
+  terms), NOT a corpus-wide token explode: the only wide operation is one
+  1-row global aggregate (tree-reduced partial aggs) that is then
+  crossJoin-broadcast back; the final top-k is ``orderBy().limit()`` which
+  Spark executes as TakeOrderedAndProject (per-partition heaps + driver
+  merge of k rows), never a full sort.  At 100 TB: one narrow corpus scan
+  + one scalar agg + a k-row result.
+- :func:`facet_counts` — one scan, one (field, value) hash aggregate with
+  map-side combine; facet-value cardinality bounds the shuffle, and the
+  per-field top-n window runs on the tiny post-agg relation.
+- :func:`rrf_fuse` — inputs are per-query top-k relations (k rows each),
+  so the rank windows and the fusion groupBy are driver-scale no matter
+  the corpus size; the expensive part is producing the inputs, which have
+  their own scale paths (bm25_topk above, similarity.brute_force_topk /
+  ivf_topk for the vector leg).
+- :func:`keyword_snippets` — embarrassingly parallel narrow projection.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from azuredatalakeindexer_spark.functions.text import tokens
+from azuredatalakeindexer_spark.operators.util import ensure_parallelism
+
+
+def _term_eq(term: str):
+    """Single-arg lambda factory for ``F.filter`` (a 2-arg lambda would
+    receive the array index as its second argument)."""
+    lit = F.lit(term)
+    return lambda x: x == lit
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for a bag of query terms.
+
+    Lucene/Azure-Search-style BM25 (the ranking the reference's
+    `searchable` fields get from the service):
+
+    - ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))``
+    - ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``
+
+    ``tf`` is the in-document count of term ``t`` under the whitespace
+    analyzer (functions.text.tokens — lowercase, F6/F7), ``dl`` the token
+    count, ``N``/``avgdl``/``df`` corpus statistics.  The score is rounded
+    to 6 decimals BEFORE ranking so the cross-engine order is exactly the
+    hashed value; ties break on ``id_col`` asc.  Zero-scoring documents
+    (no query term present) are excluded, like a search service would.
+
+    Scale: tf per term is ``size(filter(tokens, t -> t = term))`` — narrow,
+    no explode/shuffle; corpus stats are ONE global aggregate broadcast
+    back as a 1-row crossJoin; top-k is TakeOrderedAndProject.  df/avgdl
+    derive from the same projection that feeds scoring, so the corpus is
+    tokenized once per pass (twice total: stats pass + scoring pass — at
+    100 TB persist the slim ``(id, dl, tf...)`` projection to skip the
+    second tokenization).
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+    docs = ensure_parallelism(docs)
+    toks = tokens(F.col(text_col))
+    per = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        *[
+            F.size(F.filter(toks, _term_eq(t))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5)) / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        contrib = (idf * tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+        )
+        score = contrib if score is None else score + contrib
+    return (
+        scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def facet_counts(
+    df: DataFrame,
+    facet_cols: Sequence[str],
+    *,
+    top_n: int = 5,
+) -> DataFrame:
+    """Azure-Search-style facet result: the ``top_n`` most frequent values
+    per facetable field, with counts (`facetable` capability in the index
+    DDL, `SearchIndexerTest/Program.cs:62-63`; served by the service at
+    query time, here an explicit relation).
+
+    Output: ``(field, value, n, rank)``; values are stringified (facets
+    are rendered labels); nulls are not facet values and are dropped; ties
+    break on ``value`` asc.
+
+    Scale: the field/value pairs come from one ``explode(map(...))`` over
+    the scan — a narrow per-row expansion by ``len(facet_cols)`` — then a
+    single hash aggregate whose key space is the facet-value cardinality
+    (small by definition of "facetable"), so map-side combine collapses
+    the shuffle; the rank window runs on that tiny aggregate.
+    """
+    if not facet_cols:
+        raise ValueError("facet_counts needs at least one facet column")
+    df = ensure_parallelism(df)
+    pairs = df.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in facet_cols]),
+                F.array(*[F.col(c).cast("string") for c in facet_cols]),
+            )
+        ).alias("field", "value")
+    )
+    counts = (
+        pairs.where(F.col("value").isNotNull())
+        .groupBy("field", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("field").orderBy(F.col("n").desc(), F.col("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("field", "value", "n", "rank")
+    )
+
+
+def rrf_fuse(
+    results: Sequence[tuple[DataFrame, str]],
+    *,
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-Rank-Fusion of several ranked result sets — the hybrid
+    keyword+vector retrieval mode Azure AI Search exposes, re-expressed
+    over this engine's bm25 and ANN legs.
+
+    Each input is ``(df, score_col)``: a per-query candidate relation
+    ranked by ``score_col`` desc (ties on ``id_col`` asc).  Fusion score
+    ``rrf = Σ_legs 1/(rrf_k + rank_leg)`` (standard RRF, k=60 by
+    convention); documents missing from a leg contribute nothing.  Output
+    ``(id_col, rrf, n_legs)`` — rounded to 6 decimals, ranked desc with
+    id-asc tie-break, top ``k``.
+
+    Scale: the legs are already top-k relations (k rows), so the rank
+    windows (single-partition over k rows) and the fusion aggregate are
+    trivially small; never feed a full corpus through this — rank it with
+    the leg operator's own top-k first.
+    """
+    if not results:
+        raise ValueError("rrf_fuse needs at least one ranked input")
+    legs = []
+    for df, score_col in results:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        legs.append(
+            df.select(F.col(id_col), F.row_number().over(w).alias("_rank"))
+        )
+    union = legs[0]
+    for leg in legs[1:]:
+        union = union.unionByName(leg)
+    return (
+        union.groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("_rank"))), 6).alias("rrf"),
+            F.count(F.lit(1)).alias("n_legs"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def keyword_snippets(
+    docs: DataFrame,
+    term: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    radius: int = 20,
+) -> DataFrame:
+    """Hit highlighting: for documents containing ``term``
+    (case-insensitive), the 1-based position of the first hit and a
+    ``radius``-char context snippet around it — the search-service
+    highlight feature as a relation.
+
+    Output ``(id_col, hit_pos, snippet)``.  Scale: a narrow projection +
+    filter, embarrassingly parallel, pushdown-friendly.
+    """
+    if not term:
+        raise ValueError("keyword_snippets needs a non-empty term")
+    needle = term.lower()
+    docs = ensure_parallelism(docs)
+    pos = F.instr(F.lower(F.col(text_col)), needle)
+    start = F.greatest(F.lit(1), pos - F.lit(radius))
+    snippet = F.substring(F.col(text_col), start, F.lit(2 * radius + len(needle)))
+    return docs.where(pos > 0).select(
+        F.col(id_col), pos.alias("hit_pos"), snippet.alias("snippet")
+    )

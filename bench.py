@@ -67,6 +67,8 @@ HEADLINE = [
     "ann_index_topk",
     "semantic_dedup",
     "domain_quality_gate",
+    "search_bm25",
+    "search_hybrid_rrf",
 ]
 
 

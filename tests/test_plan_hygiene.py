@@ -26,6 +26,8 @@ BNLJ_ALLOWED = {
     "value_histogram",     # crossJoin of the SINGLE-ROW global-bounds frame
     "tfidf_top_terms",     # crossJoin of the SINGLE-ROW corpus-size N frame
     "temperature_mix",     # crossJoin of the SINGLE-ROW weight-sum frame
+    "search_bm25",         # crossJoin of the SINGLE-ROW corpus-stats frame
+    "search_hybrid_rrf",   # same bm25 stats frame + SINGLE-ROW query vector
 }
 
 #: queries that RUN work at plan-build time (streaming drains, temp lakes) —

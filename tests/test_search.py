@@ -1,0 +1,138 @@
+"""Query-side search operators: BM25 ranking, facets, RRF fusion,
+highlighting (operators/search.py).
+
+Semantics pinned against hand-computed values on tiny corpora; the DuckDB
+oracle gate covers the full-table parity (`search_*` queries in
+__spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from azuredatalakeindexer_spark.operators.search import (
+    bm25_topk,
+    facet_counts,
+    keyword_snippets,
+    rrf_fuse,
+)
+
+
+def _bm25_ref(tf, dl, n, avgdl, df, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "spark query engine for big data"),        # dl 6
+        (1, "query query query optimizer"),            # dl 4, tf(query)=3
+        (2, "the small dog"),                          # dl 3, no query terms
+        (3, "data data lake"),                         # dl 3, tf(data)=2
+        (4, ""),                                       # dl 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_bm25_matches_hand_formula(tiny_docs):
+    out = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(tiny_docs, ["query", "data"], k=10).collect()
+    }
+    # corpus stats: N=5, dls = 6,4,3,3,0 -> avgdl = 3.2
+    # df(query)=2 (docs 0,1); df(data)=2 (docs 0,3)
+    n, avgdl = 5, 3.2
+    exp0 = _bm25_ref(1, 6, n, avgdl, 2) + _bm25_ref(1, 6, n, avgdl, 2)
+    exp1 = _bm25_ref(3, 4, n, avgdl, 2)
+    exp3 = _bm25_ref(2, 3, n, avgdl, 2)
+    assert out.keys() == {0, 1, 3}          # zero-score docs excluded
+    assert out[0] == pytest.approx(round(exp0, 6), abs=1e-6)
+    assert out[1] == pytest.approx(round(exp1, 6), abs=1e-6)
+    assert out[3] == pytest.approx(round(exp3, 6), abs=1e-6)
+
+
+def test_bm25_rank_order_and_limit(tiny_docs):
+    top = bm25_topk(tiny_docs, ["query", "data"], k=2).collect()
+    scores = [r["bm25"] for r in top]
+    assert len(top) == 2
+    assert scores == sorted(scores, reverse=True)
+    # repeated/mixed-case input terms dedupe to the same result
+    again = bm25_topk(tiny_docs, ["Query", "query", "DATA", "data"], k=2).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in again] == [
+        (r["doc_id"], r["bm25"]) for r in top
+    ]
+
+
+def test_bm25_rejects_empty_query(tiny_docs):
+    with pytest.raises(ValueError):
+        bm25_topk(tiny_docs, [])
+
+
+def test_bm25_is_take_ordered_not_full_sort(tiny_docs):
+    plan = bm25_topk(tiny_docs, ["query"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_facet_counts_top_n_and_ties(spark):
+    rows = [
+        ("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"),
+        ("b", None), ("a", "z"), ("b", "z"),
+    ]
+    df = spark.createDataFrame(rows, "status string, prio string")
+    out = facet_counts(df, ["status", "prio"], top_n=2).collect()
+    got = {(r["field"], r["value"]): (r["n"], r["rank"]) for r in out}
+    # status: a=4 > b=3; prio: x=3 > z=2 > y=1 (cut by top_n=2)
+    assert got[("status", "a")] == (4, 1)
+    assert got[("status", "b")] == (3, 2)
+    assert got[("prio", "x")] == (3, 1)
+    assert got[("prio", "z")] == (2, 2)
+    assert ("prio", "y") not in got        # rank 3, cut by top_n
+    assert ("prio", None) not in got       # nulls are not facet values
+
+
+def test_facet_counts_stringifies_non_string_columns(spark):
+    df = spark.createDataFrame([(1, True), (1, False), (2, True)], "k int, flag boolean")
+    out = {(r["field"], r["value"]): r["n"] for r in facet_counts(df, ["k", "flag"]).collect()}
+    assert out[("k", "1")] == 2 and out[("flag", "true")] == 2
+
+
+def test_rrf_fuse_hand_computed(spark):
+    # leg A ranks: 10(1), 20(2), 30(3); leg B ranks: 20(1), 40(2)
+    a = spark.createDataFrame([(10, 0.9), (20, 0.8), (30, 0.7)], "doc_id long, s double")
+    b = spark.createDataFrame([(20, 0.99), (40, 0.5)], "doc_id long, s double")
+    out = {r["doc_id"]: (r["rrf"], r["n_legs"]) for r in
+           rrf_fuse([(a, "s"), (b, "s")], k=10).collect()}
+    assert out[20] == (pytest.approx(round(1 / 62 + 1 / 61, 6)), 2)
+    assert out[10] == (pytest.approx(round(1 / 61, 6)), 1)
+    assert out[40] == (pytest.approx(round(1 / 62, 6)), 1)
+    # doc in both legs outranks any single-leg doc here
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    assert ranked[0][0] == 20
+
+
+def test_rrf_fuse_tie_breaks_rank_on_id(spark):
+    # equal scores -> rank order decided by doc_id asc
+    a = spark.createDataFrame([(7, 1.0), (3, 1.0)], "doc_id long, s double")
+    out = {r["doc_id"]: r["rrf"] for r in rrf_fuse([(a, "s")], k=10).collect()}
+    assert out[3] == pytest.approx(round(1 / 61, 6))
+    assert out[7] == pytest.approx(round(1 / 62, 6))
+
+
+def test_keyword_snippets_position_and_window(spark):
+    df = spark.createDataFrame(
+        [(0, "A" * 50 + " NeEdLe " + "B" * 50), (1, "no match here"), (2, "needle at start")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in keyword_snippets(df, "needle", radius=5).collect()}
+    assert set(out) == {0, 2}
+    assert out[0]["hit_pos"] == 52
+    assert out[0]["snippet"] == "AAAA NeEdLe BBBB"   # radius 5 each side + len(term)
+    assert out[2]["hit_pos"] == 1
+    assert out[2]["snippet"] == "needle at start"[: 10 + 6]
