@@ -212,6 +212,42 @@ def rrf_fuse(
     )
 
 
+def suggest_terms(
+    docs: DataFrame,
+    prefix: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Autocomplete suggester: the top-``k`` corpus terms completing
+    ``prefix`` (case-insensitive), ranked by document frequency — the
+    search service's autocomplete endpoint over `searchable` fields, as a
+    relation.  Output ``(term, df)``; ties break term-asc.
+
+    Scale: the token array is prefix-filtered BEFORE exploding
+    (``filter(tokens, startswith)``), so the explode emits only matching
+    terms — for a selective prefix that is a tiny fraction of the corpus
+    token stream; df is one (term, doc) distinct-aggregate whose key space
+    is the matching vocabulary; the final top-k is TakeOrderedAndProject.
+    """
+    if not prefix:
+        raise ValueError("suggest_terms needs a non-empty prefix")
+    needle = prefix.lower()
+    docs = ensure_parallelism(docs)
+    toks = tokens(F.col(text_col))
+    matches = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(toks, lambda t: t.startswith(needle))).alias("term"),
+    )
+    return (
+        matches.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
 def keyword_snippets(
     docs: DataFrame,
     term: str,

@@ -168,8 +168,15 @@ def seed_centroids(
     oracle can replay in SQL."""
     if centroids is not None:
         return centroids.select("cid", "cvec")
-    return corpus.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    # first n BY ID (TakeOrderedAndProject), not `id < n`: the corpus may
+    # be a filtered subset whose surviving ids all exceed n_centroids
+    # (filtered_ivf_topk) — an absolute-id threshold would yield zero
+    # centroids there.  On the dense-from-0 fixture ids the two are
+    # identical, so existing oracles replay either way.
+    return (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(n_centroids)
     )
 
 
@@ -245,6 +252,28 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def filtered_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    predicate,
+    **kwargs,
+) -> DataFrame:
+    """Filtered vector search with PRE-filter semantics: restrict the
+    corpus by ``predicate`` (a Column) FIRST, then build/probe the IVF
+    index over the survivors — so every query gets its k nearest from the
+    filtered set, matching Azure AI Search's filtered vector query mode
+    (a post-filter of an unfiltered top-k can starve: if none of the k
+    global neighbors satisfy the filter, the result is empty).
+
+    Thin composition over :func:`ivf_topk` — idiomatic Spark: the filter
+    is a Catalyst predicate pushed into the corpus scan (partition/row-
+    group pruning when the filter column is a partition or stats column),
+    and the quantizer seeds from the filtered corpus, so cell population
+    reflects the searchable subset.  All ``ivf_topk`` kwargs pass through.
+    """
+    return ivf_topk(corpus.where(predicate), queries, **kwargs)
 
 
 def kmeans_centroids(

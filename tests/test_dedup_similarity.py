@@ -647,3 +647,36 @@ def test_semantic_dedup_accepts_learned_centroids(spark):
         kept = [r["vec_id"] for r in members if r["kept"] == 1]
         best = min(members, key=lambda r: (r["centroid_cos"], r["vec_id"]))
         assert kept == [best["vec_id"]]
+
+
+def test_filtered_ivf_prefilter_guarantees_k_from_filtered_set(spark):
+    """Azure filtered-vector-query semantics: the PRE-filter returns k
+    neighbors from the filtered subset even when the query's k GLOBAL
+    nearest all fail the filter (where a post-filter would starve)."""
+    import numpy as np
+
+    from azuredatalakeindexer_spark.operators.similarity import (
+        brute_force_topk,
+        filtered_ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # cluster A (ids 0-19, label 0) tight around +e1; cluster B (ids 20-39,
+    # label 1) around -e1 — a cluster-A query's global top-k is all label 0
+    for i in range(40):
+        center = 1.0 if i < 20 else -1.0
+        v = rng.normal(0, 0.05, 8)
+        v[0] += center
+        rows.append((i, [float(x) for x in v], 0 if i < 20 else 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.where(F.col("vec_id") == 3)
+
+    global_top = brute_force_topk(emb, q, k=5).collect()
+    assert all(r["neighbor_id"] < 20 for r in global_top)      # post-filter on label=1 would starve to 0 rows
+
+    filtered = filtered_ivf_topk(
+        emb, q, F.col("label") == 1, k=5, n_centroids=4, n_probe=4
+    ).collect()
+    assert len(filtered) == 5
+    assert all(r["neighbor_id"] >= 20 for r in filtered)       # every match from the filtered set

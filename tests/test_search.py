@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from azuredatalakeindexer_spark.operators.search import (
+    suggest_terms,
     bm25_topk,
     facet_counts,
     keyword_snippets,
@@ -136,3 +137,21 @@ def test_keyword_snippets_position_and_window(spark):
     assert out[0]["snippet"] == "AAAA NeEdLe BBBB"   # radius 5 each side + len(term)
     assert out[2]["hit_pos"] == 1
     assert out[2]["snippet"] == "needle at start"[: 10 + 6]
+
+
+def test_suggest_terms_ranks_by_doc_frequency(spark):
+    rows = [
+        (0, "stream stream stream stop"),
+        (1, "stream stop"),
+        (2, "stop star"),
+        (3, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [(r["term"], r["df"]) for r in suggest_terms(df, "st", k=10).collect()]
+    # df counts DOCUMENTS (term repeats inside doc 0 count once):
+    # stop df=3, stream df=2, star df=1; ties broken term-asc
+    assert out == [("stop", 3), ("stream", 2), ("star", 1)]
+    top1 = [(r["term"], r["df"]) for r in suggest_terms(df, "st", k=1).collect()]
+    assert top1 == [("stop", 3)]
+    with pytest.raises(ValueError):
+        suggest_terms(df, "")
