@@ -1194,6 +1194,39 @@ def q_ann_index_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_ann_upsert_topk(spark, sf):
+    """MergeOrUpload into the saved IVF index (sources/ann_index.py):
+    build on vec_id>=10, upsert 10 inserts + 5 negated replacements, then
+    answer top-k from the upserted layout.  Quantizer is frozen at build
+    time, so the oracle replays a fresh IVF over (base ∖ replaced) ∪
+    delta on base's seed centroids."""
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+        upsert_ivf_index,
+    )
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") >= 10)
+    neg = F.transform(F.col("embedding"), lambda x: -x).alias("embedding")
+    delta = emb.where(F.col("vec_id") < 10).unionByName(
+        emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+            F.col("vec_id"), neg
+        )
+    )
+    q = emb.where(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="adls_ivfups_")
+    try:
+        build_ivf_index(base, root, n_centroids=16)
+        upsert_ivf_index(spark, root, delta)
+        out = query_ivf_index(spark, root, q, k=5, n_probe=2)
+        return _persisted(
+            spark, out.withColumn("rank", F.col("rank").cast("int"))
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_frames(spark, sf):
     """Frame sampling: mapInPandas exploding each payload into N frame rows
     with per-frame byte-window fingerprints."""
@@ -1923,11 +1956,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        span_dedup zero-chunk rows, partitioned fast path, the new
        multi-table LSH, binned range join, SemDeDup, the per-domain
        quality gate, and the query-side search stack — bm25 / facets /
-       hybrid RRF / highlight / suggester / filtered ANN), which need
-       fresh rows.  To make room, six more unchanged pure-SQL rollups
-       with r02/r03 rows (pricing_summary, top_customers, events_hourly,
-       region_revenue, shipping_priority, late_orders_exists) dropped to
-       section 5.
+       hybrid RRF / highlight / suggester / filtered ANN / saved-index
+       upsert), which need fresh rows.  To make room, seven more
+       unchanged pure-SQL rollups with r02/r03 rows (pricing_summary,
+       top_customers, events_hourly, region_revenue, shipping_priority,
+       late_orders_exists, events_gapfill) dropped to section 5.
     4. Flagship compositions re-confirmed every round (e2e indexer,
        MinHash).  The two streaming drains (`stream_upsert_events`,
        `stream_deleted_index`) sit first past the boundary this round:
@@ -1967,7 +2000,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
         "zorder_values": q_zorder_values,
-        "events_gapfill": q_events_gapfill,
         "user_running_stats": q_user_running_stats,
         # -- 3. round-5 additions / changed queries ---------------------
         "fuzzy_decontam": q_fuzzy_decontam,
@@ -1984,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_highlight": q_search_highlight,
         "search_suggest": q_search_suggest,
         "ann_filtered_topk": q_ann_filtered_topk,
+        "ann_upsert_topk": q_ann_upsert_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -2012,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "shipping_priority": q_shipping_priority,
         "late_orders_exists": q_late_orders_exists,
+        "events_gapfill": q_events_gapfill,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -2632,6 +2666,45 @@ def oracle_sql() -> dict[str, str]:
       WITH craw AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       c AS (SELECT vec_id, v FROM craw WHERE label % 2 = 1),
       cents AS (SELECT vec_id AS cid, v AS cvec FROM c ORDER BY vec_id LIMIT 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT c.vec_id, c.v, cents.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_cos('c.v', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM c, cents) t WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM craw WHERE vec_id < 5),
+      probes AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT q.query_id, q.qv, cents.cid,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos('q.qv', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM q, cents) t WHERE r <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, {_cos('p.qv', 'a.v')} AS cosine
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.vec_id != p.query_id)
+      SELECT query_id, neighbor_id, cosine,
+             (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+      FROM scored
+      QUALIFY rank <= 5
+    """
+
+    # saved-index MergeOrUpload: the upserted index answers identically to
+    # a fresh IVF over (base \\ replaced) UNION delta on BASE's frozen seed
+    # quantizer (first 16 base ids) — replay that merged corpus
+    sqls["ann_upsert_topk"] = f"""
+      WITH craw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      base AS (SELECT vec_id, v FROM craw WHERE vec_id >= 10),
+      delta AS (
+        SELECT vec_id, v FROM craw WHERE vec_id < 10
+        UNION ALL
+        SELECT vec_id, list_transform(v, x -> -x) AS v
+        FROM craw WHERE vec_id >= 10 AND vec_id < 15),
+      c AS (
+        SELECT vec_id, v FROM base
+        WHERE vec_id NOT IN (SELECT vec_id FROM delta)
+        UNION ALL SELECT vec_id, v FROM delta),
+      cents AS (SELECT vec_id AS cid, v AS cvec FROM base ORDER BY vec_id LIMIT 16),
       assigned AS (
         SELECT vec_id, v, cid AS cell FROM (
           SELECT c.vec_id, c.v, cents.cid,

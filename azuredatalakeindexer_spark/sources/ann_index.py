@@ -62,6 +62,93 @@ def build_ivf_index(
     ).parquet(f"{path}/postings")
 
 
+def upsert_ivf_index(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """MergeOrUpload into a saved IVF index: new ids are inserted, existing
+    ids replaced (last write wins) — the reference's batch-upsert contract
+    (`AzureSearchIndexer/BatchingUploader.cs:34` MergeOrUploadDocumentsAsync)
+    applied to the vector index this engine maintains instead of a search
+    service.  Returns the per-id status relation ``(id_col, status)`` with
+    201=created / 200=modified, like `classify_upserts`.
+
+    The quantizer is NOT retrained (standard IVF maintenance: cells drift
+    only after enough churn; rebuild with learned centroids offline) — so
+    an upserted index answers queries bit-identically to a fresh
+    ``build_ivf_index`` over (base ∖ replaced) ∪ delta on the same
+    centroids, which is exactly what the DuckDB oracle replays.
+
+    Cost shape, deliberately NOT a full rewrite:
+
+    - delta→cell assignment: |delta| × broadcast centroids (batch-sized);
+    - victim lookup: one column-pruned (id, cell) projection scan of the
+      postings joined against the broadcast delta-id set — finds the cells
+      holding stale versions of replaced ids (a replaced vector may have
+      MOVED cells).  At 100 TB keep a key→cell directory relation beside
+      the index to turn this scan into an equi-join, as the docstring of
+      the module notes for the metastore mapping;
+    - rewrite: ONLY affected cells (delta's target cells ∪ victim cells)
+      are rewritten, via dynamic partition overwrite — untouched cell
+      directories are not read or written.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    dl = delta.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    assigned = assign_cells(dl, cents, id_col, vec_col, 1)
+
+    postings_path = f"{path}/postings"
+    old_keys = spark.read.parquet(postings_path).select(id_col, "cell")
+    delta_ids = dl.select(id_col)
+    # stale versions of replaced ids (their cell may differ from the new one)
+    victims = old_keys.join(F.broadcast(delta_ids), id_col, "left_semi")
+    affected = [
+        r["cell"]
+        for r in assigned.select("cell")
+        .union(victims.select("cell"))
+        .distinct()
+        .collect()
+    ]
+    statuses = dl.select(id_col).join(
+        F.broadcast(victims.select(id_col).distinct().withColumn("_old", F.lit(1))),
+        id_col,
+        "left",
+    ).select(
+        id_col,
+        F.when(F.col("_old").isNotNull(), F.lit(200)).otherwise(F.lit(201)).alias("status"),
+    ).localCheckpoint()
+
+    keep = (
+        spark.read.parquet(postings_path)
+        .where(F.col("cell").isin(affected))
+        .join(F.broadcast(delta_ids), id_col, "left_anti")
+        .select(id_col, vec_col, "cell")
+    )
+    merged = keep.unionByName(assigned.select(id_col, vec_col, "cell")).localCheckpoint()
+    with _dynamic_overwrite(spark):
+        merged.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+            postings_path
+        )
+    return statuses
+
+
+class _dynamic_overwrite:
+    """Scoped ``partitionOverwriteMode=dynamic`` so the postings overwrite
+    replaces ONLY the partitions present in the written frame."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+
+
 def query_ivf_index(
     spark: SparkSession,
     path: str,

@@ -72,3 +72,69 @@ def test_saved_index_with_learned_quantizer(spark, tmp_path):
     saved = query_ivf_index(spark, path, q, k=4, n_probe=2)
     mem = ivf_topk(emb, q, k=4, n_centroids=8, n_probe=2, centroids=cents)
     assert _rows(saved) == _rows(mem)
+
+
+def test_upsert_index_matches_fresh_rebuild_and_reports_status(spark, tmp_path):
+    """MergeOrUpload into the saved index: after upserting (new ids +
+    replaced-and-moved ids), queries answer bit-identically to a FRESH
+    build over (base \\ replaced) ∪ delta on the SAME centroids, statuses
+    are 201 for inserts / 200 for replacements, and untouched cell
+    directories are not rewritten."""
+    from azuredatalakeindexer_spark.sources.ann_index import upsert_ivf_index
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") >= 10)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_centroids=16)
+
+    neg = F.transform(F.col("embedding"), lambda x: -x).alias("embedding")
+    delta = (
+        emb.where(F.col("vec_id") < 10)                                   # inserts
+        .unionByName(
+            emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))   # replacements,
+            .select(F.col("vec_id"), neg)                                 # vectors negated -> likely cell moves
+        )
+    )
+    statuses = {r["vec_id"]: r["status"] for r in
+                upsert_ivf_index(spark, path, delta).collect()}
+    assert all(statuses[i] == 201 for i in range(10))
+    assert all(statuses[i] == 200 for i in range(10, 15))
+
+    q = emb.where(F.col("vec_id") < 5)
+    upserted = query_ivf_index(spark, path, q, k=5, n_probe=2)
+
+    # fresh rebuild over the merged corpus with the SAME quantizer
+    cents = spark.read.parquet(f"{path}/centroids")
+    merged = (
+        base.join(delta.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(delta)
+    )
+    path2 = str(tmp_path / "ivf_fresh")
+    build_ivf_index(merged, path2, centroids=cents)
+    fresh = query_ivf_index(spark, path2, q, k=5, n_probe=2)
+    assert _rows(upserted) == _rows(fresh)
+
+
+def test_upsert_index_rewrites_only_affected_cells(spark, tmp_path):
+    """Dynamic partition overwrite: a cell with no delta member and no
+    replaced victim keeps its original parquet files byte-for-byte."""
+    import glob
+
+    from azuredatalakeindexer_spark.sources.ann_index import upsert_ivf_index
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") >= 10)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_centroids=16)
+    before = {d: sorted(os.path.basename(f) for f in glob.glob(f"{path}/postings/{d}/*.parquet"))
+              for d in os.listdir(f"{path}/postings") if d.startswith("cell=")}
+
+    delta = emb.where(F.col("vec_id") < 3)
+    upsert_ivf_index(spark, path, delta)
+
+    after = {d: sorted(os.path.basename(f) for f in glob.glob(f"{path}/postings/{d}/*.parquet"))
+             for d in os.listdir(f"{path}/postings") if d.startswith("cell=")}
+    touched = {d for d in before if before[d] != after.get(d, [])}
+    # the 3 delta vectors land in <= 3 cells; every other cell untouched
+    assert 0 < len(touched) <= 3
+    assert all(before[d] == after[d] for d in before if d not in touched)
