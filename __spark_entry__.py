@@ -1346,6 +1346,20 @@ def q_ann_filtered_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def q_search_profile(spark, sf):
+    """Scoring profile: field-weighted multi-field BM25 (text w=2.0,
+    source w=1.0) with the service's magnitude boost on n_chars
+    (factor 0.5, range 200-800)."""
+    from azuredatalakeindexer_spark.operators.search import scoring_profile_topk
+
+    return scoring_profile_topk(
+        _docs(spark, sf),
+        {"text": (SEARCH_TERMS, 2.0), "source": (["src1"], 1.0)},
+        boost=("n_chars", 0.5, 200.0, 800.0),
+        k=20,
+    )
+
+
 def q_quality_score(spark, sf):
     """Quality scoring (Gopher/C4-style features)."""
     out = quality_score(_docs(spark, sf))
@@ -1957,10 +1971,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        multi-table LSH, binned range join, SemDeDup, the per-domain
        quality gate, and the query-side search stack — bm25 / facets /
        hybrid RRF / highlight / suggester / filtered ANN / saved-index
-       upsert), which need fresh rows.  To make room, seven more
-       unchanged pure-SQL rollups with r02/r03 rows (pricing_summary,
-       top_customers, events_hourly, region_revenue, shipping_priority,
-       late_orders_exists, events_gapfill) dropped to section 5.
+       upsert / scoring profile), which need fresh rows.  To make room,
+       eight more unchanged pure-SQL rollups with r02/r03 rows
+       (pricing_summary, top_customers, events_hourly, region_revenue,
+       shipping_priority, late_orders_exists, events_gapfill,
+       user_running_stats) dropped to section 5.
     4. Flagship compositions re-confirmed every round (e2e indexer,
        MinHash).  The two streaming drains (`stream_upsert_events`,
        `stream_deleted_index`) sit first past the boundary this round:
@@ -2000,7 +2015,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
         "zorder_values": q_zorder_values,
-        "user_running_stats": q_user_running_stats,
         # -- 3. round-5 additions / changed queries ---------------------
         "fuzzy_decontam": q_fuzzy_decontam,
         "stream_minhash_dedup": q_stream_minhash_dedup,
@@ -2017,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_suggest": q_search_suggest,
         "ann_filtered_topk": q_ann_filtered_topk,
         "ann_upsert_topk": q_ann_upsert_topk,
+        "search_profile": q_search_profile,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -2046,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "late_orders_exists": q_late_orders_exists,
         "events_gapfill": q_events_gapfill,
+        "user_running_stats": q_user_running_stats,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -2951,6 +2967,52 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, round(sum(1.0 / (60.0 + r)), 6) AS rrf,
              count(*) AS n_legs
       FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+
+    # scoring profile: text field (w=2.0, terms merge/query/stream) +
+    # source field (w=1.0, term src1), magnitude boost on n_chars
+    # (factor 0.5, range 200-800); per-field corpus stats; zero-text-score
+    # docs excluded BEFORE the boost.  Same association order as
+    # scoring_profile_topk.
+    _bm25_term = (
+        "ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * 2.2"
+        " / (tf{i} + 1.2 * (0.25 + 0.75 * dl{f} / avgdl{f}))"
+    )
+    sqls["search_profile"] = f"""
+      WITH raw AS (
+        SELECT doc_id, n_chars, {_WORDS} AS tw,
+               list_filter(string_split_regex(lower(source), '\\s+'), x -> x != '') AS sw
+        FROM documents),
+      per AS (
+        SELECT doc_id, n_chars,
+               len(tw) AS dl0,
+               len(list_filter(tw, x -> x = 'merge'))  AS tf0_0,
+               len(list_filter(tw, x -> x = 'query'))  AS tf0_1,
+               len(list_filter(tw, x -> x = 'stream')) AS tf0_2,
+               len(sw) AS dl1,
+               len(list_filter(sw, x -> x = 'src1'))   AS tf1_0
+        FROM raw),
+      stats AS (
+        SELECT count(*) AS n,
+               avg(dl0) AS avgdl0, avg(dl1) AS avgdl1,
+               sum(CASE WHEN tf0_0 > 0 THEN 1 ELSE 0 END) AS df0_0,
+               sum(CASE WHEN tf0_1 > 0 THEN 1 ELSE 0 END) AS df0_1,
+               sum(CASE WHEN tf0_2 > 0 THEN 1 ELSE 0 END) AS df0_2,
+               sum(CASE WHEN tf1_0 > 0 THEN 1 ELSE 0 END) AS df1_0
+        FROM per),
+      scored AS (
+        SELECT doc_id, n_chars,
+               2.0 * ({_bm25_term.format(i='0_0', f='0')}
+                    + {_bm25_term.format(i='0_1', f='0')}
+                    + {_bm25_term.format(i='0_2', f='0')})
+             + 1.0 * ({_bm25_term.format(i='1_0', f='1')}) AS total
+        FROM per, stats)
+      SELECT doc_id,
+             round(total * (1.0 + 0.5 * least(1.0, greatest(0.0,
+                   (n_chars - 200.0) / 600.0))), 6) AS score
+      FROM scored
+      WHERE round(total, 6) > 0
+      ORDER BY score DESC, doc_id LIMIT 20
     """
 
     sqls["search_suggest"] = f"""

@@ -212,6 +212,100 @@ def rrf_fuse(
     )
 
 
+def scoring_profile_topk(
+    docs: DataFrame,
+    profile: "dict[str, tuple[Sequence[str], float]]",
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    boost: "tuple[str, float, float, float] | None" = None,
+) -> DataFrame:
+    """Azure-Search scoring profile: field-weighted multi-field BM25 with
+    an optional magnitude boost function.
+
+    ``profile`` maps searchable field → ``(query_terms, weight)``; the
+    text score is ``Σ_f weight_f · bm25_f`` with per-field corpus
+    statistics (each field has its own dl/avgdl/df — Lucene semantics).
+    ``boost = (numeric_col, factor, lo, hi)`` applies the service's
+    *magnitude* function: the final score is multiplied by
+    ``1 + factor · clamp((col - lo) / (hi - lo), 0, 1)`` (linear
+    interpolation inside the range, flat outside).  Documents with zero
+    text score are excluded (boost never resurrects a non-match).
+    Output ``(id_col, score)`` rounded to 6 decimals, top-``k`` with
+    id-asc tie-break.
+
+    Scale shape is :func:`bm25_topk`'s, widened by fields: per-field
+    tf/dl are narrow ``size(filter(tokens…))`` projections in ONE pass
+    over the scan, all corpus statistics (per-field N/avgdl/df) ride a
+    single 1-row global aggregate broadcast back, and the top-k is
+    TakeOrderedAndProject.  The boost is a pure row-local expression.
+    """
+    if not profile:
+        raise ValueError("scoring_profile_topk needs at least one field")
+    fields = [
+        (fld, sorted({t.lower() for t in terms}), float(w))
+        for fld, (terms, w) in profile.items()
+    ]
+    if any(not terms for _, terms, _ in fields):
+        raise ValueError("every profile field needs at least one query term")
+    docs = ensure_parallelism(docs)
+
+    per_cols = [F.col(id_col)]
+    stat_cols = []
+    if boost is not None:
+        per_cols.append(F.col(boost[0]))
+    for fi, (fld, terms, _w) in enumerate(fields):
+        toks = tokens(F.col(fld))
+        per_cols.append(F.size(toks).alias(f"_dl{fi}"))
+        stat_cols.append(F.avg(f"_dl{fi}").alias(f"_avgdl{fi}"))
+        for ti, t in enumerate(terms):
+            per_cols.append(
+                F.size(F.filter(toks, _term_eq(t))).alias(f"_tf{fi}_{ti}")
+            )
+            stat_cols.append(
+                F.sum((F.col(f"_tf{fi}_{ti}") > 0).cast("long")).alias(f"_df{fi}_{ti}")
+            )
+    per = docs.select(*per_cols)
+    stats = per.agg(F.count(F.lit(1)).alias("_n"), *stat_cols)
+    scored = per.crossJoin(F.broadcast(stats))
+
+    total = None
+    for fi, (_fld, terms, w) in enumerate(fields):
+        fscore = None
+        for ti in range(len(terms)):
+            tf = F.col(f"_tf{fi}_{ti}").cast("double")
+            df = F.col(f"_df{fi}_{ti}")
+            idf = F.log(
+                F.lit(1.0) + (F.col("_n") - df + F.lit(0.5)) / (df + F.lit(0.5))
+            )
+            contrib = (idf * tf * F.lit(k1 + 1.0)) / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col(f"_dl{fi}") / F.col(f"_avgdl{fi}"))
+            )
+            fscore = contrib if fscore is None else fscore + contrib
+        weighted = F.lit(w) * fscore
+        total = weighted if total is None else total + weighted
+
+    if boost is not None:
+        bcol, factor, lo, hi = boost
+        frac = (F.col(bcol).cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+        mult = F.lit(1.0) + F.lit(float(factor)) * F.least(
+            F.lit(1.0), F.greatest(F.lit(0.0), frac)
+        )
+        final = total * mult
+    else:
+        final = total
+    return (
+        scored.where(F.round(total, 6) > 0)
+        .select(F.col(id_col), F.round(final, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def suggest_terms(
     docs: DataFrame,
     prefix: str,

@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "temperature_mix",     # crossJoin of the SINGLE-ROW weight-sum frame
     "search_bm25",         # crossJoin of the SINGLE-ROW corpus-stats frame
     "search_hybrid_rrf",   # same bm25 stats frame + SINGLE-ROW query vector
+    "search_profile",      # same SINGLE-ROW per-field corpus-stats frame
 }
 
 #: queries that RUN work at plan-build time (streaming drains, temp lakes) —

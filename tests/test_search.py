@@ -155,3 +155,46 @@ def test_suggest_terms_ranks_by_doc_frequency(spark):
     assert top1 == [("stop", 3)]
     with pytest.raises(ValueError):
         suggest_terms(df, "")
+
+
+def test_scoring_profile_weighted_fields_and_magnitude_boost(spark):
+    from azuredatalakeindexer_spark.operators.search import scoring_profile_topk
+
+    rows = [
+        # doc 0: title hit + body hit, magnitude 100 (clamps to frac 0)
+        (0, "spark engine", "the spark engine is fast", 100),
+        # doc 1: body hit only, magnitude 600 (frac (600-200)/800... see call)
+        (1, "other tool", "spark here too", 600),
+        # doc 2: no hits anywhere, huge magnitude — must NOT be resurrected
+        (2, "nothing", "irrelevant words", 10_000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string, body string, pop int")
+    out = {r["doc_id"]: r["score"] for r in scoring_profile_topk(
+        df,
+        {"title": (["spark"], 3.0), "body": (["spark"], 1.0)},
+        boost=("pop", 0.5, 200.0, 1000.0),
+        k=10,
+    ).collect()}
+    assert set(out) == {0, 1}           # zero-score doc excluded despite big boost
+
+    def bm25(tf, dl, n, avgdl, df_, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+        return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    # title field: dls 2,2,1 avg 5/3, df(spark)=1; body: dls 5,3,2 avg 10/3, df=2
+    t0 = 3.0 * bm25(1, 2, 3, 5 / 3, 1) + 1.0 * bm25(1, 5, 3, 10 / 3, 2)
+    t1 = 1.0 * bm25(1, 3, 3, 10 / 3, 2)
+    m0 = 1.0 + 0.5 * 0.0                # pop 100 below lo -> clamped to 0
+    m1 = 1.0 + 0.5 * ((600 - 200) / 800)
+    assert out[0] == pytest.approx(round(t0 * m0, 6), abs=1e-6)
+    assert out[1] == pytest.approx(round(t1 * m1, 6), abs=1e-6)
+
+
+def test_scoring_profile_validates_input(spark):
+    from azuredatalakeindexer_spark.operators.search import scoring_profile_topk
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        scoring_profile_topk(df, {})
+    with pytest.raises(ValueError):
+        scoring_profile_topk(df, {"text": ([], 1.0)})
