@@ -1360,6 +1360,15 @@ def q_search_profile(spark, sf):
     )
 
 
+def q_rag_chunks(spark, sf):
+    """RAG-ingestion chunking: overlapping 32-token windows (overlap 8)
+    over the documents corpus — the retrieval-corpus prep stage upstream
+    of the vector index."""
+    from azuredatalakeindexer_spark.operators.textops import chunk_documents
+
+    return chunk_documents(_docs(spark, sf), chunk_tokens=32, overlap=8)
+
+
 def q_quality_score(spark, sf):
     """Quality scoring (Gopher/C4-style features)."""
     out = quality_score(_docs(spark, sf))
@@ -1971,11 +1980,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        multi-table LSH, binned range join, SemDeDup, the per-domain
        quality gate, and the query-side search stack — bm25 / facets /
        hybrid RRF / highlight / suggester / filtered ANN / saved-index
-       upsert / scoring profile), which need fresh rows.  To make room,
-       eight more unchanged pure-SQL rollups with r02/r03 rows
-       (pricing_summary, top_customers, events_hourly, region_revenue,
-       shipping_priority, late_orders_exists, events_gapfill,
-       user_running_stats) dropped to section 5.
+       upsert / scoring profile / RAG chunking), which need fresh rows.
+       To make room, nine more unchanged pure-SQL rollups with r02/r03
+       rows (pricing_summary, top_customers, events_hourly,
+       region_revenue, shipping_priority, late_orders_exists,
+       events_gapfill, user_running_stats, distinct_users_daily)
+       dropped to section 5.
     4. Flagship compositions re-confirmed every round (e2e indexer,
        MinHash).  The two streaming drains (`stream_upsert_events`,
        `stream_deleted_index`) sit first past the boundary this round:
@@ -2010,7 +2020,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,
-        "distinct_users_daily": q_distinct_users_daily,
         "events_sessionize": q_events_sessionize,
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
@@ -2032,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_topk": q_ann_filtered_topk,
         "ann_upsert_topk": q_ann_upsert_topk,
         "search_profile": q_search_profile,
+        "rag_chunks": q_rag_chunks,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -2062,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_orders_exists": q_late_orders_exists,
         "events_gapfill": q_events_gapfill,
         "user_running_stats": q_user_running_stats,
+        "distinct_users_daily": q_distinct_users_daily,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -3013,6 +3024,26 @@ def oracle_sql() -> dict[str, str]:
       FROM scored
       WHERE round(total, 6) > 0
       ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+    # RAG chunking: 32-token windows, stride 24; n_chunks arithmetic and
+    # the inclusive-end list_slice mirror chunk_documents exactly
+    sqls["rag_chunks"] = f"""
+      WITH b AS (
+        SELECT doc_id, words, len(words) AS n
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)),
+      c AS (
+        SELECT doc_id, words,
+               CASE WHEN n <= 0 THEN 0
+                    WHEN n <= 32 THEN 1
+                    ELSE 1 + CAST(floor((n - 32 + 24 - 1) / 24.0) AS INT)
+               END AS n_chunks
+        FROM b),
+      e AS (SELECT doc_id, words, unnest(range(n_chunks)) AS cid FROM c)
+      SELECT doc_id, cid::INT AS chunk_id,
+             len(list_slice(words, cid * 24 + 1, cid * 24 + 32))::BIGINT AS n_chunk_tokens,
+             array_to_string(list_slice(words, cid * 24 + 1, cid * 24 + 32), ' ') AS chunk_text
+      FROM e
     """
 
     sqls["search_suggest"] = f"""

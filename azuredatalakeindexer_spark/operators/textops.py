@@ -317,3 +317,63 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """RAG-ingestion chunking: split each document into overlapping
+    ``chunk_tokens``-token windows advancing by ``stride = chunk_tokens -
+    overlap`` — the standard retrieval-corpus preparation step upstream of
+    embedding + the vector index this engine maintains
+    (sources/ann_index.py), mirroring how the reference's indexer prepares
+    documents for the search service (§3.1 read→map→upload, here
+    read→chunk→embed→index).
+
+    Output ``(id_col, chunk_id, n_chunk_tokens, chunk_text)``; chunk ids
+    are 0-based per document; the last window is short rather than padded;
+    zero-token documents produce NO chunks BY DESIGN (nothing to embed —
+    callers reassembling a corpus must left-join on the doc ids, same
+    contract as span_dedup's documented zero-chunk case).
+
+    Scale: pure narrow Catalyst — tokenize once, compute the chunk count
+    arithmetically, ``posexplode(sequence(...))``, slice the token array
+    per chunk.  No shuffle at all; the expansion factor is
+    ~n_tokens/stride rows per doc, each carrying only its own slice.
+    """
+    if chunk_tokens <= 0 or overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need chunk_tokens > 0 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    docs = ensure_parallelism(docs)
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+    n_chunks = (
+        F.when(F.col("_n") <= 0, F.lit(0))
+        .when(F.col("_n") <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.floor((F.col("_n") - chunk_tokens + stride - 1) / F.lit(stride)).cast("int")
+        )
+    ).cast("int")
+    # guard the zero-chunk case: sequence(0, -1) would DESCEND ([0, -1]),
+    # not come back empty
+    ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = base.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(ids).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -198,3 +198,32 @@ def test_domain_quality_gate_approx_broadcasts_thresholds(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_overlapping_windows(spark):
+    from azuredatalakeindexer_spark.operators.textops import chunk_documents
+
+    t10 = " ".join(f"w{i}" for i in range(10))
+    t11 = " ".join(f"w{i}" for i in range(11))
+    df = spark.createDataFrame(
+        [(0, t10), (1, t11), (2, "a b c"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # doc 0: 10 tokens, stride 3 -> starts 0,3,6 (3 chunks, last full)
+    assert rows[(0, 0)] == (4, "w0 w1 w2 w3")
+    assert rows[(0, 1)] == (4, "w3 w4 w5 w6")
+    assert rows[(0, 2)] == (4, "w6 w7 w8 w9")
+    # doc 1: 11 tokens -> 4 chunks, last short (w9 w10)
+    assert rows[(1, 3)] == (2, "w9 w10")
+    # doc 2 fits one window; empty/whitespace docs emit NO chunks by design
+    assert rows[(2, 0)] == (3, "a b c")
+    assert {d for d, _ in rows} == {0, 1, 2}
+    # overlap invariant: consecutive chunks share `overlap` tokens
+    assert rows[(0, 0)][1].split()[-1:] == rows[(0, 1)][1].split()[:1]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
