@@ -101,6 +101,12 @@ def run_partitioned_upserts(
     )
     counts = {}
     if count_batches:
+        # the counts action and the final merge both consume `batch`;
+        # materialize it once (changed-path batches are metadata-sized —
+        # the same buffer the reference pages through PathIndexClient) so
+        # the merge job doesn't redo the scan + tag work the counts job
+        # just did.  At 100 TB this is a persisted staging table.
+        batch = batch.localCheckpoint()
         got = {
             r["_prefix"]: r["n"]
             for r in batch.groupBy("_prefix").agg(F.count(F.lit(1)).alias("n")).collect()

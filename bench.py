@@ -233,6 +233,13 @@ def main() -> None:
                     "identical query twice in one session gives 2.8s then "
                     "1.5s — the delta is JIT/codegen variance at sub-second "
                     "real work, not a regression",
+                    "partitioned_runs": "r5: the tagged batch is "
+                    "localCheckpoint'd between the counts action and the "
+                    "final merge (stage breakdown: counts job ~3.0s = the "
+                    "path-derivation scan, merge job 0.9s reusing the "
+                    "checkpointed batch, vs ~2.5s recomputing); remaining "
+                    "time is the fixture's derived-column path index, not "
+                    "the T5 plan",
                 },
                 "sf": sf,
             }
