@@ -1369,6 +1369,37 @@ def q_rag_chunks(spark, sf):
     return chunk_documents(_docs(spark, sf), chunk_tokens=32, overlap=8)
 
 
+#: simple-query-syntax string for the window query: optional merge/query,
+#: required stream, excluded phrase, required phrase
+SQS_QUERY = 'merge query +stream -"slow scan" "data table"'
+
+
+def q_search_simple_query(spark, sf):
+    """Azure simple query syntax: optional/required/excluded terms and
+    phrases parsed into Catalyst predicates + full-corpus-idf BM25."""
+    from azuredatalakeindexer_spark.operators.search import simple_query_topk
+
+    return simple_query_topk(_docs(spark, sf), SQS_QUERY, k=20)
+
+
+def q_search_synonyms(spark, sf):
+    """Synonym-map expansion (service synonymMaps): the query's terms are
+    widened through a model-sized (term, synonym) relation, then ranked
+    with standard BM25."""
+    from azuredatalakeindexer_spark.operators.search import (
+        bm25_topk,
+        expand_query_terms,
+    )
+
+    syn = spark.createDataFrame(
+        [("merge", "join"), ("query", "scan"), ("unused", "noise")],
+        "term string, synonym string",
+    )
+    expanded = expand_query_terms(["merge", "query"], syn)
+    assert expanded == ["join", "merge", "query", "scan"]
+    return bm25_topk(_docs(spark, sf), expanded, k=20)
+
+
 def q_quality_score(spark, sf):
     """Quality scoring (Gopher/C4-style features)."""
     out = quality_score(_docs(spark, sf))
@@ -1980,12 +2011,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        multi-table LSH, binned range join, SemDeDup, the per-domain
        quality gate, and the query-side search stack — bm25 / facets /
        hybrid RRF / highlight / suggester / filtered ANN / saved-index
-       upsert / scoring profile / RAG chunking), which need fresh rows.
-       To make room, nine more unchanged pure-SQL rollups with r02/r03
-       rows (pricing_summary, top_customers, events_hourly,
-       region_revenue, shipping_priority, late_orders_exists,
-       events_gapfill, user_running_stats, distinct_users_daily)
-       dropped to section 5.
+       upsert / scoring profile / RAG chunking / simple-query-syntax /
+       synonym maps), which need fresh rows.  To make room, eleven more
+       unchanged queries with r02/r03 rows (pricing_summary,
+       top_customers, events_hourly, region_revenue, shipping_priority,
+       late_orders_exists, events_gapfill, user_running_stats,
+       distinct_users_daily, salted_counts, events_sessionize) dropped
+       to section 5.
     4. Flagship compositions re-confirmed every round (e2e indexer,
        MinHash).  The two streaming drains (`stream_upsert_events`,
        `stream_deleted_index`) sit first past the boundary this round:
@@ -2015,12 +2047,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "decontam_report": q_decontam_report,
         "repetition_stats": q_repetition_stats,
-        "salted_counts": q_salted_counts,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,
-        "events_sessionize": q_events_sessionize,
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
         "zorder_values": q_zorder_values,
@@ -2042,6 +2072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_upsert_topk": q_ann_upsert_topk,
         "search_profile": q_search_profile,
         "rag_chunks": q_rag_chunks,
+        "search_simple_query": q_search_simple_query,
+        "search_synonyms": q_search_synonyms,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -2073,6 +2105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "user_running_stats": q_user_running_stats,
         "distinct_users_daily": q_distinct_users_daily,
+        "salted_counts": q_salted_counts,
+        "events_sessionize": q_events_sessionize,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -2920,34 +2954,66 @@ def oracle_sql() -> dict[str, str]:
     # terms mirror SEARCH_TERMS sorted+deduped: merge, query, stream.
     # Expression shapes mirror bm25_topk exactly (same association order)
     # so the only divergence is sub-ulp libm noise absorbed by round(...,6).
-    bm25_scored = f"""
+    def _bm25_cte(terms: list[str]) -> str:
+        """per/stats/bm25_scored/kw CTE chain for a sorted term list —
+        identical association order to operators.search.bm25_topk."""
+        tf_cols = "\n".join(
+            f"               len(list_filter(words, x -> x = '{t}')) AS tf{i},"
+            for i, t in enumerate(terms)
+        )
+        df_cols = "\n".join(
+            f"               sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i},"
+            for i in range(len(terms))
+        )
+        contribs = "\n          + ".join(
+            f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * 2.2"
+            f" / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+            for i in range(len(terms))
+        )
+        return f"""
       per AS (
         SELECT doc_id,
                len(words) AS dl,
-               len(list_filter(words, x -> x = 'merge'))  AS tf0,
-               len(list_filter(words, x -> x = 'query'))  AS tf1,
-               len(list_filter(words, x -> x = 'stream')) AS tf2
+{tf_cols[:-1]}
         FROM (SELECT doc_id, {_WORDS} AS words FROM documents)),
       stats AS (
         SELECT count(*) AS n, avg(dl) AS avgdl,
-               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+{df_cols[:-1]}
         FROM per),
       bm25_scored AS (
         SELECT doc_id, round(
-            ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
-              / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-          + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
-              / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-          + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
-              / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+            {contribs}, 6) AS bm25
         FROM per, stats),
       kw AS (SELECT doc_id, bm25 FROM bm25_scored WHERE bm25 > 0
              ORDER BY bm25 DESC, doc_id LIMIT 20)
     """
+
+    bm25_scored = _bm25_cte(["merge", "query", "stream"])
     sqls["search_bm25"] = f"""
       WITH {bm25_scored}
+      SELECT doc_id, bm25 FROM kw
+    """
+
+    # simple query syntax 'merge query +stream -"slow scan" "data table"':
+    # positives (optional ∪ required, sorted) = merge/query/stream — the
+    # same BM25 chain — with the required/excluded predicates as a
+    # candidate semi-join; corpus stats stay full-corpus (idf unchanged
+    # by filters, mirroring simple_query_topk)
+    sqls["search_simple_query"] = f"""
+      WITH {bm25_scored},
+      cand AS (
+        SELECT doc_id FROM documents
+        WHERE contains(lower(text), 'data table')
+          AND list_contains({_WORDS}, 'stream')
+          AND NOT contains(lower(text), 'slow scan'))
+      SELECT doc_id, bm25 FROM bm25_scored JOIN cand USING (doc_id)
+      WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+    # synonym expansion: ['merge','query'] widened through the synonym map
+    # to join/merge/query/scan, then standard BM25
+    sqls["search_synonyms"] = f"""
+      WITH {_bm25_cte(["join", "merge", "query", "scan"])}
       SELECT doc_id, bm25 FROM kw
     """
 

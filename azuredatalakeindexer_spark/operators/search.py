@@ -57,8 +57,15 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 20,
+    match_filter=None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 score for a bag of query terms.
+
+    ``match_filter`` (optional Column over ``docs``'s columns) restricts
+    the CANDIDATE set — corpus statistics (N, avgdl, df) stay full-corpus,
+    the standard engine semantics where filters narrow results without
+    changing idf.  Used by :func:`simple_query_topk` for +required /
+    -excluded / phrase predicates.
 
     Lucene/Azure-Search-style BM25 (the ranking the reference's
     `searchable` fields get from the service):
@@ -89,6 +96,9 @@ def bm25_topk(
     per = docs.select(
         F.col(id_col),
         F.size(toks).alias("_dl"),
+        *(
+            [match_filter.alias("_match")] if match_filter is not None else []
+        ),
         *[
             F.size(F.filter(toks, _term_eq(t))).alias(f"_tf{i}")
             for i, t in enumerate(terms)
@@ -114,6 +124,8 @@ def bm25_topk(
             tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
         )
         score = contrib if score is None else score + contrib
+    if match_filter is not None:
+        scored = scored.where(F.col("_match"))
     return (
         scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
         .where(F.col("bm25") > 0)
@@ -339,6 +351,121 @@ def suggest_terms(
         .agg(F.countDistinct(id_col).alias("df"))
         .orderBy(F.col("df").desc(), F.col("term"))
         .limit(k)
+    )
+
+
+def expand_query_terms(terms: Sequence[str], synonyms: DataFrame) -> list[str]:
+    """Synonym-map expansion (the service's synonymMaps on searchable
+    fields): widen the query's term set with the synonyms of each term.
+
+    ``synonyms`` is a ``(term, synonym)`` relation — model-sized by
+    definition (a curated thesaurus), so collecting it to the driver is
+    legitimate model traffic, like the k×d centroid fetch in
+    similarity.kmeans_centroids.  Expansion is query-side only: documents
+    are never rewritten.  Returns the sorted, deduped union of the input
+    terms and their mapped synonyms (lowercased) — feed it to
+    :func:`bm25_topk` / :func:`scoring_profile_topk`.
+    """
+    base = {t.lower() for t in terms}
+    mapped = {
+        r["synonym"].lower()
+        for r in synonyms.where(F.lower(F.col("term")).isin(*base)).collect()
+        if r["synonym"]
+    }
+    return sorted(base | mapped)
+
+
+#: simple-query-syntax token: "quoted phrase" (optionally +/- prefixed) or a
+#: bare word with optional +/- prefix
+_SQS_TOKEN = r'([+-]?)"([^"]+)"|([+-]?)(\S+)'
+
+
+def simple_query_topk(
+    docs: DataFrame,
+    query: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Azure-Search *simple query syntax* over a searchable field:
+    ``term`` (optional, scored), ``+term`` (required), ``-term``
+    (excluded), ``"a phrase"`` (required substring, case-insensitive;
+    ``-"a phrase"`` excludes).
+
+    The query string is parsed driver-side (it is user input, not data);
+    matching/exclusion are Catalyst predicates on the scan, and ranking is
+    standard BM25 over ALL positive terms (optional + required), so a
+    document matching more optional terms scores higher — the service's
+    ``any`` semantics with ``+`` escalating to ``all``.  Documents must
+    satisfy every required term/phrase, no excluded term/phrase, and score
+    > 0 (at least one positive hit).  Corpus statistics stay FULL-corpus
+    (filters narrow candidates without changing idf — standard engine
+    semantics).  Output ``(id_col, bm25)``.
+
+    Scale: the filter predicates are row-local (``array_contains`` /
+    ``instr`` over the same tokenization the scorer uses) and ride the
+    same single narrow projection as bm25_topk's tf columns — one scan,
+    one 1-row stats broadcast, TakeOrderedAndProject.
+    """
+    import re as _re
+
+    optional: list[str] = []
+    required: list[str] = []
+    excluded: list[str] = []
+    req_phrases: list[str] = []
+    exc_phrases: list[str] = []
+    for m in _re.finditer(_SQS_TOKEN, query):
+        if m.group(2) is not None:
+            (exc_phrases if m.group(1) == "-" else req_phrases).append(
+                m.group(2).lower()
+            )
+        else:
+            word = m.group(4).lower()
+            sign = m.group(3)
+            if sign == "-":
+                excluded.append(word)
+            elif sign == "+":
+                required.append(word)
+            else:
+                optional.append(word)
+    positives = sorted(set(optional) | set(required))
+    if not positives and not req_phrases:
+        raise ValueError("simple query needs at least one positive term or phrase")
+
+    docs = ensure_parallelism(docs)
+    toks = tokens(F.col(text_col))
+    lowered = F.lower(F.col(text_col))
+    cond = F.lit(True)
+    for t in sorted(set(required)):
+        cond = cond & F.array_contains(toks, t)
+    for t in sorted(set(excluded)):
+        cond = cond & ~F.array_contains(toks, t)
+    for p in req_phrases:
+        cond = cond & (F.instr(lowered, p) > 0)
+    for p in exc_phrases:
+        cond = cond & (F.instr(lowered, p) == 0)
+
+    if not positives:
+        # phrase-only query: rank by earliest first phrase hit, id tie-break
+        first = F.instr(lowered, req_phrases[0])
+        return (
+            docs.where(cond)
+            .select(F.col(id_col), first.cast("double").alias("bm25"))
+            .orderBy(F.col("bm25"), F.col(id_col))
+            .limit(k)
+        )
+    return bm25_topk(
+        docs,
+        positives,
+        text_col=text_col,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+        k=k,
+        match_filter=cond,
     )
 
 

@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {
     "search_bm25",         # crossJoin of the SINGLE-ROW corpus-stats frame
     "search_hybrid_rrf",   # same bm25 stats frame + SINGLE-ROW query vector
     "search_profile",      # same SINGLE-ROW per-field corpus-stats frame
+    "search_simple_query", # same bm25 SINGLE-ROW stats frame
+    "search_synonyms",     # same bm25 SINGLE-ROW stats frame
 }
 
 #: queries that RUN work at plan-build time (streaming drains, temp lakes) —

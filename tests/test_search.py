@@ -198,3 +198,74 @@ def test_scoring_profile_validates_input(spark):
         scoring_profile_topk(df, {})
     with pytest.raises(ValueError):
         scoring_profile_topk(df, {"text": ([], 1.0)})
+
+
+def test_expand_query_terms_synonym_map(spark):
+    from azuredatalakeindexer_spark.operators.search import expand_query_terms
+
+    syn = spark.createDataFrame(
+        [("merge", "join"), ("merge", "upsert"), ("other", "noise"), ("stream", None)],
+        "term string, synonym string",
+    )
+    assert expand_query_terms(["Merge"], syn) == ["join", "merge", "upsert"]
+    # unmapped terms pass through; null synonyms ignored
+    assert expand_query_terms(["stream", "merge"], syn) == [
+        "join", "merge", "stream", "upsert",
+    ]
+
+
+@pytest.fixture(scope="module")
+def sqs_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "fast merge of stream data"),
+            (1, "merge merge slow"),
+            (2, "stream only here"),
+            (3, "fast stream merge slow"),
+        ],
+        "doc_id long, text string",
+    ).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_simple_query_required_excluded_phrase(sqs_docs):
+    from azuredatalakeindexer_spark.operators.search import simple_query_topk
+
+    out = simple_query_topk(sqs_docs, 'merge +stream -slow "fast merge"', k=10).collect()
+    # doc 3 has slow (excluded), doc 2 lacks the phrase, doc 1 lacks stream
+    assert [r["doc_id"] for r in out] == [0]
+    assert out[0]["bm25"] > 0
+
+
+def test_simple_query_optional_terms_rank_by_bm25(sqs_docs):
+    from azuredatalakeindexer_spark.operators.search import bm25_topk, simple_query_topk
+
+    out = simple_query_topk(sqs_docs, "merge stream", k=10).collect()
+    plain = bm25_topk(sqs_docs, ["merge", "stream"], k=10).collect()
+    # with no +/-/phrase operators the query degenerates to plain BM25
+    assert [(r["doc_id"], r["bm25"]) for r in out] == [
+        (r["doc_id"], r["bm25"]) for r in plain
+    ]
+
+
+def test_simple_query_full_corpus_idf_with_filters(sqs_docs):
+    from azuredatalakeindexer_spark.operators.search import bm25_topk, simple_query_topk
+
+    # '-slow' drops docs 1 and 3 from the CANDIDATES but must not change
+    # idf: surviving docs keep the same score as in the unfiltered query
+    filt = {r["doc_id"]: r["bm25"]
+            for r in simple_query_topk(sqs_docs, "merge -slow", k=10).collect()}
+    plain = {r["doc_id"]: r["bm25"] for r in bm25_topk(sqs_docs, ["merge"], k=10).collect()}
+    assert set(filt) == {0}
+    assert filt[0] == plain[0]
+
+
+def test_simple_query_phrase_only_and_validation(sqs_docs):
+    from azuredatalakeindexer_spark.operators.search import simple_query_topk
+
+    out = simple_query_topk(sqs_docs, '"stream only"', k=10).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in out] == [(2, 1.0)]
+    with pytest.raises(ValueError):
+        simple_query_topk(sqs_docs, "-slow")
