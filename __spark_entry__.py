@@ -1400,6 +1400,26 @@ def q_search_synonyms(spark, sf):
     return bm25_topk(_docs(spark, sf), expanded, k=20)
 
 
+def q_text_index_topk(spark, sf):
+    """Persisted inverted text index (sources/text_index.py): build the
+    bucket-partitioned postings + doclens + stats to parquet, then answer
+    BM25 top-k from the SAVED layout with static bucket pruning.  Bit-
+    identical to the scan-time bm25_topk, so the oracle is the same bm25
+    replay."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_txtidx_")
+    try:
+        build_text_index(_docs(spark, sf), root, n_buckets=64)
+        out = query_text_index(spark, root, SEARCH_TERMS, k=20, n_buckets=64)
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_quality_score(spark, sf):
     """Quality scoring (Gopher/C4-style features)."""
     out = quality_score(_docs(spark, sf))
@@ -2012,12 +2032,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        quality gate, and the query-side search stack — bm25 / facets /
        hybrid RRF / highlight / suggester / filtered ANN / saved-index
        upsert / scoring profile / RAG chunking / simple-query-syntax /
-       synonym maps), which need fresh rows.  To make room, eleven more
-       unchanged queries with r02/r03 rows (pricing_summary,
-       top_customers, events_hourly, region_revenue, shipping_priority,
-       late_orders_exists, events_gapfill, user_running_stats,
-       distinct_users_daily, salted_counts, events_sessionize) dropped
-       to section 5.
+       synonym maps / persisted text index), which need fresh rows.  To
+       make room, twelve more unchanged queries with r02/r03 rows
+       (pricing_summary, top_customers, events_hourly, region_revenue,
+       shipping_priority, late_orders_exists, events_gapfill,
+       user_running_stats, distinct_users_daily, salted_counts,
+       events_sessionize, pack_sequences) dropped to section 5.
     4. Flagship compositions re-confirmed every round (e2e indexer,
        MinHash).  The two streaming drains (`stream_upsert_events`,
        `stream_deleted_index`) sit first past the boundary this round:
@@ -2050,7 +2070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
-        "pack_sequences": q_pack_sequences,
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
         "zorder_values": q_zorder_values,
@@ -2074,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_chunks": q_rag_chunks,
         "search_simple_query": q_search_simple_query,
         "search_synonyms": q_search_synonyms,
+        "text_index_topk": q_text_index_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -2107,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_daily": q_distinct_users_daily,
         "salted_counts": q_salted_counts,
         "events_sessionize": q_events_sessionize,
+        "pack_sequences": q_pack_sequences,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -3008,6 +3029,14 @@ def oracle_sql() -> dict[str, str]:
           AND NOT contains(lower(text), 'slow scan'))
       SELECT doc_id, bm25 FROM bm25_scored JOIN cand USING (doc_id)
       WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+    # the saved inverted index answers bit-identically to scan-time bm25
+    # (same stats, association order, rounding — test-pinned), so its
+    # oracle IS the bm25 replay
+    sqls["text_index_topk"] = f"""
+      WITH {bm25_scored}
+      SELECT doc_id, bm25 FROM kw
     """
 
     # synonym expansion: ['merge','query'] widened through the synonym map

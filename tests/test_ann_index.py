@@ -138,3 +138,50 @@ def test_upsert_index_rewrites_only_affected_cells(spark, tmp_path):
     # the 3 delta vectors land in <= 3 cells; every other cell untouched
     assert 0 < len(touched) <= 3
     assert all(before[d] == after[d] for d in before if d not in touched)
+
+
+def test_text_index_matches_scan_bm25_bit_identical(spark, tmp_path):
+    """A saved-inverted-index query must return BIT-identical rows to the
+    scan-time bm25_topk — same stats, association order, and rounding."""
+    from azuredatalakeindexer_spark.operators.search import bm25_topk
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    saved = query_text_index(spark, path, ["merge", "query", "stream"], k=20, n_buckets=16)
+    scan = bm25_topk(docs, ["merge", "query", "stream"], k=20)
+    srows = [(r["doc_id"], r["bm25"]) for r in saved.collect()]
+    crows = [(r["doc_id"], r["bm25"]) for r in scan.collect()]
+    assert srows == crows and len(srows) == 20
+
+
+def test_text_index_prunes_unqueried_buckets(spark, tmp_path):
+    """The query's bucket IN-list must prune postings partitions statically:
+    only the query terms' bucket directories contribute input files."""
+    import os
+    import re
+
+    from azuredatalakeindexer_spark.sources.text_index import (
+        _py_bucket,
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    n_dirs = len([d for d in os.listdir(f"{path}/postings") if d.startswith("bucket=")])
+    assert n_dirs > 2
+
+    out = query_text_index(spark, path, ["merge"], k=5, n_buckets=16)
+    want = _py_bucket("merge", 16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the bucket IN-list is a STATIC partition filter on the postings scan
+    # (inputFiles() reports the pre-pruning index and cannot show this)
+    m = re.search(r"PartitionFilters: \[[^]]*bucket#\d+L? (=|IN) \(?([\d, ]+)", plan)
+    assert m, plan
+    assert str(want) in m.group(2)
