@@ -69,6 +69,7 @@ HEADLINE = [
     "domain_quality_gate",
     "search_bm25",
     "search_hybrid_rrf",
+    "text_index_topk",
 ]
 
 
