@@ -1400,6 +1400,34 @@ def q_search_synonyms(spark, sf):
     return bm25_topk(_docs(spark, sf), expanded, k=20)
 
 
+def q_text_index_upsert_topk(spark, sf):
+    """MergeOrUpload into the saved inverted index (sources/text_index.py):
+    build on doc_id>=10, insert docs 0-9 and replace docs 10-14 with new
+    text (their old postings must vanish), then answer BM25 top-k from the
+    upserted layout.  Oracle: the bm25 replay over the merged corpus."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_text_index,
+        upsert_text_index,
+    )
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") >= 10)
+    delta = docs.where(F.col("doc_id") < 10).unionByName(
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+            "doc_id", F.lit("merge merge stream").alias("text")
+        )
+    )
+    root = tempfile.mkdtemp(prefix="adls_txtups_")
+    try:
+        build_text_index(base, root, n_buckets=64)
+        upsert_text_index(spark, root, delta, n_buckets=64)
+        out = query_text_index(spark, root, SEARCH_TERMS, k=20, n_buckets=64)
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_index_topk(spark, sf):
     """Persisted inverted text index (sources/text_index.py): build the
     bucket-partitioned postings + doclens + stats to parquet, then answer
@@ -2032,12 +2060,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        quality gate, and the query-side search stack — bm25 / facets /
        hybrid RRF / highlight / suggester / filtered ANN / saved-index
        upsert / scoring profile / RAG chunking / simple-query-syntax /
-       synonym maps / persisted text index), which need fresh rows.  To
-       make room, twelve more unchanged queries with r02/r03 rows
-       (pricing_summary, top_customers, events_hourly, region_revenue,
-       shipping_priority, late_orders_exists, events_gapfill,
-       user_running_stats, distinct_users_daily, salted_counts,
-       events_sessionize, pack_sequences) dropped to section 5.
+       synonym maps / persisted text index + its MergeOrUpload), which
+       need fresh rows.  To make room, thirteen more unchanged queries
+       with r02/r03 rows (pricing_summary, top_customers, events_hourly,
+       region_revenue, shipping_priority, late_orders_exists,
+       events_gapfill, user_running_stats, distinct_users_daily,
+       salted_counts, events_sessionize, pack_sequences,
+       weighted_sample) dropped to section 5.
     4. Flagship compositions re-confirmed every round (e2e indexer,
        MinHash).  The two streaming drains (`stream_upsert_events`,
        `stream_deleted_index`) sit first past the boundary this round:
@@ -2069,7 +2098,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
-        "weighted_sample": q_weighted_sample,
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
         "zorder_values": q_zorder_values,
@@ -2094,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_simple_query": q_search_simple_query,
         "search_synonyms": q_search_synonyms,
         "text_index_topk": q_text_index_topk,
+        "text_index_upsert_topk": q_text_index_upsert_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -2128,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_counts": q_salted_counts,
         "events_sessionize": q_events_sessionize,
         "pack_sequences": q_pack_sequences,
+        "weighted_sample": q_weighted_sample,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -2975,9 +3005,10 @@ def oracle_sql() -> dict[str, str]:
     # terms mirror SEARCH_TERMS sorted+deduped: merge, query, stream.
     # Expression shapes mirror bm25_topk exactly (same association order)
     # so the only divergence is sub-ulp libm noise absorbed by round(...,6).
-    def _bm25_cte(terms: list[str]) -> str:
+    def _bm25_cte(terms: list[str], source: str = "documents") -> str:
         """per/stats/bm25_scored/kw CTE chain for a sorted term list —
-        identical association order to operators.search.bm25_topk."""
+        identical association order to operators.search.bm25_topk.
+        ``source``: the (doc_id, text) relation to rank."""
         tf_cols = "\n".join(
             f"               len(list_filter(words, x -> x = '{t}')) AS tf{i},"
             for i, t in enumerate(terms)
@@ -2996,7 +3027,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                len(words) AS dl,
 {tf_cols[:-1]}
-        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)),
+        FROM (SELECT doc_id, {_WORDS} AS words FROM {source})),
       stats AS (
         SELECT count(*) AS n, avg(dl) AS avgdl,
 {df_cols[:-1]}
@@ -3036,6 +3067,21 @@ def oracle_sql() -> dict[str, str]:
     # oracle IS the bm25 replay
     sqls["text_index_topk"] = f"""
       WITH {bm25_scored}
+      SELECT doc_id, bm25 FROM kw
+    """
+
+    # text-index MergeOrUpload: replay over the merged corpus (base minus
+    # replaced, plus inserts and replacement texts) — the upserted index
+    # is bit-identical to a fresh build over it
+    sqls["text_index_upsert_topk"] = f"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 15
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id, 'merge merge stream' AS text
+        FROM documents WHERE doc_id >= 10 AND doc_id < 15),
+      {_bm25_cte(["merge", "query", "stream"], source="corpus")}
       SELECT doc_id, bm25 FROM kw
     """
 

@@ -56,12 +56,20 @@ def build_text_index(
     Cost: one corpus scan + one (term, doc) aggregate (map-side combined —
     the shuffle carries distinct per-doc terms, not the token stream) +
     one bucket-partitioned write.  The amortized-away pass, exactly like
-    ``build_ivf_index``.
+    ``build_ivf_index``.  ``doclens`` is partitioned by an id-hash bucket
+    so incremental upserts rewrite only affected directories, same as the
+    postings.
     """
     toks = tokens(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("_toks"))
-    doclens = base.select(F.col(id_col), F.size("_toks").alias("dl"))
-    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+    doclens = base.select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
+    )
+    doclens.repartition("dbucket").write.mode("overwrite").partitionBy(
+        "dbucket"
+    ).parquet(f"{path}/doclens")
     stats = doclens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -75,6 +83,114 @@ def build_text_index(
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{path}/postings")
+
+
+def upsert_text_index(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """MergeOrUpload into the saved inverted index: new documents are
+    inserted, existing ones replaced (their OLD postings disappear even
+    for terms the new text no longer contains) — the reference's
+    continuous watch-lake→upsert-index loop (§3.1 + T1) applied to the
+    full-text index this engine maintains instead of the search service.
+    Returns ``(id_col, status)`` with 201=created / 200=modified.
+
+    Cost shape, deliberately NOT a rebuild:
+
+    - delta tokenization + (term, doc) aggregate: batch-sized;
+    - victim lookup: one column-pruned (id, bucket) projection scan of the
+      postings semi-joined against the broadcast delta-id set — finds the
+      buckets holding stale postings of replaced docs (their old terms may
+      hash anywhere).  At 100 TB keep a doc→buckets directory relation
+      beside the index, as with the IVF key→cell map;
+    - rewrite: ONLY affected postings buckets (new terms' ∪ victims') and
+      affected doclens id-buckets via dynamic partition overwrite;
+    - stats: recomputed from the post-merge doclens (a metadata-sized
+      aggregate) and rewritten — the 1-row relation every query broadcasts.
+
+    After the upsert, queries answer bit-identically to a fresh
+    ``build_text_index`` over (base ∖ replaced) ∪ delta — test-pinned and
+    replayed by the DuckDB oracle.
+    """
+    from azuredatalakeindexer_spark.sources.ann_index import _dynamic_overwrite
+
+    toks = tokens(F.col(text_col))
+    base = delta.select(F.col(id_col), toks.alias("_toks")).localCheckpoint()
+    new_postings = (
+        base.select(F.col(id_col), F.explode("_toks").alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets)))
+        .localCheckpoint()
+    )
+    delta_ids = base.select(id_col)
+
+    postings_path = f"{path}/postings"
+    old_keys = spark.read.parquet(postings_path).select(id_col, "bucket")
+    victims = old_keys.join(F.broadcast(delta_ids), id_col, "left_semi")
+    affected = [
+        r["bucket"]
+        for r in new_postings.select("bucket")
+        .union(victims.select("bucket"))
+        .distinct()
+        .collect()
+    ]
+    statuses = delta_ids.join(
+        F.broadcast(victims.select(id_col).distinct().withColumn("_old", F.lit(1))),
+        id_col,
+        "left",
+    ).select(
+        id_col,
+        F.when(F.col("_old").isNotNull(), F.lit(200)).otherwise(F.lit(201)).alias("status"),
+    ).localCheckpoint()
+
+    keep = (
+        spark.read.parquet(postings_path)
+        .where(F.col("bucket").isin(affected))
+        .join(F.broadcast(delta_ids), id_col, "left_anti")
+        .select("term", id_col, "tf", "bucket")
+    )
+    merged = keep.unionByName(
+        new_postings.select("term", id_col, "tf", "bucket")
+    ).localCheckpoint()
+    with _dynamic_overwrite(spark):
+        merged.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(postings_path)
+
+    # doclens: same affected-partition rewrite keyed by the id-hash bucket
+    doclens_path = f"{path}/doclens"
+    new_lens = base.select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
+    ).localCheckpoint()
+    daffected = [r["dbucket"] for r in new_lens.select("dbucket").distinct().collect()]
+    dkeep = (
+        spark.read.parquet(doclens_path)
+        .where(F.col("dbucket").isin(daffected))
+        .join(F.broadcast(delta_ids), id_col, "left_anti")
+        .select(id_col, "dl", "dbucket")
+    )
+    dmerged = dkeep.unionByName(new_lens).localCheckpoint()
+    with _dynamic_overwrite(spark):
+        dmerged.repartition("dbucket").write.mode("overwrite").partitionBy(
+            "dbucket"
+        ).parquet(doclens_path)
+
+    stats = (
+        spark.read.parquet(doclens_path)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .localCheckpoint()
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    return statuses
 
 
 def query_text_index(
@@ -107,7 +223,7 @@ def query_text_index(
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         .select("term", id_col, "tf")
     )
-    doclens = spark.read.parquet(f"{path}/doclens")
+    doclens = spark.read.parquet(f"{path}/doclens").select(id_col, "dl")
     dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     rows = (
         postings.join(doclens, id_col)

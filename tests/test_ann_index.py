@@ -185,3 +185,46 @@ def test_text_index_prunes_unqueried_buckets(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[[^]]*bucket#\d+L? (=|IN) \(?([\d, ]+)", plan)
     assert m, plan
     assert str(want) in m.group(2)
+
+
+def test_upsert_text_index_matches_fresh_rebuild(spark, tmp_path):
+    """MergeOrUpload into the inverted index: after inserting new docs and
+    replacing existing ones (old terms vanish, stats refresh), queries are
+    bit-identical to a fresh build over (base \\ replaced) ∪ delta."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_text_index,
+        upsert_text_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") >= 10)
+    path = str(tmp_path / "ti")
+    build_text_index(base, path, n_buckets=16)
+
+    # inserts: docs 0-9 as-is; replacements: docs 10-14 with entirely new
+    # text (their old terms must disappear from the postings)
+    delta = docs.where(F.col("doc_id") < 10).unionByName(
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+            "doc_id", F.lit("merge merge stream").alias("text")
+        )
+    )
+    statuses = {r["doc_id"]: r["status"] for r in
+                upsert_text_index(spark, path, delta, n_buckets=16).collect()}
+    assert all(statuses[i] == 201 for i in range(10))
+    assert all(statuses[i] == 200 for i in range(10, 15))
+
+    upserted = query_text_index(spark, path, ["merge", "query", "stream"], k=20, n_buckets=16)
+
+    merged = base.join(delta.select("doc_id"), "doc_id", "left_anti").unionByName(delta)
+    path2 = str(tmp_path / "ti_fresh")
+    build_text_index(merged, path2, n_buckets=16)
+    fresh = query_text_index(spark, path2, ["merge", "query", "stream"], k=20, n_buckets=16)
+    assert [(r["doc_id"], r["bm25"]) for r in upserted.collect()] == [
+        (r["doc_id"], r["bm25"]) for r in fresh.collect()
+    ]
+    # replaced docs' stale postings are really gone: doc 10's only
+    # surviving terms are the replacement text's
+    left = {r["term"] for r in spark.read.parquet(f"{path}/postings")
+            .where(F.col("doc_id") == 10).collect()}
+    assert left == {"merge", "stream"}
