@@ -228,3 +228,32 @@ def test_upsert_text_index_matches_fresh_rebuild(spark, tmp_path):
     left = {r["term"] for r in spark.read.parquet(f"{path}/postings")
             .where(F.col("doc_id") == 10).collect()}
     assert left == {"merge", "stream"}
+
+
+def test_stream_text_index_is_batch_split_invariant(spark, tmp_path):
+    """Draining the document stream in 4 micro-batches must leave the SAME
+    index (bit-identical query rows) as the scan-time bm25 over the whole
+    corpus — upserts are LWW per doc and touch only affected buckets."""
+    import os as _os
+
+    from azuredatalakeindexer_spark.operators.search import bm25_topk
+    from azuredatalakeindexer_spark.sources.text_index import (
+        query_text_index,
+        run_stream_text_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+
+    idx = str(tmp_path / "ti_stream")
+    run_stream_text_index(
+        spark, docs_dir, schema, idx, str(tmp_path / "ckpt"),
+        n_buckets=16, max_files_per_trigger=1,
+    )
+    streamed = query_text_index(spark, idx, ["merge", "query", "stream"], k=20, n_buckets=16)
+    scan = bm25_topk(docs, ["merge", "query", "stream"], k=20)
+    assert [(r["doc_id"], r["bm25"]) for r in streamed.collect()] == [
+        (r["doc_id"], r["bm25"]) for r in scan.collect()
+    ]

@@ -41,6 +41,10 @@ SKIP = {
     "stream_deleted_index",
     "stream_exact_dedup",
     "stream_curated_dedup",
+    "stream_text_index",
+    "text_index_topk",       # builds the temp index at plan-build time
+    "text_index_upsert_topk",
+    "ann_upsert_topk",
     "stream_sessionize",
     "stream_windowed_counts",
     "stream_view_click_join",
