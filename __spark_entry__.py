@@ -1462,6 +1462,28 @@ def q_stream_text_index(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_delete_topk(spark, sf):
+    """Deleted-document handling for the in-engine search index (J2
+    applied to the index itself): build on the full corpus, delete docs
+    0-9, answer BM25 top-k from the survivors.  Oracle: the bm25 replay
+    over documents with doc_id >= 10."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_txtdel_")
+    try:
+        build_text_index(_docs(spark, sf), root, n_buckets=64)
+        ids = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        delete_from_text_index(spark, root, ids, n_buckets=64)
+        out = query_text_index(spark, root, SEARCH_TERMS, k=20, n_buckets=64)
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_index_topk(spark, sf):
     """Persisted inverted text index (sources/text_index.py): build the
     bucket-partitioned postings + doclens + stats to parquet, then answer
@@ -2094,14 +2116,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        quality gate, and the query-side search stack — bm25 / facets /
        hybrid RRF / highlight / suggester / filtered ANN / saved-index
        upsert / scoring profile / RAG chunking / simple-query-syntax /
-       synonym maps / persisted text index + its MergeOrUpload + its
-       streaming drain), which need fresh rows.  To make room, fourteen
-       more unchanged queries with r02/r03 rows (pricing_summary,
-       top_customers, events_hourly, region_revenue, shipping_priority,
-       late_orders_exists, events_gapfill, user_running_stats,
-       distinct_users_daily, salted_counts, events_sessionize,
-       pack_sequences, weighted_sample, hash_sample) dropped to
-       section 5.
+       synonym maps / persisted text index + its MergeOrUpload,
+       streaming drain, and delete path), which need fresh rows.  To
+       make room, fifteen more unchanged queries with r02/r03 rows
+       (pricing_summary, top_customers, events_hourly, region_revenue,
+       shipping_priority, late_orders_exists, events_gapfill,
+       user_running_stats, distinct_users_daily, salted_counts,
+       events_sessionize, pack_sequences, weighted_sample, hash_sample,
+       repetition_stats) dropped to section 5.
     4. Flagship compositions re-confirmed every round (e2e indexer,
        MinHash).  The two streaming drains (`stream_upsert_events`,
        `stream_deleted_index`) sit first past the boundary this round:
@@ -2129,7 +2151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "train_corpus": q_train_corpus,
         "decontam_report": q_decontam_report,
-        "repetition_stats": q_repetition_stats,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "asof_last_error": q_asof_last_error,
@@ -2158,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_topk": q_text_index_topk,
         "text_index_upsert_topk": q_text_index_upsert_topk,
         "stream_text_index": q_stream_text_index,
+        "text_index_delete_topk": q_text_index_delete_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -2194,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "weighted_sample": q_weighted_sample,
         "hash_sample": q_hash_sample,
+        "repetition_stats": q_repetition_stats,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -3108,6 +3131,14 @@ def oracle_sql() -> dict[str, str]:
     # streaming drain of the same index is batch-split-invariant (LWW per
     # doc, affected-bucket rewrites), so its oracle is the same replay
     sqls["stream_text_index"] = sqls["text_index_topk"]
+
+    # deleted docs leave an index identical to a fresh build over the
+    # survivors — replay bm25 over doc_id >= 10
+    sqls["text_index_delete_topk"] = f"""
+      WITH survivors AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+      {_bm25_cte(["merge", "query", "stream"], source="survivors")}
+      SELECT doc_id, bm25 FROM kw
+    """
 
     # text-index MergeOrUpload: replay over the merged corpus (base minus
     # replaced, plus inserts and replacement texts) — the upserted index

@@ -319,3 +319,71 @@ def run_stream_text_index(
         .start()
     )
     q.awaitTermination()
+
+
+def delete_from_text_index(
+    spark: SparkSession,
+    path: str,
+    doc_ids: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> int:
+    """Remove documents from the saved inverted index — the reference's
+    deleted-blob handling (J2, `PathIndexerFunc.cs` BlobDeleted path)
+    applied to the in-engine search index.  Returns the number of
+    documents actually removed.
+
+    Same affected-partition shape as the upsert: victims are located via
+    the column-pruned (id, bucket) projection semi-joined against the
+    broadcast id set, only their buckets (postings AND doclens) are
+    rewritten with the victims anti-joined out, and the 1-row stats
+    refresh from the post-delete doclens.  Deleting an absent id is a
+    no-op (idempotent — redelivered delete events are harmless).
+    """
+    from azuredatalakeindexer_spark.sources.ann_index import _dynamic_overwrite
+
+    ids = doc_ids.select(id_col).distinct().localCheckpoint()
+
+    postings_path = f"{path}/postings"
+    old_keys = spark.read.parquet(postings_path).select(id_col, "bucket")
+    victims = old_keys.join(F.broadcast(ids), id_col, "left_semi")
+    affected = [r["bucket"] for r in victims.select("bucket").distinct().collect()]
+    n_removed = victims.select(id_col).distinct().count()
+    if affected:
+        keep = (
+            spark.read.parquet(postings_path)
+            .where(F.col("bucket").isin(affected))
+            .join(F.broadcast(ids), id_col, "left_anti")
+            .select("term", id_col, "tf", "bucket")
+            .localCheckpoint()
+        )
+        with _dynamic_overwrite(spark):
+            keep.repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(postings_path)
+
+    doclens_path = f"{path}/doclens"
+    old_lens = spark.read.parquet(doclens_path).select(id_col, "dbucket")
+    dvictims = old_lens.join(F.broadcast(ids), id_col, "left_semi")
+    daffected = [r["dbucket"] for r in dvictims.select("dbucket").distinct().collect()]
+    if daffected:
+        dkeep = (
+            spark.read.parquet(doclens_path)
+            .where(F.col("dbucket").isin(daffected))
+            .join(F.broadcast(ids), id_col, "left_anti")
+            .select(id_col, "dl", "dbucket")
+            .localCheckpoint()
+        )
+        with _dynamic_overwrite(spark):
+            dkeep.repartition("dbucket").write.mode("overwrite").partitionBy(
+                "dbucket"
+            ).parquet(doclens_path)
+
+    stats = (
+        spark.read.parquet(doclens_path)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .localCheckpoint()
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    return int(n_removed)

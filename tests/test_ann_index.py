@@ -257,3 +257,30 @@ def test_stream_text_index_is_batch_split_invariant(spark, tmp_path):
     assert [(r["doc_id"], r["bm25"]) for r in streamed.collect()] == [
         (r["doc_id"], r["bm25"]) for r in scan.collect()
     ]
+
+
+def test_delete_from_text_index_matches_fresh_rebuild(spark, tmp_path):
+    """Deleting docs leaves an index bit-identical to a fresh build over
+    the survivors; absent ids are a no-op (idempotent redelivery)."""
+    from azuredatalakeindexer_spark.operators.search import bm25_topk
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+
+    ids = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    assert delete_from_text_index(spark, path, ids, n_buckets=16) == 10
+    # redelivered delete: nothing left to remove, index unchanged
+    assert delete_from_text_index(spark, path, ids, n_buckets=16) == 0
+
+    after = query_text_index(spark, path, ["merge", "query", "stream"], k=20, n_buckets=16)
+    survivors = docs.where(F.col("doc_id") >= 10)
+    scan = bm25_topk(survivors, ["merge", "query", "stream"], k=20)
+    assert [(r["doc_id"], r["bm25"]) for r in after.collect()] == [
+        (r["doc_id"], r["bm25"]) for r in scan.collect()
+    ]

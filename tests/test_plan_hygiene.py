@@ -44,6 +44,7 @@ SKIP = {
     "stream_text_index",
     "text_index_topk",       # builds the temp index at plan-build time
     "text_index_upsert_topk",
+    "text_index_delete_topk",
     "ann_upsert_topk",
     "stream_sessionize",
     "stream_windowed_counts",
