@@ -1484,6 +1484,42 @@ def q_text_index_delete_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_saved_hybrid_search(spark, sf):
+    """Hybrid retrieval served ENTIRELY from saved indexes: the BM25 leg
+    answers from the inverted text index, the vector leg from the
+    persisted IVF index (query = embedding 0, self excluded), fused with
+    RRF — the production serving path of a search service, end to end
+    in-engine.  Oracle: both index replays + the same fusion in SQL."""
+    from azuredatalakeindexer_spark.operators.search import rrf_fuse
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_hybidx_")
+    try:
+        build_text_index(_docs(spark, sf), os.path.join(root, "text"), n_buckets=64)
+        emb = _emb(spark, sf)
+        build_ivf_index(emb, os.path.join(root, "ivf"), n_centroids=16)
+        kw = query_text_index(
+            spark, os.path.join(root, "text"), SEARCH_TERMS, k=20, n_buckets=64
+        )
+        vec = query_ivf_index(
+            spark,
+            os.path.join(root, "ivf"),
+            emb.where(F.col("vec_id") == 0),
+            k=20,
+            n_probe=2,
+        ).select(F.col("neighbor_id").alias("doc_id"), "cosine")
+        return _persisted(spark, rrf_fuse([(kw, "bm25"), (vec, "cosine")], k=20))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_index_topk(spark, sf):
     """Persisted inverted text index (sources/text_index.py): build the
     bucket-partitioned postings + doclens + stats to parquet, then answer
@@ -2152,7 +2188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_corpus": q_train_corpus,
         "decontam_report": q_decontam_report,
         "pii_redaction": q_pii_redaction,
-        "stratified_sample": q_stratified_sample,
         "asof_last_error": q_asof_last_error,
         "event_quantiles": q_event_quantiles,
         "zorder_values": q_zorder_values,
@@ -2180,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_upsert_topk": q_text_index_upsert_topk,
         "stream_text_index": q_stream_text_index,
         "text_index_delete_topk": q_text_index_delete_topk,
+        "saved_hybrid_search": q_saved_hybrid_search,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -2217,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "hash_sample": q_hash_sample,
         "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -3131,6 +3168,45 @@ def oracle_sql() -> dict[str, str]:
     # streaming drain of the same index is batch-split-invariant (LWW per
     # doc, affected-bucket rewrites), so its oracle is the same replay
     sqls["stream_text_index"] = sqls["text_index_topk"]
+
+    # saved-index hybrid serving: text-index bm25 leg (== the scan replay)
+    # + saved-IVF vector leg (query vec 0, self excluded) + RRF fusion
+    sqls["saved_hybrid_search"] = f"""
+      WITH {bm25_scored},
+      kwr AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM kw),
+      c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, v AS cvec FROM c WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT c.vec_id, c.v, cents.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_cos('c.v', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM c, cents) t WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id = 0),
+      probes AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT q.query_id, q.qv, cents.cid,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos('q.qv', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM q, cents) t WHERE r <= 2),
+      vscored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, {_cos('p.qv', 'a.v')} AS cosine
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.vec_id != p.query_id),
+      vtop AS (
+        SELECT neighbor_id AS doc_id, cosine FROM (
+          SELECT neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM vscored) t WHERE rnk <= 20),
+      vecr AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY cosine DESC, doc_id) AS r FROM vtop),
+      u AS (SELECT doc_id, r FROM kwr UNION ALL SELECT doc_id, r FROM vecr)
+      SELECT doc_id, round(sum(1.0 / (60.0 + r)), 6) AS rrf,
+             count(*) AS n_legs
+      FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20
+    """
 
     # deleted docs leave an index identical to a fresh build over the
     # survivors — replay bm25 over doc_id >= 10

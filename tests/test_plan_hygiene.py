@@ -45,6 +45,7 @@ SKIP = {
     "text_index_topk",       # builds the temp index at plan-build time
     "text_index_upsert_topk",
     "text_index_delete_topk",
+    "saved_hybrid_search",
     "ann_upsert_topk",
     "stream_sessionize",
     "stream_windowed_counts",
