@@ -227,3 +227,46 @@ def test_chunk_documents_overlapping_windows(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_reassembly_invariant(spark):
+    """Lossless-ness: chunk 0's tokens plus every later chunk's tokens
+    after the overlap reconstruct each document's full token stream —
+    over the real fixture corpus, not a toy."""
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.functions.text import tokens
+    from azuredatalakeindexer_spark.operators.textops import chunk_documents
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    rebuilt = (
+        chunks.withColumn(
+            "_part",
+            F.when(F.col("chunk_id") == 0, F.col("chunk_text")).otherwise(
+                F.array_join(
+                    F.slice(F.split(F.col("chunk_text"), " "), 9, 32), " "
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "_part"))
+                ).getField("_part"),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    orig = docs.select(
+        "doc_id", F.array_join(tokens(F.col("text")), " ").alias("norm")
+    ).where(F.length("norm") > 0)
+    joined = orig.join(rebuilt, "doc_id", "left")
+    bad = joined.where(
+        F.col("rebuilt").isNull() | (F.col("rebuilt") != F.col("norm"))
+    ).count()
+    assert bad == 0
+    # zero-token docs (if any) have no chunks; all others were rebuilt
+    assert rebuilt.count() == orig.count()
