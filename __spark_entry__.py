@@ -1540,6 +1540,29 @@ def q_text_index_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_bpe_train(spark, sf):
+    """Distributed BPE tokenizer training (operators/bpe.py): 8 merges
+    learned from the vocabulary relation; the oracle unrolls the EXACT
+    training trajectory (pair-count argmax + run-safe replace per
+    iteration) as chained SQL CTEs."""
+    from azuredatalakeindexer_spark.operators.bpe import train_bpe
+
+    return train_bpe(_docs(spark, sf), n_merges=8)
+
+
+def q_bpe_encode(spark, sf):
+    """Vocabulary-cached BPE encoding with the 8 learned merges: per-doc
+    word and subword counts; the segmentation runs once per DISTINCT word
+    and broadcasts back over the occurrences."""
+    from azuredatalakeindexer_spark.operators.bpe import encode_bpe, train_bpe
+
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(_docs(spark, sf), n_merges=8).orderBy("rank").collect()
+    ]
+    return encode_bpe(_docs(spark, sf), merges)
+
+
 def q_quality_score(spark, sf):
     """Quality scoring (Gopher/C4-style features)."""
     out = quality_score(_docs(spark, sf))
@@ -2153,13 +2176,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        hybrid RRF / highlight / suggester / filtered ANN / saved-index
        upsert / scoring profile / RAG chunking / simple-query-syntax /
        synonym maps / persisted text index + its MergeOrUpload,
-       streaming drain, and delete path), which need fresh rows.  To
-       make room, fifteen more unchanged queries with r02/r03 rows
+       streaming drain, and delete path / saved-index hybrid serving /
+       BPE training+encoding), which need fresh rows.  To make room,
+       eighteen more unchanged queries with r02/r03 rows
        (pricing_summary, top_customers, events_hourly, region_revenue,
        shipping_priority, late_orders_exists, events_gapfill,
        user_running_stats, distinct_users_daily, salted_counts,
        events_sessionize, pack_sequences, weighted_sample, hash_sample,
-       repetition_stats) dropped to section 5.
+       repetition_stats, stratified_sample, token_stats,
+       event_quantiles) dropped to section 5.
     4. Flagship compositions re-confirmed every round (e2e indexer,
        MinHash).  The two streaming drains (`stream_upsert_events`,
        `stream_deleted_index`) sit first past the boundary this round:
@@ -2183,13 +2208,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "token_stats": q_token_stats,
         "dedup_clusters": q_dedup_clusters,
         "train_corpus": q_train_corpus,
         "decontam_report": q_decontam_report,
         "pii_redaction": q_pii_redaction,
         "asof_last_error": q_asof_last_error,
-        "event_quantiles": q_event_quantiles,
         "zorder_values": q_zorder_values,
         # -- 3. round-5 additions / changed queries ---------------------
         "fuzzy_decontam": q_fuzzy_decontam,
@@ -2216,6 +2239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_text_index": q_stream_text_index,
         "text_index_delete_topk": q_text_index_delete_topk,
         "saved_hybrid_search": q_saved_hybrid_search,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -2254,6 +2279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
+        "token_stats": q_token_stats,
+        "event_quantiles": q_event_quantiles,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -3095,6 +3122,71 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, source, quality, n_domain::BIGINT AS n_domain,
              (CASE WHEN rn <= greatest(1, ceil(0.5 * n_domain)) THEN 1 ELSE 0 END)::INT AS kept
       FROM ranked
+    """
+
+    # ---- BPE tokenizer training (operators/bpe.py) ----------------------
+    # the oracle unrolls the training trajectory: per iteration one
+    # pair-count aggregate, the deterministic argmax, and the run-safe
+    # wrapped-string replace — the exact steps train_bpe runs
+    def _bpe_ctes(n: int) -> str:
+        parts = [
+            f"""
+      w AS (SELECT word, count(*) AS wcount
+            FROM (SELECT unnest({_WORDS}) AS word FROM documents) t
+            GROUP BY word),
+      v0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
+                    c -> ' ' || c || ' '), '') AS sym_str, wcount FROM w)"""
+        ]
+        for i in range(1, n + 1):
+            parts.append(
+                f"""
+      p{i} AS (
+        SELECT pr[1] AS l, pr[2] AS r, sum(wcount) AS cnt FROM (
+          SELECT unnest(list_zip(list_slice(syms, 1, len(syms) - 1),
+                                 list_slice(syms, 2, len(syms)))) AS pr, wcount
+          FROM (SELECT string_split(trim(sym_str), '  ') AS syms, wcount
+                FROM v{i - 1}) s) u
+        GROUP BY 1, 2),
+      b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+      v{i} AS (SELECT replace(v.sym_str, ' ' || b.l || '  ' || b.r || ' ',
+                              ' ' || b.l || b.r || ' ') AS sym_str, v.wcount
+               FROM v{i - 1} v CROSS JOIN b{i} b)"""
+            )
+        return ",".join(parts)
+
+    _bpe_n = 8
+    _bpe_rows = "\n        UNION ALL ".join(
+        f'SELECT {i} AS rank, l AS "left", r AS "right", l || r AS merged, '
+        f"cnt::BIGINT AS pair_count FROM b{i}"
+        for i in range(1, _bpe_n + 1)
+    )
+    sqls["bpe_train"] = f"""
+      WITH {_bpe_ctes(_bpe_n)}
+      SELECT rank::INT AS rank, "left", "right", merged, pair_count
+      FROM ({_bpe_rows})
+    """
+
+    _bpe_apply = "".join(
+        f"""
+      g{i} AS (SELECT g.word,
+                      replace(g.sym_str, ' ' || b.l || '  ' || b.r || ' ',
+                              ' ' || b.l || b.r || ' ') AS sym_str
+               FROM g{i - 1} g CROSS JOIN b{i} b),"""
+        for i in range(1, _bpe_n + 1)
+    )
+    sqls["bpe_encode"] = f"""
+      WITH {_bpe_ctes(_bpe_n)},
+      occ AS (SELECT doc_id, unnest({_WORDS}) AS word FROM documents),
+      g0 AS (SELECT DISTINCT word,
+                    array_to_string(list_transform(string_split(word, ''),
+                    c -> ' ' || c || ' '), '') AS sym_str
+             FROM occ),{_bpe_apply}
+      counts AS (SELECT word,
+                        len(string_split(trim(sym_str), '  ')) AS n_bpe
+                 FROM g{_bpe_n})
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(n_bpe)::BIGINT AS n_bpe_tokens
+      FROM occ JOIN counts USING (word) GROUP BY doc_id
     """
 
     # ---- query-side search stack (operators/search.py) -----------------

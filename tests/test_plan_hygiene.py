@@ -47,6 +47,8 @@ SKIP = {
     "text_index_delete_topk",
     "saved_hybrid_search",
     "ann_upsert_topk",
+    "bpe_train",          # iterative: runs vocabulary jobs while building
+    "bpe_encode",         # collects the learned merges at plan-build time
     "stream_sessionize",
     "stream_windowed_counts",
     "stream_view_click_join",
