@@ -70,6 +70,7 @@ HEADLINE = [
     "search_bm25",
     "search_hybrid_rrf",
     "text_index_topk",
+    "bpe_train",
 ]
 
 
