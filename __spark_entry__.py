@@ -1563,6 +1563,14 @@ def q_bpe_encode(spark, sf):
     return encode_bpe(_docs(spark, sf), merges)
 
 
+def q_lm_scores(spark, sf):
+    """CCNet-style LM quality scoring: corpus-trained add-one bigram LM,
+    per-doc average log-probability (decimal-summed for hash stability)."""
+    from azuredatalakeindexer_spark.operators.textops import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf))
+
+
 def q_quality_score(spark, sf):
     """Quality scoring (Gopher/C4-style features)."""
     out = quality_score(_docs(spark, sf))
@@ -2177,14 +2185,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        upsert / scoring profile / RAG chunking / simple-query-syntax /
        synonym maps / persisted text index + its MergeOrUpload,
        streaming drain, and delete path / saved-index hybrid serving /
-       BPE training+encoding), which need fresh rows.  To make room,
-       eighteen more unchanged queries with r02/r03 rows
+       BPE training+encoding / bigram LM scoring), which need fresh
+       rows.  To make room, nineteen more unchanged queries with
+       r02/r03 rows
        (pricing_summary, top_customers, events_hourly, region_revenue,
        shipping_priority, late_orders_exists, events_gapfill,
        user_running_stats, distinct_users_daily, salted_counts,
        events_sessionize, pack_sequences, weighted_sample, hash_sample,
        repetition_stats, stratified_sample, token_stats,
-       event_quantiles) dropped to section 5.
+       event_quantiles, pii_redaction) dropped to section 5.
     4. Flagship compositions re-confirmed every round (e2e indexer,
        MinHash).  The two streaming drains (`stream_upsert_events`,
        `stream_deleted_index`) sit first past the boundary this round:
@@ -2211,7 +2220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "train_corpus": q_train_corpus,
         "decontam_report": q_decontam_report,
-        "pii_redaction": q_pii_redaction,
         "asof_last_error": q_asof_last_error,
         "zorder_values": q_zorder_values,
         # -- 3. round-5 additions / changed queries ---------------------
@@ -2241,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "saved_hybrid_search": q_saved_hybrid_search,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "lm_scores": q_lm_scores,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
@@ -2281,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_stats": q_token_stats,
         "event_quantiles": q_event_quantiles,
+        "pii_redaction": q_pii_redaction,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -3187,6 +3197,31 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, count(*)::BIGINT AS n_words,
              sum(n_bpe)::BIGINT AS n_bpe_tokens
       FROM occ JOIN counts USING (word) GROUP BY doc_id
+    """
+
+    # CCNet-style bigram LM scoring: model counts and scoring relation
+    # from ONE bigram pass; per-bigram log-probs rounded + DECIMAL-summed
+    # (order-free) exactly as bigram_lm_scores does
+    sqls["lm_scores"] = f"""
+      WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+      bg AS (
+        SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM (
+          SELECT doc_id,
+                 unnest(list_zip(list_slice(words, 1, len(words) - 1),
+                                 list_slice(words, 2, len(words)))) AS pr
+          FROM t) u),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      v AS (SELECT count(DISTINCT w) AS vsz
+            FROM (SELECT unnest(words) AS w FROM t) x),
+      scored AS (
+        SELECT bg.doc_id,
+               round(ln((c12.c12 + 1.0) / (c1.c1 + vsz)), 6)::DECIMAL(18,6) AS lp
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      SELECT doc_id,
+             round(sum(lp)::DOUBLE / count(*), 6) AS avg_logprob,
+             count(*)::BIGINT AS n_bigrams
+      FROM scored GROUP BY doc_id
     """
 
     # ---- query-side search stack (operators/search.py) -----------------

@@ -377,3 +377,61 @@ def chunk_documents(
         F.size(piece).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-one-
+    smoothed bigram LM on the corpus itself and score every document by
+    its average bigram log-probability — low scores flag boilerplate/
+    gibberish relative to the corpus distribution (Wenzek et al. 2019
+    use a KenLM 5-gram; the bigram form keeps the operator pure-Catalyst
+    and the oracle exact).
+
+    ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)`` with ``c(w1·)`` the
+    count of w1 as a bigram left-hand side and ``V`` the corpus distinct-
+    token count.  Output ``(id_col, avg_logprob, n_bigrams)``; documents
+    with fewer than two tokens have no bigrams and are excluded BY DESIGN
+    (nothing to score — callers left-join on doc ids, the span_dedup /
+    chunk_documents contract).
+
+    Cross-engine determinism: per-bigram log-probs are rounded to 6
+    decimals and summed as DECIMAL(18,6) — exact, order-free — so the
+    per-doc average is hash-stable (the repo's standard float-aggregate
+    discipline; a double sum would drift with partition order).
+
+    Scale: one corpus bigram pass feeds BOTH the model counts and the
+    scoring relation; the model joins are (w1,w2)/(w1) equi-joins left to
+    AQE (a 100 TB vocabulary outgrows any broadcast); V is a 1-row
+    crossJoin broadcast.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    pairs = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(F.col("_toks"), 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    bg = base.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).localCheckpoint()
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vsz = base.select(F.explode("_toks").alias("w")).agg(
+        F.countDistinct("w").alias("vsz")
+    )
+    lp = F.round(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vsz"))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        bg.join(c12, ["w1", "w2"]).join(c1, "w1").crossJoin(F.broadcast(vsz))
+        .select(F.col(id_col), lp.alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("_lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+    )

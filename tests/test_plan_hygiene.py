@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "search_profile",      # same SINGLE-ROW per-field corpus-stats frame
     "search_simple_query", # same bm25 SINGLE-ROW stats frame
     "search_synonyms",     # same bm25 SINGLE-ROW stats frame
+    "lm_scores",           # crossJoin of the SINGLE-ROW vocab-size frame
 }
 
 #: queries that RUN work at plan-build time (streaming drains, temp lakes) —

@@ -270,3 +270,29 @@ def test_chunk_documents_reassembly_invariant(spark):
     assert bad == 0
     # zero-token docs (if any) have no chunks; all others were rebuilt
     assert rebuilt.count() == orig.count()
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    import pytest
+
+    from azuredatalakeindexer_spark.operators.textops import bigram_lm_scores
+
+    # corpus: 'a b a b' + 'a b c' + 'z' (no bigrams -> excluded)
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["avg_logprob"], r["n_bigrams"]) for r in
+           bigram_lm_scores(df).collect()}
+    # bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; c(a.)=3, c(b.)=2; V=4 (a,b,c,z)
+    lp_ab = round(math.log((3 + 1.0) / (3 + 4)), 6)
+    lp_ba = round(math.log((1 + 1.0) / (2 + 4)), 6)
+    lp_bc = round(math.log((1 + 1.0) / (2 + 4)), 6)
+    exp0 = round((lp_ab + lp_ba + lp_ab) / 3, 6)
+    exp1 = round((lp_ab + lp_bc) / 2, 6)
+    assert 2 not in out                      # bigram-less doc excluded by design
+    assert out[0] == (pytest.approx(exp0, abs=2e-6), 3)
+    assert out[1] == (pytest.approx(exp1, abs=2e-6), 2)
+    # the corpus-frequent pattern scores higher than the rarer one
+    assert out[0][0] > out[1][0]
