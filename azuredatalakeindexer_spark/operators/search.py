@@ -113,6 +113,14 @@ def bm25_topk(
         ],
     )
     scored = per.crossJoin(F.broadcast(stats))
+    # avgdl = 0 only when the whole corpus is token-free (then every tf is
+    # 0 and nothing can score) — guard the norm term so ANSI mode doesn't
+    # raise DIVIDE_BY_ZERO on that degenerate corpus; the oracle needs no
+    # mirror because DuckDB's 0/0 → nan fails the bm25 > 0 filter the same
+    # way (found by the hypothesis property test)
+    norm = F.when(
+        F.col("_avgdl") > 0, F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    ).otherwise(F.lit(0.0))
     score = None
     for i in range(len(terms)):
         tf = F.col(f"_tf{i}").cast("double")
@@ -121,7 +129,7 @@ def bm25_topk(
             + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5)) / (F.col(f"_df{i}") + F.lit(0.5))
         )
         contrib = (idf * tf * F.lit(k1 + 1.0)) / (
-            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+            tf + F.lit(k1) * (F.lit(1.0 - b) + norm)
         )
         score = contrib if score is None else score + contrib
     if match_filter is not None:
@@ -285,6 +293,11 @@ def scoring_profile_topk(
 
     total = None
     for fi, (_fld, terms, w) in enumerate(fields):
+        # same degenerate-corpus guard as bm25_topk, per field
+        norm = F.when(
+            F.col(f"_avgdl{fi}") > 0,
+            F.lit(b) * F.col(f"_dl{fi}") / F.col(f"_avgdl{fi}"),
+        ).otherwise(F.lit(0.0))
         fscore = None
         for ti in range(len(terms)):
             tf = F.col(f"_tf{fi}_{ti}").cast("double")
@@ -293,9 +306,7 @@ def scoring_profile_topk(
                 F.lit(1.0) + (F.col("_n") - df + F.lit(0.5)) / (df + F.lit(0.5))
             )
             contrib = (idf * tf * F.lit(k1 + 1.0)) / (
-                tf
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col(f"_dl{fi}") / F.col(f"_avgdl{fi}"))
+                tf + F.lit(k1) * (F.lit(1.0 - b) + norm)
             )
             fscore = contrib if fscore is None else fscore + contrib
         weighted = F.lit(w) * fscore

@@ -217,3 +217,48 @@ def test_shuffle_shards_is_a_permutation_property(spark, ids, n_shards):
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     for positions in by_shard.values():
         assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def _bm25_py(docs: dict[int, str], terms: list[str], k1=1.2, b=0.75):
+    """Pure-Python BM25 reference (Lucene idf, same formula as bm25_topk)."""
+    import math
+
+    toks = {d: [w for w in t.lower().split() if w] for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n if n else 0.0
+    if avgdl == 0:
+        return {}          # token-free corpus: nothing can score
+    out = {}
+    for d, words in toks.items():
+        s = 0.0
+        for t in sorted(set(x.lower() for x in terms)):
+            tf = words.count(t)
+            df = sum(1 for w in toks.values() if t in w)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(words) / avgdl))
+        if round(s, 6) > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+doc_text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(doc_text, min_size=2, max_size=10),
+    st.lists(word, min_size=1, max_size=3),
+)
+def test_bm25_matches_python_reference(spark, texts, terms):
+    """bm25_topk over arbitrary corpora/terms equals a pure-Python BM25
+    (same Lucene formula), including zero-score exclusion and ranking."""
+    from azuredatalakeindexer_spark.operators.search import bm25_topk
+
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(df, terms, k=100).collect()}
+    want = _bm25_py(docs, terms)
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) <= 2e-6, (d, got[d], want[d])
