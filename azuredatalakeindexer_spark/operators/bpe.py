@@ -126,7 +126,14 @@ def train_bpe(
             F.replace(
                 F.col("sym_str"), F.lit(f" {l}  {r} "), F.lit(f" {l + r} ")
             ),
-        ).localCheckpoint()
+        )
+        # re-anchor every few rounds, not every round: a handful of stacked
+        # `replace` expressions is cheap to recompute, while materializing
+        # the vocabulary per iteration costs a full write+read of it (~2×
+        # train time measured at sf0.1); unbounded stacking would still
+        # blow plan depth, so the cadence bounds it at 4
+        if rank % 4 == 0:
+            vocab = vocab.localCheckpoint()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
