@@ -270,6 +270,8 @@ def scoring_profile_topk(
     ]
     if any(not terms for _, terms, _ in fields):
         raise ValueError("every profile field needs at least one query term")
+    if boost is not None and boost[3] <= boost[2]:
+        raise ValueError("boost range needs hi > lo (got lo=%r, hi=%r)" % (boost[2], boost[3]))
     docs = ensure_parallelism(docs)
 
     per_cols = [F.col(id_col)]

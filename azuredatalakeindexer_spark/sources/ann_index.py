@@ -127,11 +127,51 @@ def upsert_ivf_index(
         .select(id_col, vec_col, "cell")
     )
     merged = keep.unionByName(assigned.select(id_col, vec_col, "cell")).localCheckpoint()
+    # a victim cell whose rows were ALL replaced ids that moved to other
+    # cells survives with zero rows — dynamic overwrite would skip it and
+    # serve the stale vectors; clear such emptied cells explicitly
+    present = [r["cell"] for r in merged.select("cell").distinct().collect()]
+    _clear_emptied_partitions(spark, postings_path, "cell", affected, present)
     with _dynamic_overwrite(spark):
         merged.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
             postings_path
         )
     return statuses
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — works for any
+    URI scheme the cluster can reach (file://, abfss://, s3a://, hdfs://),
+    unlike ``os.path``, which silently answers False for remote URIs."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _clear_emptied_partitions(
+    spark: SparkSession, base_path: str, part_col: str, affected, present
+) -> None:
+    """Dynamic partition overwrite rewrites ONLY the partitions present in
+    the written frame; an affected partition whose surviving row set is
+    empty (all its rows replaced or deleted) would silently keep its stale
+    files.  Delete those directories explicitly so the merged layout is
+    bit-identical to a fresh rebuild even when a partition empties out.
+    """
+    emptied = sorted(set(affected) - set(present))
+    if not emptied:
+        return
+    fs, _ = _hadoop_fs(spark, base_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    for v in emptied:
+        p = jpath(f"{base_path}/{part_col}={v}")
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 class _dynamic_overwrite:

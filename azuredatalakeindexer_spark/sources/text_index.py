@@ -118,7 +118,10 @@ def upsert_text_index(
     ``build_text_index`` over (base ∖ replaced) ∪ delta — test-pinned and
     replayed by the DuckDB oracle.
     """
-    from azuredatalakeindexer_spark.sources.ann_index import _dynamic_overwrite
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        _clear_emptied_partitions,
+        _dynamic_overwrite,
+    )
 
     toks = tokens(F.col(text_col))
     base = delta.select(F.col(id_col), toks.alias("_toks")).localCheckpoint()
@@ -159,10 +162,24 @@ def upsert_text_index(
     merged = keep.unionByName(
         new_postings.select("term", id_col, "tf", "bucket")
     ).localCheckpoint()
-    with _dynamic_overwrite(spark):
+    base_empty = old_keys.isEmpty()  # delete-all left a 0-row sentinel layout
+    if base_empty:
+        # static overwrite replaces the unpartitioned sentinel with a clean
+        # partitioned layout (a dynamic write on top of it would mix root
+        # files with bucket= directories and break partition discovery)
         merged.repartition("bucket").write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(postings_path)
+    else:
+        # a victim bucket whose postings ALL belonged to replaced docs whose
+        # new terms hash elsewhere ends up with zero surviving rows — dynamic
+        # overwrite would skip it and keep the stale postings on disk
+        present = [r["bucket"] for r in merged.select("bucket").distinct().collect()]
+        _clear_emptied_partitions(spark, postings_path, "bucket", affected, present)
+        with _dynamic_overwrite(spark):
+            merged.repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(postings_path)
 
     # doclens: same affected-partition rewrite keyed by the id-hash bucket
     doclens_path = f"{path}/doclens"
@@ -179,10 +196,15 @@ def upsert_text_index(
         .select(id_col, "dl", "dbucket")
     )
     dmerged = dkeep.unionByName(new_lens).localCheckpoint()
-    with _dynamic_overwrite(spark):
+    if base_empty:
         dmerged.repartition("dbucket").write.mode("overwrite").partitionBy(
             "dbucket"
         ).parquet(doclens_path)
+    else:
+        with _dynamic_overwrite(spark):
+            dmerged.repartition("dbucket").write.mode("overwrite").partitionBy(
+                "dbucket"
+            ).parquet(doclens_path)
 
     stats = (
         spark.read.parquet(doclens_path)
@@ -289,7 +311,7 @@ def run_stream_text_index(
     over the whole corpus (test-pinned; the oracle is the scan-time bm25
     replay).
     """
-    import os
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
     stream = (
         spark.readStream.schema(schema)
@@ -298,7 +320,10 @@ def run_stream_text_index(
     )
 
     def handle(batch: DataFrame, _batch_id: int) -> None:
-        if not os.path.exists(os.path.join(index_dir, "stats")):
+        # Hadoop FS probe, not os.path — the index may live on abfss/s3/hdfs
+        # where a local-path check is always False and every micro-batch
+        # would take the build path, keeping only the last batch
+        if not hadoop_path_exists(batch.sparkSession, f"{index_dir}/stats"):
             build_text_index(
                 batch, index_dir, text_col=text_col, id_col=id_col, n_buckets=n_buckets
             )
@@ -337,19 +362,45 @@ def delete_from_text_index(
     Same affected-partition shape as the upsert: victims are located via
     the column-pruned (id, bucket) projection semi-joined against the
     broadcast id set, only their buckets (postings AND doclens) are
-    rewritten with the victims anti-joined out, and the 1-row stats
-    refresh from the post-delete doclens.  Deleting an absent id is a
-    no-op (idempotent — redelivered delete events are harmless).
+    rewritten with the victims anti-joined out — a bucket whose survivors
+    are empty is explicitly cleared (dynamic overwrite alone would skip
+    it) — and the 1-row stats refresh from the post-delete doclens.
+    Removal is counted from the doclens side (every doc has a doclens row;
+    a zero-token doc has no postings).  Deleting an absent id is a no-op
+    (idempotent — redelivered delete events are harmless).
     """
-    from azuredatalakeindexer_spark.sources.ann_index import _dynamic_overwrite
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        _clear_emptied_partitions,
+        _dynamic_overwrite,
+    )
 
     ids = doc_ids.select(id_col).distinct().localCheckpoint()
+
+    doclens_path = f"{path}/doclens"
+    full_lens = spark.read.parquet(doclens_path)
+    dvictims = full_lens.select(id_col, "dbucket").join(
+        F.broadcast(ids), id_col, "left_semi"
+    )
+    daffected = [r["dbucket"] for r in dvictims.select("dbucket").distinct().collect()]
+    n_removed = dvictims.select(id_col).distinct().count()
+    # stats must reflect ALL surviving docs; aggregate before the rewrite so
+    # a fully-emptied doclens layout never has to be re-read
+    stats = (
+        full_lens.join(F.broadcast(ids), id_col, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .localCheckpoint()
+    )
+    # n_docs == 0 means EVERY document was deleted: both relations end up
+    # row-free, and a partitioned layout with zero data files cannot be
+    # re-read (schema inference fails) — replace it with a typed 0-row
+    # unpartitioned sentinel instead; upsert routes back to the static
+    # build write when it sees the empty base
+    index_emptied = stats.first()["n_docs"] == 0
 
     postings_path = f"{path}/postings"
     old_keys = spark.read.parquet(postings_path).select(id_col, "bucket")
     victims = old_keys.join(F.broadcast(ids), id_col, "left_semi")
     affected = [r["bucket"] for r in victims.select("bucket").distinct().collect()]
-    n_removed = victims.select(id_col).distinct().count()
     if affected:
         keep = (
             spark.read.parquet(postings_path)
@@ -358,15 +409,18 @@ def delete_from_text_index(
             .select("term", id_col, "tf", "bucket")
             .localCheckpoint()
         )
-        with _dynamic_overwrite(spark):
-            keep.repartition("bucket").write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(postings_path)
+        present = [r["bucket"] for r in keep.select("bucket").distinct().collect()]
+        _clear_emptied_partitions(spark, postings_path, "bucket", affected, present)
+        if index_emptied:
+            keep.write.mode("overwrite").parquet(postings_path)
+        elif present:
+            with _dynamic_overwrite(spark):
+                keep.repartition("bucket").write.mode("overwrite").partitionBy(
+                    "bucket"
+                ).parquet(postings_path)
+        # present empty but other buckets survive: the emptied victim dirs
+        # are already cleared and there is nothing to write
 
-    doclens_path = f"{path}/doclens"
-    old_lens = spark.read.parquet(doclens_path).select(id_col, "dbucket")
-    dvictims = old_lens.join(F.broadcast(ids), id_col, "left_semi")
-    daffected = [r["dbucket"] for r in dvictims.select("dbucket").distinct().collect()]
     if daffected:
         dkeep = (
             spark.read.parquet(doclens_path)
@@ -375,15 +429,15 @@ def delete_from_text_index(
             .select(id_col, "dl", "dbucket")
             .localCheckpoint()
         )
-        with _dynamic_overwrite(spark):
-            dkeep.repartition("dbucket").write.mode("overwrite").partitionBy(
-                "dbucket"
-            ).parquet(doclens_path)
+        dpresent = [r["dbucket"] for r in dkeep.select("dbucket").distinct().collect()]
+        _clear_emptied_partitions(spark, doclens_path, "dbucket", daffected, dpresent)
+        if index_emptied:
+            dkeep.write.mode("overwrite").parquet(doclens_path)
+        elif dpresent:
+            with _dynamic_overwrite(spark):
+                dkeep.repartition("dbucket").write.mode("overwrite").partitionBy(
+                    "dbucket"
+                ).parquet(doclens_path)
 
-    stats = (
-        spark.read.parquet(doclens_path)
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-        .localCheckpoint()
-    )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
     return int(n_removed)

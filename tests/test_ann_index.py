@@ -284,3 +284,116 @@ def test_delete_from_text_index_matches_fresh_rebuild(spark, tmp_path):
     assert [(r["doc_id"], r["bm25"]) for r in after.collect()] == [
         (r["doc_id"], r["bm25"]) for r in scan.collect()
     ]
+
+
+def test_upsert_ivf_clears_emptied_victim_cell(spark, tmp_path):
+    """ADVICE r5 (high): a victim cell whose rows were ALL replaced ids that
+    moved to other cells must be cleared — dynamic overwrite alone would
+    leave the stale vectors on disk and queries would return the old
+    embedding for a replaced id."""
+    from azuredatalakeindexer_spark.sources.ann_index import upsert_ivf_index
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=16)
+    posts = spark.read.parquet(f"{path}/postings")
+    sizes = sorted((r["count"], r["cell"]) for r in posts.groupBy("cell").count().collect())
+    assert len(sizes) >= 2
+    victim, donor = sizes[0][1], sizes[-1][1]
+    victim_ids = posts.where(F.col("cell") == victim).select("vec_id")
+    # replace every victim-cell member with a copy of a donor-cell vector:
+    # all of them provably move, so the victim cell's survivor set is EMPTY
+    donor_vec = posts.where(F.col("cell") == donor).orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("_dv")
+    )
+    delta = victim_ids.crossJoin(donor_vec).select(
+        "vec_id", F.col("_dv").alias("embedding")
+    )
+    upsert_ivf_index(spark, path, delta)
+    after = spark.read.parquet(f"{path}/postings")
+    assert after.where(F.col("cell") == victim).count() == 0
+    # no stale duplicates anywhere: every id appears exactly once
+    assert after.groupBy("vec_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_upsert_text_index_clears_emptied_victim_bucket(spark, tmp_path):
+    """ADVICE r5 (high): replacing a doc whose old term was the ONLY posting
+    in its bucket must clear that bucket — otherwise the stale posting
+    persists and the old term still matches."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        _py_bucket,
+        build_text_index,
+        query_text_index,
+        upsert_text_index,
+    )
+
+    old = "zebra"
+    new = next(
+        w for w in ["apple", "quartz", "violet", "mango"]
+        if _py_bucket(w, 16) != _py_bucket(old, 16)
+    )
+    docs = spark.createDataFrame(
+        [(1, old), (2, f"{new} {new}")], f"doc_id long, text string"
+    )
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    delta = spark.createDataFrame([(1, new)], "doc_id long, text string")
+    upsert_text_index(spark, path, delta, n_buckets=16)
+    # the stale 'zebra' posting is gone: its bucket was cleared
+    assert query_text_index(spark, path, [old], k=5, n_buckets=16).count() == 0
+    assert query_text_index(spark, path, [new], k=5, n_buckets=16).count() == 2
+
+
+def test_delete_all_docs_empties_index_and_counts_zero_token_docs(spark, tmp_path):
+    """ADVICE r5 (high+low): deleting every doc must leave NO stale postings
+    or doclens (n_docs=0 stats, queries match nothing), and zero-token docs
+    (doclens row, no postings) count toward n_removed."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+        upsert_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "")],  # doc 3 has no tokens
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    assert delete_from_text_index(spark, path, ids, n_buckets=16) == 3
+    st = spark.read.parquet(f"{path}/stats").first()
+    assert st["n_docs"] == 0
+    assert spark.read.parquet(f"{path}/postings").count() == 0
+    assert spark.read.parquet(f"{path}/doclens").count() == 0
+    assert query_text_index(spark, path, ["beta"], k=5, n_buckets=16).count() == 0
+    # the emptied index accepts a fresh upsert (sentinel -> clean rebuild)
+    statuses = {r["doc_id"]: r["status"] for r in
+                upsert_text_index(spark, path, docs, n_buckets=16).collect()}
+    assert statuses == {1: 201, 2: 201, 3: 201}
+    assert query_text_index(spark, path, ["beta"], k=5, n_buckets=16).count() == 2
+
+
+def test_delete_partial_keeps_other_buckets_intact(spark, tmp_path):
+    """Deleting the sole occupant of one bucket clears ONLY that bucket;
+    other buckets' postings survive untouched."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        _py_bucket,
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+
+    a = "zebra"
+    b = next(
+        w for w in ["apple", "quartz", "violet", "mango"]
+        if _py_bucket(w, 16) != _py_bucket(a, 16)
+    )
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    assert delete_from_text_index(spark, path, ids, n_buckets=16) == 1
+    assert query_text_index(spark, path, [a], k=5, n_buckets=16).count() == 0
+    assert query_text_index(spark, path, [b], k=5, n_buckets=16).count() == 1

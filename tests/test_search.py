@@ -198,6 +198,9 @@ def test_scoring_profile_validates_input(spark):
         scoring_profile_topk(df, {})
     with pytest.raises(ValueError):
         scoring_profile_topk(df, {"text": ([], 1.0)})
+    # degenerate boost range would divide by zero for every row
+    with pytest.raises(ValueError):
+        scoring_profile_topk(df, {"text": (["x"], 1.0)}, boost=("doc_id", 2.0, 5.0, 5.0))
 
 
 def test_expand_query_terms_synonym_map(spark):
