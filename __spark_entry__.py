@@ -1125,18 +1125,51 @@ def q_embedding_topk(spark, sf):
 
 
 def q_embedding_topk_np(spark, sf):
-    """Arrow/numpy batched brute-force top-k (the high-dim scale path).
-    No oracle_sql entry BY DESIGN: BLAS pairwise summation differs from a
-    SQL left-fold in the last float ulps, so cross-engine hash equality is
-    not meaningful — parity with the Catalyst baseline is pinned at 1e-6 in
-    tests/test_dedup_similarity.py::test_np_topk_matches_catalyst; the
-    driver records the rows-only check."""
-    from azuredatalakeindexer_spark.operators.similarity import brute_force_topk_np
+    """Arrow/numpy batched brute-force top-k (the high-dim scale path),
+    emitted as a BOUNDED CHECK: BLAS pairwise summation differs from a SQL
+    left-fold in the last float ulps, so instead of hashing the BLAS scores
+    the query joins them against the exact Catalyst top-k and outputs the
+    EXACT side plus ``within_tol`` = (same neighbor at the same rank, score
+    within 1e-6).  The oracle replays the exact side expecting
+    ``within_tol=1`` — a full row+hash gate on the Arrow path's accuracy
+    contract, closing the last rows-only entry (VERDICT r5 next-#2; same
+    pattern as `approx_distinct_users`)."""
+    from azuredatalakeindexer_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_np,
+    )
 
     emb = _emb(spark, sf)
     q = emb.where(F.col("vec_id") < 5)
-    out = brute_force_topk_np(emb, q, k=5)
-    return out.withColumn("rank", F.col("rank").cast("int"))
+    exact = brute_force_topk(emb, q, k=5)
+    np_side = brute_force_topk_np(emb, q, k=5).select(
+        "query_id",
+        F.col("neighbor_id").alias("_np_nbr"),
+        F.col("cosine").alias("_np_cos"),
+        F.col("rank").alias("_np_rank"),
+    )
+    return (
+        exact.join(
+            np_side,
+            (exact.query_id == np_side.query_id)
+            & (exact.neighbor_id == np_side._np_nbr)
+            & (exact.rank == np_side._np_rank),
+            "left",
+        )
+        .select(
+            exact.query_id,
+            exact.neighbor_id,
+            exact.cosine,
+            exact.rank.cast("int").alias("rank"),
+            (
+                F.col("_np_cos").isNotNull()
+                & (F.abs(F.col("_np_cos") - exact.cosine) <= F.lit(1.1e-6))
+            )
+            .cast("int")
+            .alias("within_tol"),
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 def q_ann_lsh_topk(spark, sf):
@@ -2850,6 +2883,21 @@ def oracle_sql() -> dict[str, str]:
              (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
       FROM scored
       QUALIFY rank <= 5
+    """
+
+    # the exact side of the BLAS-vs-Catalyst agreement gate; the Spark query
+    # guarantees within_tol=1 when the Arrow path matches at 1e-6
+    sqls["embedding_topk_np"] = f"""
+      WITH {emb_base},
+      scored AS (
+        SELECT query_id, c.vec_id AS neighbor_id, {_COSINE} AS cosine
+        FROM c, q WHERE c.vec_id != q.query_id)
+      SELECT query_id, neighbor_id, cosine,
+             (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank,
+             1 AS within_tol
+      FROM scored
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank
     """
 
     sqls["ann_lsh_topk"] = f"""
