@@ -1596,6 +1596,27 @@ def q_bpe_encode(spark, sf):
     return encode_bpe(_docs(spark, sf), merges)
 
 
+def q_bpe_pipeline(spark, sf):
+    """Train-then-serve BPE end-to-end at a realistic merge count: 64
+    learned merges (past ARROW_MERGE_THRESHOLD, so encoding routes through
+    the Arrow word-level encoder — a 64-deep replace-expression stack is
+    the wrong physical plan) → vocabulary-cached encode → per-doc token
+    counts.  Proves the two operators compose (VERDICT r5 next-#6); the
+    oracle unrolls the full 64-iteration trajectory as chained CTEs."""
+    from azuredatalakeindexer_spark.operators.bpe import (
+        ARROW_MERGE_THRESHOLD,
+        encode_bpe,
+        train_bpe,
+    )
+
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(_docs(spark, sf), n_merges=64).orderBy("rank").collect()
+    ]
+    assert len(merges) > ARROW_MERGE_THRESHOLD
+    return encode_bpe(_docs(spark, sf), merges)
+
+
 def q_lm_scores(spark, sf):
     """CCNet-style LM quality scoring: corpus-trained add-one bigram LM,
     per-doc average log-probability (decimal-summed for hash stability)."""
@@ -2282,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "saved_hybrid_search": q_saved_hybrid_search,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "bpe_pipeline": q_bpe_pipeline,
         "lm_scores": q_lm_scores,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
@@ -3187,12 +3209,16 @@ def oracle_sql() -> dict[str, str]:
     # pair-count aggregate, the deterministic argmax, and the run-safe
     # wrapped-string replace — the exact steps train_bpe runs
     def _bpe_ctes(n: int) -> str:
+        # every chained CTE is MATERIALIZED: each v_i is referenced twice
+        # (p_{i+1} and v_{i+1}), and inlining would re-expand the chain —
+        # at 64 iterations DuckDB re-opens the parquet per expansion and
+        # dies on fd exhaustion; materialization makes the chain linear
         parts = [
             f"""
-      w AS (SELECT word, count(*) AS wcount
+      w AS MATERIALIZED (SELECT word, count(*) AS wcount
             FROM (SELECT unnest({_WORDS}) AS word FROM documents) t
             GROUP BY word),
-      v0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
+      v0 AS MATERIALIZED (SELECT array_to_string(list_transform(string_split(word, ''),
                     c -> ' ' || c || ' '), '') AS sym_str, wcount FROM w)"""
         ]
         for i in range(1, n + 1):
@@ -3205,8 +3231,8 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT string_split(trim(sym_str), '  ') AS syms, wcount
                 FROM v{i - 1}) s) u
         GROUP BY 1, 2),
-      b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
-      v{i} AS (SELECT replace(v.sym_str, ' ' || b.l || '  ' || b.r || ' ',
+      b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+      v{i} AS MATERIALIZED (SELECT replace(v.sym_str, ' ' || b.l || '  ' || b.r || ' ',
                               ' ' || b.l || b.r || ' ') AS sym_str, v.wcount
                FROM v{i - 1} v CROSS JOIN b{i} b)"""
             )
@@ -3224,28 +3250,35 @@ def oracle_sql() -> dict[str, str]:
       FROM ({_bpe_rows})
     """
 
-    _bpe_apply = "".join(
-        f"""
+    def _bpe_encode_sql(n: int) -> str:
+        apply = "".join(
+            f"""
       g{i} AS (SELECT g.word,
                       replace(g.sym_str, ' ' || b.l || '  ' || b.r || ' ',
                               ' ' || b.l || b.r || ' ') AS sym_str
                FROM g{i - 1} g CROSS JOIN b{i} b),"""
-        for i in range(1, _bpe_n + 1)
-    )
-    sqls["bpe_encode"] = f"""
-      WITH {_bpe_ctes(_bpe_n)},
+            for i in range(1, n + 1)
+        )
+        return f"""
+      WITH {_bpe_ctes(n)},
       occ AS (SELECT doc_id, unnest({_WORDS}) AS word FROM documents),
       g0 AS (SELECT DISTINCT word,
                     array_to_string(list_transform(string_split(word, ''),
                     c -> ' ' || c || ' '), '') AS sym_str
-             FROM occ),{_bpe_apply}
+             FROM occ),{apply}
       counts AS (SELECT word,
                         len(string_split(trim(sym_str), '  ')) AS n_bpe
-                 FROM g{_bpe_n})
+                 FROM g{n})
       SELECT doc_id, count(*)::BIGINT AS n_words,
              sum(n_bpe)::BIGINT AS n_bpe_tokens
       FROM occ JOIN counts USING (word) GROUP BY doc_id
     """
+
+    sqls["bpe_encode"] = _bpe_encode_sql(_bpe_n)
+    # the 64-merge trajectory: same CTE unrolling, production merge count —
+    # replays what the Arrow encoder computes (pass-equivalence argued in
+    # operators/bpe.py::_apply_merges_arrow, parity pytest-pinned)
+    sqls["bpe_pipeline"] = _bpe_encode_sql(64)
 
     # CCNet-style bigram LM scoring: model counts and scoring relation
     # from ONE bigram pass; per-bigram log-probs rounded + DECIMAL-summed

@@ -137,17 +137,41 @@ def train_bpe(
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
-def apply_merges(words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word") -> DataFrame:
+#: above this many merges the expression-stack encoder is swapped for the
+#: Arrow word-level encoder (one `replace` expression per merge blows the
+#: codegen budget at production vocabulary sizes — ~30k merges)
+ARROW_MERGE_THRESHOLD = 48
+
+
+def apply_merges(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    use_arrow: bool | None = None,
+) -> DataFrame:
     """Segment each distinct word with a learned merge list (rank order):
     adds ``bpe_tokens array<string>`` and ``n_bpe bigint``.
 
-    The merge chain is a stack of plain ``replace`` expressions over the
-    wrapped symbol string — pure codegen, no shuffle.  For vocabularies ×
-    merge-lists where an expression stack per merge would blow the codegen
-    budget (the round-4 expression-tree lesson), production swaps this for
-    an Arrow ``mapInPandas`` word-level encoder; either way the corpus
-    itself is never re-scanned — encoding joins back over DISTINCT words.
+    Two physically different encoders with IDENTICAL semantics (parity is
+    pytest-pinned at the crossover):
+
+    - ``use_arrow=False`` (default ≤ ``ARROW_MERGE_THRESHOLD`` merges): a
+      stack of plain ``replace`` expressions over the wrapped symbol
+      string — pure codegen, no shuffle, SQL-replayable merge-for-merge;
+    - ``use_arrow=True`` (default above the threshold): an Arrow
+      ``mapInPandas`` encoder applying the merge table in Python.  This is
+      the legitimate Arrow-stage shape: it runs over the DISTINCT-word
+      relation (vocabulary-sized, NOT corpus-sized), a production merge
+      list is a driver-held dict, and a per-batch word cache makes each
+      distinct word cost one O(len²) segmentation.
+
+    Either way the corpus itself is never re-scanned — encoding joins back
+    over distinct words (`encode_bpe`).
     """
+    if use_arrow is None:
+        use_arrow = len(merges) > ARROW_MERGE_THRESHOLD
+    if use_arrow:
+        return _apply_merges_arrow(words, merges, word_col)
     sym = _char_sym_str(F.col(word_col))
     for l, r in merges:
         sym = F.replace(sym, F.lit(f" {l}  {r} "), F.lit(f" {l + r} "))
@@ -157,6 +181,76 @@ def apply_merges(words: DataFrame, merges: list[tuple[str, str]], word_col: str 
         toks.alias("bpe_tokens"),
         F.size(toks).cast("bigint").alias("n_bpe"),
     )
+
+
+def _apply_merges_arrow(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Arrow word-level BPE encoder: lowest-rank-first pair merging with a
+    rank dict, the standard production encoding loop.
+
+    Equivalent to the sequential expression path: once merge k's pass has
+    run, pair k can never reappear (merges only concatenate symbols —
+    they neither create the shorter left/right symbols nor bring two
+    symbols together by deleting between them), so picking the
+    lowest-rank applicable pair and merging all its non-overlapping
+    occurrences left-to-right replays the rank-order passes exactly,
+    skipping the inapplicable ones.  Cost per word is O(len²) regardless
+    of merge-table size, vs O(n_merges · len) for the expression stack.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    merge_list = list(merges)
+    out_schema = StructType(
+        list(words.schema.fields)
+        + [
+            StructField("bpe_tokens", ArrayType(StringType())),
+            StructField("n_bpe", LongType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        cache: dict[str, list[str]] = {}
+
+        def seg(word: str) -> list[str]:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                l, rgt = merge_list[best]
+                out = []
+                i = 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == rgt:
+                        out.append(l + rgt)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[word] = syms
+            return syms
+
+        for pdf in batches:
+            toks = pdf[word_col].map(seg)
+            yield pdf.assign(bpe_tokens=toks, n_bpe=toks.map(len).astype("int64"))
+
+    return words.mapInPandas(encode_batches, out_schema)
 
 
 def encode_bpe(

@@ -67,3 +67,56 @@ def test_train_bpe_stops_when_no_pairs_left(spark):
     out = train_bpe(df, n_merges=5).collect()
     # 'ab' has one pair; after merging it nothing remains
     assert [(r["rank"], r["merged"]) for r in out] == [(1, "ab")]
+
+
+def test_arrow_encoder_parity_with_expression_path(spark):
+    """The Arrow word-level encoder must segment every word identically to
+    the replace-expression stack — trained merges over real fixture text."""
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(docs, n_merges=12).orderBy("rank").collect()
+    ]
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    expr = {r["word"]: r["bpe_tokens"] for r in
+            apply_merges(words, merges, use_arrow=False).collect()}
+    arrow = {r["word"]: r["bpe_tokens"] for r in
+             apply_merges(words, merges, use_arrow=True).collect()}
+    assert expr == arrow and len(expr) > 20
+
+
+def test_arrow_encoder_handles_symbol_runs_and_chained_merges(spark):
+    words = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("aaaaaa",)], "word string"
+    )
+    out = {r["word"]: r["bpe_tokens"] for r in
+           apply_merges(words, [("a", "a"), ("aa", "aa")], use_arrow=True).collect()}
+    assert out["aaaa"] == ["aaaa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["aaaaaa"] == ["aaaa", "aa"]
+
+
+def test_encode_bpe_with_1000_merge_vocabulary(spark):
+    """A production-sized merge table must route through the Arrow encoder
+    (a 1,000-deep replace-expression stack would blow the codegen budget)
+    and still segment correctly."""
+    from azuredatalakeindexer_spark.operators.bpe import ARROW_MERGE_THRESHOLD
+
+    merges = [("a", "a"), ("aa", "aa"), ("b", "c")] + [
+        (f"x{i}", f"y{i}") for i in range(997)
+    ]
+    assert len(merges) == 1000 > ARROW_MERGE_THRESHOLD
+    docs = spark.createDataFrame(
+        [(1, "aaaa bc abc"), (2, "aaaaaa bcbc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"]) for r in
+           encode_bpe(docs, merges).collect()}
+    # doc 1: aaaa→[aaaa]=1, bc→[bc]=1, abc→[a,bc]=2  => 3 words, 4 tokens
+    # doc 2: aaaaaa→[aaaa,aa]=2, bcbc→[bc,bc]=2      => 2 words, 4 tokens
+    assert out == {1: (3, 4), 2: (2, 4)}
