@@ -2221,109 +2221,26 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, in PRIORITY order.
 
-    The driver's correctness gate checks at most the FIRST 50 entries per
-    round (round 3 recorded exactly the first 50 of 82, in registration
-    order), so ordering is load-bearing:
-
-    1. The 5 entries that had NEVER received a driver correctness row
-       through round 4 (VERDICT r4 finding #1) lead the window.
-    2. The round-2/3 rotation tail — entries whose last driver row is from
-       r02/r03 — re-windows (a few unchanged pure-SQL rollups yield their
-       slot to the round-5 additions and drop to section 5, keeping their
-       r02/r03 rows as evidence).
-    3. Round-5 additions and changed queries (approx tolerance gates,
-       span_dedup zero-chunk rows, partitioned fast path, the new
-       multi-table LSH, binned range join, SemDeDup, the per-domain
-       quality gate, and the query-side search stack — bm25 / facets /
-       hybrid RRF / highlight / suggester / filtered ANN / saved-index
-       upsert / scoring profile / RAG chunking / simple-query-syntax /
-       synonym maps / persisted text index + its MergeOrUpload,
-       streaming drain, and delete path / saved-index hybrid serving /
-       BPE training+encoding / bigram LM scoring), which need fresh
-       rows.  To make room, nineteen more unchanged queries with
-       r02/r03 rows
-       (pricing_summary, top_customers, events_hourly, region_revenue,
-       shipping_priority, late_orders_exists, events_gapfill,
-       user_running_stats, distinct_users_daily, salted_counts,
-       events_sessionize, pack_sequences, weighted_sample, hash_sample,
-       repetition_stats, stratified_sample, token_stats,
-       event_quantiles, pii_redaction) dropped to section 5.
-    4. Flagship compositions re-confirmed every round (e2e indexer,
-       MinHash).  The two streaming drains (`stream_upsert_events`,
-       `stream_deleted_index`) sit first past the boundary this round:
-       both have green r04 rows, are unchanged, and were replayed green
-       locally (tools/check_correctness.py full run, this round).
-    5. Rotation tail: everything below the boundary has a green row in a
-       prior round's CORRECTNESS_r*.json and stays registered — pytest +
-       tools/check_correctness.py cover ALL entries every round; these
-       re-window next rounds.
+    The driver's correctness gate checks the FIRST 50 entries per round, so
+    ordering is load-bearing.  ROTATION POLICY (one rule, VERDICT r5
+    next-#1): entries changed or added this round lead the window; the rest
+    are ordered by the round of their newest green CORRECTNESS_r*.json row,
+    oldest evidence first — so no registered query's newest driver row ever
+    ages past ~3 rounds (114 entries / 50 per window).  Every entry below
+    the boundary has a green row in a prior round's file and is replayed
+    locally each round (tools/check_correctness.py + the env-gated
+    tests/test_full_correctness.py).
     """
     return {
-        # -- 1. never driver-checked through r4 (VERDICT r4 #1) ---------
+        # -- changed/new this round: need fresh driver rows ------------
         "embedding_topk_np": q_embedding_topk_np,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_view_click_join": q_stream_view_click_join,
-        "stream_join_left_outer": q_stream_join_left_outer,
-        # -- 2. last driver row r02/r03: re-window ----------------------
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "dedup_clusters": q_dedup_clusters,
-        "train_corpus": q_train_corpus,
-        "decontam_report": q_decontam_report,
-        "asof_last_error": q_asof_last_error,
-        "zorder_values": q_zorder_values,
-        # -- 3. round-5 additions / changed queries ---------------------
-        "fuzzy_decontam": q_fuzzy_decontam,
-        "stream_minhash_dedup": q_stream_minhash_dedup,
-        "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
-        "events_range_join": q_events_range_join,
-        "classifier_scores": q_classifier_scores,
-        "ann_index_topk": q_ann_index_topk,
-        "semantic_dedup": q_semantic_dedup,
-        "domain_quality_gate": q_domain_quality_gate,
-        "search_bm25": q_search_bm25,
-        "search_facets": q_search_facets,
-        "search_hybrid_rrf": q_search_hybrid_rrf,
-        "search_highlight": q_search_highlight,
-        "search_suggest": q_search_suggest,
-        "ann_filtered_topk": q_ann_filtered_topk,
-        "ann_upsert_topk": q_ann_upsert_topk,
-        "search_profile": q_search_profile,
-        "rag_chunks": q_rag_chunks,
-        "search_simple_query": q_search_simple_query,
-        "search_synonyms": q_search_synonyms,
-        "text_index_topk": q_text_index_topk,
-        "text_index_upsert_topk": q_text_index_upsert_topk,
-        "stream_text_index": q_stream_text_index,
-        "text_index_delete_topk": q_text_index_delete_topk,
-        "saved_hybrid_search": q_saved_hybrid_search,
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
         "bpe_pipeline": q_bpe_pipeline,
-        "lm_scores": q_lm_scores,
-        "approx_distinct_users": q_approx_distinct_users,
-        "approx_event_quantiles": q_approx_event_quantiles,
-        "span_dedup": q_span_dedup,
-        "partitioned_counts": q_partitioned_counts,
-        "partitioned_runs": q_partitioned_runs,
-        "upsert_merge": q_upsert_merge,
-        # -- 4. flagships re-confirmed every round ----------------------
-        "indexer_run": q_indexer_run,
-        "indexer_run_metrics": q_indexer_run_metrics,
-        "stream_upsert_events": q_stream_upsert_events,
-        "stream_deleted_index": q_stream_deleted_index,
-        # ---------------- 50-entry window boundary ---------------------
-        # -- 5. rotation tail: green in CORRECTNESS_r04.json (or, for ---
-        # --    entries displaced by the round-5 additions above, in ----
-        # --    r02/r03 — unchanged pure-SQL rollups); re-window next ---
-        # --    rounds (list_changed_paths additionally runs every ------
-        # --    round as the entry() smoke check; the minhash banding ---
-        # --    chain is freshly exercised in-window by -----------------
-        # --    stream_minhash_dedup and fuzzy_decontam) ----------------
+        "text_index_upsert_topk": q_text_index_upsert_topk,
+        "text_index_delete_topk": q_text_index_delete_topk,
+        "ann_upsert_topk": q_ann_upsert_topk,
+        "stream_text_index": q_stream_text_index,
+        # -- oldest driver evidence first (rotation policy) -------------
+        "token_stats": q_token_stats,
         "orders_cube": q_orders_cube,
         "region_rollup": q_region_rollup,
         "events_pivot": q_events_pivot,
@@ -2343,9 +2260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
-        "token_stats": q_token_stats,
         "event_quantiles": q_event_quantiles,
         "pii_redaction": q_pii_redaction,
+        "stream_upsert_events": q_stream_upsert_events,
+        "stream_deleted_index": q_stream_deleted_index,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "list_changed_paths": q_list_changed_paths,
         "listing_to_path_rows": q_listing_to_path_rows,
@@ -2366,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_last_writer": q_dedup_last_writer,
         "upsert_status_counts": q_upsert_status_counts,
         "deleted_anti_join": q_deleted_anti_join,
+        # ---------------- 50-entry window boundary ---------------------
         "oversize_filter": q_oversize_filter,
         "batch_packing": q_batch_packing,
         "batch_packing_greedy": q_batch_packing_greedy,
@@ -2386,6 +2305,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_canonical": q_cluster_canonical,
         "stream_exact_dedup": q_stream_exact_dedup,
         "stream_curated_dedup": q_stream_curated_dedup,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_view_click_join": q_stream_view_click_join,
+        "stream_join_left_outer": q_stream_join_left_outer,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "dedup_clusters": q_dedup_clusters,
+        "train_corpus": q_train_corpus,
+        "decontam_report": q_decontam_report,
+        "asof_last_error": q_asof_last_error,
+        "zorder_values": q_zorder_values,
+        "fuzzy_decontam": q_fuzzy_decontam,
+        "stream_minhash_dedup": q_stream_minhash_dedup,
+        "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
+        "events_range_join": q_events_range_join,
+        "classifier_scores": q_classifier_scores,
+        "ann_index_topk": q_ann_index_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "domain_quality_gate": q_domain_quality_gate,
+        "search_bm25": q_search_bm25,
+        "search_facets": q_search_facets,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
+        "search_highlight": q_search_highlight,
+        "search_suggest": q_search_suggest,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "search_profile": q_search_profile,
+        "rag_chunks": q_rag_chunks,
+        "search_simple_query": q_search_simple_query,
+        "search_synonyms": q_search_synonyms,
+        "text_index_topk": q_text_index_topk,
+        "saved_hybrid_search": q_saved_hybrid_search,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "lm_scores": q_lm_scores,
+        "approx_distinct_users": q_approx_distinct_users,
+        "approx_event_quantiles": q_approx_event_quantiles,
+        "span_dedup": q_span_dedup,
+        "partitioned_counts": q_partitioned_counts,
+        "partitioned_runs": q_partitioned_runs,
+        "upsert_merge": q_upsert_merge,
+        "indexer_run": q_indexer_run,
+        "indexer_run_metrics": q_indexer_run_metrics,
     }
 
 
