@@ -1130,7 +1130,9 @@ def q_embedding_topk_np(spark, sf):
     left-fold in the last float ulps, so instead of hashing the BLAS scores
     the query joins them against the exact Catalyst top-k and outputs the
     EXACT side plus ``within_tol`` = (same neighbor at the same rank, score
-    within 1e-6).  The oracle replays the exact side expecting
+    within 1.1e-6 — 1e-6 contract plus half-ulp slack for the 6-decimal
+    rounding both sides apply before comparison).  The oracle replays the
+    exact side expecting
     ``within_tol=1`` — a full row+hash gate on the Arrow path's accuracy
     contract, closing the last rows-only entry (VERDICT r5 next-#2; same
     pattern as `approx_distinct_users`)."""

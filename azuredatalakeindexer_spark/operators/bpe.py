@@ -152,8 +152,14 @@ def apply_merges(
     """Segment each distinct word with a learned merge list (rank order):
     adds ``bpe_tokens array<string>`` and ``n_bpe bigint``.
 
-    Two physically different encoders with IDENTICAL semantics (parity is
-    pytest-pinned at the crossover):
+    Two physically different encoders with IDENTICAL semantics for
+    WELL-FORMED merge lists — each rule's left/right symbols are single
+    characters or outputs of earlier rules, as ``train_bpe`` produces
+    (parity is pytest-pinned at the crossover).  For an arbitrary
+    hand-built list violating that invariant (e.g. ``[("a","bc"),
+    ("b","c")]``) the two paths can legitimately diverge: the expression
+    stack replays rules in rank order and never revisits earlier ranks,
+    while the Arrow loop always merges the lowest applicable rank.
 
     - ``use_arrow=False`` (default ≤ ``ARROW_MERGE_THRESHOLD`` merges): a
       stack of plain ``replace`` expressions over the wrapped symbol

@@ -131,11 +131,15 @@ def upsert_ivf_index(
     # cells survives with zero rows — dynamic overwrite would skip it and
     # serve the stale vectors; clear such emptied cells explicitly
     present = [r["cell"] for r in merged.select("cell").distinct().collect()]
-    _clear_emptied_partitions(spark, postings_path, "cell", affected, present)
     with _dynamic_overwrite(spark):
         merged.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
             postings_path
         )
+    # emptied ∩ present = ∅, so the dynamic overwrite above never touches the
+    # emptied directories — clearing them AFTER it succeeds is equivalent and
+    # avoids losing partitions with no replacement if the write fails midway
+    # (single-writer assumed; there is no cross-directory atomicity either way)
+    _clear_emptied_partitions(spark, postings_path, "cell", affected, present)
     return statuses
 
 
@@ -152,6 +156,19 @@ def _hadoop_fs(spark: SparkSession, path: str):
 def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     fs, hpath = _hadoop_fs(spark, path)
     return bool(fs.exists(hpath))
+
+
+def _any_partition_dirs(spark: SparkSession, base_path: str, part_col: str) -> bool:
+    """True if ``base_path`` still contains at least one ``part_col=`` child
+    directory (i.e. the partitioned layout still has data to discover)."""
+    fs, hpath = _hadoop_fs(spark, base_path)
+    if not fs.exists(hpath):
+        return False
+    prefix = f"{part_col}="
+    for st in fs.listStatus(hpath):
+        if st.isDirectory() and st.getPath().getName().startswith(prefix):
+            return True
+    return False
 
 
 def _clear_emptied_partitions(

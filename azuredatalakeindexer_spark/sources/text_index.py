@@ -175,11 +175,14 @@ def upsert_text_index(
         # new terms hash elsewhere ends up with zero surviving rows — dynamic
         # overwrite would skip it and keep the stale postings on disk
         present = [r["bucket"] for r in merged.select("bucket").distinct().collect()]
-        _clear_emptied_partitions(spark, postings_path, "bucket", affected, present)
         with _dynamic_overwrite(spark):
             merged.repartition("bucket").write.mode("overwrite").partitionBy(
                 "bucket"
             ).parquet(postings_path)
+        # emptied ∩ present = ∅: the overwrite never touches emptied buckets,
+        # so clearing after it succeeds is equivalent and keeps stale-but-
+        # present data if the write fails (single-writer assumed)
+        _clear_emptied_partitions(spark, postings_path, "bucket", affected, present)
 
     # doclens: same affected-partition rewrite keyed by the id-hash bucket
     doclens_path = f"{path}/doclens"
@@ -196,7 +199,12 @@ def upsert_text_index(
         .select(id_col, "dl", "dbucket")
     )
     dmerged = dkeep.unionByName(new_lens).localCheckpoint()
-    if base_empty:
+    # gate on the DOCLENS relation's own emptiness, not the postings-derived
+    # base_empty: a base whose surviving docs are all zero-token has empty
+    # postings but non-empty doclens, and a static overwrite here would drop
+    # doclens rows in unaffected dbuckets
+    doclens_empty = spark.read.parquet(doclens_path).isEmpty()
+    if doclens_empty:
         dmerged.repartition("dbucket").write.mode("overwrite").partitionBy(
             "dbucket"
         ).parquet(doclens_path)
@@ -370,6 +378,7 @@ def delete_from_text_index(
     (idempotent — redelivered delete events are harmless).
     """
     from azuredatalakeindexer_spark.sources.ann_index import (
+        _any_partition_dirs,
         _clear_emptied_partitions,
         _dynamic_overwrite,
     )
@@ -410,7 +419,6 @@ def delete_from_text_index(
             .localCheckpoint()
         )
         present = [r["bucket"] for r in keep.select("bucket").distinct().collect()]
-        _clear_emptied_partitions(spark, postings_path, "bucket", affected, present)
         if index_emptied:
             keep.write.mode("overwrite").parquet(postings_path)
         elif present:
@@ -418,8 +426,22 @@ def delete_from_text_index(
                 keep.repartition("bucket").write.mode("overwrite").partitionBy(
                     "bucket"
                 ).parquet(postings_path)
-        # present empty but other buckets survive: the emptied victim dirs
-        # are already cleared and there is nothing to write
+        # present empty but other buckets survive: nothing to write, only the
+        # emptied victim dirs below need clearing.  The clear runs AFTER the
+        # write: emptied ∩ present = ∅ so the dynamic overwrite never touches
+        # those dirs, and the static sentinel write replaces the whole layout
+        # anyway — ordering this way keeps stale-but-present data if the
+        # write fails (single-writer assumed)
+        _clear_emptied_partitions(spark, postings_path, "bucket", affected, present)
+        if not index_emptied and not present and not _any_partition_dirs(
+            spark, postings_path, "bucket"
+        ):
+            # every token-bearing doc was deleted but zero-token docs remain:
+            # doclens keeps rows (so index_emptied stays False) while the
+            # postings layout just lost its LAST data file — a partitioned
+            # dir with zero files cannot be re-read, so drop to the same
+            # typed 0-row unpartitioned sentinel the delete-all path writes
+            keep.write.mode("overwrite").parquet(postings_path)
 
     if daffected:
         dkeep = (
@@ -430,7 +452,6 @@ def delete_from_text_index(
             .localCheckpoint()
         )
         dpresent = [r["dbucket"] for r in dkeep.select("dbucket").distinct().collect()]
-        _clear_emptied_partitions(spark, doclens_path, "dbucket", daffected, dpresent)
         if index_emptied:
             dkeep.write.mode("overwrite").parquet(doclens_path)
         elif dpresent:
@@ -438,6 +459,9 @@ def delete_from_text_index(
                 dkeep.repartition("dbucket").write.mode("overwrite").partitionBy(
                     "dbucket"
                 ).parquet(doclens_path)
+        # clear emptied dirs after the write succeeds (same rationale as the
+        # postings clear above)
+        _clear_emptied_partitions(spark, doclens_path, "dbucket", daffected, dpresent)
 
     stats.write.mode("overwrite").parquet(f"{path}/stats")
     return int(n_removed)

@@ -397,3 +397,44 @@ def test_delete_partial_keeps_other_buckets_intact(spark, tmp_path):
     assert delete_from_text_index(spark, path, ids, n_buckets=16) == 1
     assert query_text_index(spark, path, [a], k=5, n_buckets=16).count() == 0
     assert query_text_index(spark, path, [b], k=5, n_buckets=16).count() == 1
+
+
+def test_delete_last_token_docs_leaves_readable_postings(spark, tmp_path):
+    """ADVICE r6 edge: deleting every token-BEARING doc while zero-token docs
+    remain empties all postings buckets without emptying doclens.  The
+    postings layout must drop to the typed 0-row sentinel (a partitioned dir
+    with zero data files cannot be re-read), stats keep the surviving
+    zero-token docs, and a later upsert routes back through the clean
+    static-build write."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+        upsert_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, ""), (4, "")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    assert delete_from_text_index(spark, path, ids, n_buckets=16) == 2
+    # postings fully emptied but still readable; doclens keeps the 2 docs
+    assert spark.read.parquet(f"{path}/postings").count() == 0
+    assert spark.read.parquet(f"{path}/doclens").count() == 2
+    assert spark.read.parquet(f"{path}/stats").first()["n_docs"] == 2
+    assert query_text_index(spark, path, ["beta"], k=5, n_buckets=16).count() == 0
+    # upsert into the sentinel-postings state: doclens must KEEP the two
+    # surviving zero-token docs (the doclens rewrite is gated on the doclens
+    # relation's own emptiness, not the postings-derived base_empty)
+    delta = spark.createDataFrame([(5, "delta beta")], "doc_id long, text string")
+    st = {r["doc_id"]: r["status"] for r in
+          upsert_text_index(spark, path, delta, n_buckets=16).collect()}
+    assert st == {5: 201}
+    lens = {r["doc_id"]: r["dl"] for r in
+            spark.read.parquet(f"{path}/doclens").collect()}
+    assert lens == {3: 0, 4: 0, 5: 2}
+    assert spark.read.parquet(f"{path}/stats").first()["n_docs"] == 3
+    assert query_text_index(spark, path, ["beta"], k=5, n_buckets=16).count() == 1

@@ -17,6 +17,8 @@ import __spark_entry__ as entrymod
 #: broadcast side is a bounded query/centroid set, the stream side scans once
 BNLJ_ALLOWED = {
     "embedding_topk",      # brute-force baseline: broadcast queries over corpus
+    "embedding_topk_np",   # gates the Arrow BLAS top-k against the same
+                           # brute-force broadcast-BNLJ baseline as embedding_topk
     "embedding_near_dup",  # bucket equi-join + id< predicate can plan BNLJ on tiny fixture
     "ann_lsh_topk",        # bucket join with explode on broadcast side
     "ann_ivf_topk",        # broadcast 16-row centroid table (documented crossJoin)

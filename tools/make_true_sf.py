@@ -216,7 +216,7 @@ def main() -> None:
     )
 
     # embeddings: 10 label clusters on the 64-dim unit sphere
-    e = ids(n_emb).select(F.col("vec_id").alias("vec_id") if False else F.col("k").alias("vec_id"))
+    e = ids(n_emb).select(F.col("k").alias("vec_id"))
     label = F.pmod(F.col("vec_id"), F.lit(10)).cast("int")
     dims = F.sequence(F.lit(1), F.lit(64))
     raw = F.transform(
