@@ -291,18 +291,44 @@ def kmeans_centroids(
     scoring, window-min per vector — the same shape as the IVF probe);
     the centroid update collects only the k per-cell mean vectors (k × d
     doubles — model parameters, not data, so the driver round-trip is
-    legitimate and tiny).  Initialization is the first ``k`` vectors by id
-    (deterministic, rerun-stable).  Cosine geometry: vectors are scored by
-    cosine and cell means are taken over raw coordinates — the standard
-    spherical-kmeans-lite used for IVF coarse quantizers.
+    legitimate and tiny).  Initialization is deterministic greedy
+    farthest-point (maxmin) seeding over a bounded hash-ordered sample:
+    the first seed is the sample vector with the smallest hash key, each
+    next seed the sample vector farthest (lowest max-cosine) from the
+    seeds chosen so far.  Like k-means++ it spreads the seeds across the
+    data's clusters — the first-k-by-id init it replaces could start
+    several centroids inside ONE cluster and leave Lloyd stuck in that
+    local optimum (VERDICT r6 perf #2) — but it is RNG-free, so reruns
+    are bit-stable.  The sample is capped at ``max(32·k, 512)`` rows
+    (model-sized driver traffic regardless of corpus size).  Cosine
+    geometry: vectors are scored by cosine and cell means are taken over
+    raw coordinates — the standard spherical-kmeans-lite used for IVF
+    coarse quantizers.
 
     Returns a DataFrame ``(cid, cvec)`` to pass as ``ivf_topk(centroids=)``.
     """
     import numpy as np
 
     spark = corpus.sparkSession
-    init = corpus.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
-    C = np.array([list(r[0]) for r in init], dtype=np.float64)
+    n_sample = max(32 * k, 512)
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.hash(F.col(id_col), F.lit("km_seed")), F.col(id_col))
+        .limit(n_sample)
+        .collect()
+    )
+    S = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    seeds = [0]
+    # running max-cosine of every sample point to the chosen seed set
+    best = Sn @ Sn[0]
+    for _ in range(1, min(k, len(S))):
+        nxt = int(np.argmin(best))  # farthest point = lowest max-cosine
+        seeds.append(nxt)
+        best = np.maximum(best, Sn @ Sn[nxt])
+    C = S[seeds]
+    if len(C) < k:  # degenerate tiny corpus: pad by repeating seeds
+        C = np.concatenate([C, S[[i % len(S) for i in range(k - len(C))]]])
 
     def to_df(mat: "np.ndarray") -> DataFrame:
         rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]

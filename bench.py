@@ -153,7 +153,19 @@ def ann_recall_metrics(spark, sf_dir: str) -> dict[str, float]:
     )
     # the learned coarse quantizer — the production IVF path (bench uses
     # the same config as the documented default, seed quantizer ivf_c32_p4)
-    learned = kmeans_centroids(emb, k=32, iters=4)
+    learned = kmeans_centroids(emb, k=32, iters=8)
+    # HELD-OUT quantizer comparison (r7): the legacy in-sample rows below
+    # use queries vec_id<20, which are THEMSELVES the seed quantizer's
+    # first-32 centroids — each query sits at the center of its own Voronoi
+    # cell, inflating seed recall to ~0.96 by construction (measured: the
+    # same quantizer on disjoint queries drops to ~0.31).  The fair
+    # learned-vs-seed comparison uses queries disjoint from both
+    # quantizers' centroid/seed sources; this fixture is near-isotropic
+    # (mean pairwise cos ≈ 0), so ~0.3-0.45 is the honest recall regime
+    # for ANY 32-cell/4-probe quantizer here.
+    q_ho = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    bf_ho = brute_force_topk(emb, q_ho, k=10).cache()
+    bf_ho.count()
     out = {
         "lsh_d8_p0": ann_recall(bf, lsh_bucketed_topk(emb, q, k=10, sign_dims=8)),
         "lsh_d8_f2": ann_recall(
@@ -173,7 +185,16 @@ def ann_recall_metrics(spark, sf_dir: str) -> dict[str, float]:
         "ivf_learned_c32_p4": ann_recall(
             bf, ivf_topk(emb, q, k=10, n_centroids=32, n_probe=4, centroids=learned)
         ),
+        # fair comparison: queries disjoint from the seed set (see note above)
+        "ivf_c32_p4_holdout": ann_recall(
+            bf_ho, ivf_topk(emb, q_ho, k=10, n_centroids=32, n_probe=4)
+        ),
+        "ivf_learned_c32_p4_holdout": ann_recall(
+            bf_ho,
+            ivf_topk(emb, q_ho, k=10, n_centroids=32, n_probe=4, centroids=learned),
+        ),
     }
+    bf_ho.unpersist()
     bf.unpersist()
     emb.unpersist()
     return {k: round(v, 3) for k, v in out.items()}
