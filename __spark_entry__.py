@@ -2234,14 +2234,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_full_correctness.py).
     """
     return {
-        # -- changed/new this round: need fresh driver rows ------------
-        "embedding_topk_np": q_embedding_topk_np,
-        "bpe_pipeline": q_bpe_pipeline,
+        # -- changed this round (r7 index-maintenance fixes: clear-after-
+        # -- write ordering, doclens-emptiness gating, postings sentinel):
+        # -- need fresh driver rows
         "text_index_upsert_topk": q_text_index_upsert_topk,
         "text_index_delete_topk": q_text_index_delete_topk,
         "ann_upsert_topk": q_ann_upsert_topk,
         "stream_text_index": q_stream_text_index,
-        # -- oldest driver evidence first (rotation policy) -------------
+        # -- oldest driver evidence first (r02/r03 cohort, VERDICT r6
+        # -- next-#4) ---------------------------------------------------
+        "oversize_filter": q_oversize_filter,
+        "batch_packing": q_batch_packing,
+        "batch_packing_greedy": q_batch_packing_greedy,
+        "rebuild_batches": q_rebuild_batches,
+        "run_metrics": q_run_metrics,
+        "doc_count": q_doc_count,
+        "watermark_filter_agg": q_watermark_filter_agg,
+        "directory_filter": q_directory_filter,
+        "index_ddl": q_index_ddl,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprints": q_doc_fingerprints,
+        "cluster_canonical": q_cluster_canonical,
+        # -- r04-evidence cohort ----------------------------------------
+        "stream_exact_dedup": q_stream_exact_dedup,
+        "stream_curated_dedup": q_stream_curated_dedup,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_view_click_join": q_stream_view_click_join,
+        "stream_join_left_outer": q_stream_join_left_outer,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "dedup_clusters": q_dedup_clusters,
+        "train_corpus": q_train_corpus,
+        "decontam_report": q_decontam_report,
+        "asof_last_error": q_asof_last_error,
+        "zorder_values": q_zorder_values,
+        "fuzzy_decontam": q_fuzzy_decontam,
+        "stream_minhash_dedup": q_stream_minhash_dedup,
+        "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
+        "events_range_join": q_events_range_join,
+        "classifier_scores": q_classifier_scores,
+        "ann_index_topk": q_ann_index_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "domain_quality_gate": q_domain_quality_gate,
+        "search_bm25": q_search_bm25,
+        "search_facets": q_search_facets,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
+        "search_highlight": q_search_highlight,
+        # ---------------- 50-entry window boundary ---------------------
+        # -- r04/r05-evidence remainder ---------------------------------
+        "search_suggest": q_search_suggest,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "search_profile": q_search_profile,
+        "rag_chunks": q_rag_chunks,
+        "search_simple_query": q_search_simple_query,
+        "search_synonyms": q_search_synonyms,
+        "text_index_topk": q_text_index_topk,
+        "saved_hybrid_search": q_saved_hybrid_search,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "lm_scores": q_lm_scores,
+        "approx_distinct_users": q_approx_distinct_users,
+        "approx_event_quantiles": q_approx_event_quantiles,
+        "span_dedup": q_span_dedup,
+        "partitioned_counts": q_partitioned_counts,
+        "partitioned_runs": q_partitioned_runs,
+        "upsert_merge": q_upsert_merge,
+        "indexer_run": q_indexer_run,
+        "indexer_run_metrics": q_indexer_run_metrics,
+        # -- r06-evidence cohort (newest driver rows, unchanged) --------
+        "embedding_topk_np": q_embedding_topk_np,
+        "bpe_pipeline": q_bpe_pipeline,
         "token_stats": q_token_stats,
         "orders_cube": q_orders_cube,
         "region_rollup": q_region_rollup,
@@ -2286,72 +2358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_last_writer": q_dedup_last_writer,
         "upsert_status_counts": q_upsert_status_counts,
         "deleted_anti_join": q_deleted_anti_join,
-        # ---------------- 50-entry window boundary ---------------------
-        "oversize_filter": q_oversize_filter,
-        "batch_packing": q_batch_packing,
-        "batch_packing_greedy": q_batch_packing_greedy,
-        "rebuild_batches": q_rebuild_batches,
-        "run_metrics": q_run_metrics,
-        "doc_count": q_doc_count,
-        "watermark_filter_agg": q_watermark_filter_agg,
-        "directory_filter": q_directory_filter,
-        "index_ddl": q_index_ddl,
-        "dedup_exact": q_dedup_exact,
-        "dedup_simhash": q_dedup_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_topk": q_embedding_topk,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "doc_fingerprints": q_doc_fingerprints,
-        "cluster_canonical": q_cluster_canonical,
-        "stream_exact_dedup": q_stream_exact_dedup,
-        "stream_curated_dedup": q_stream_curated_dedup,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_view_click_join": q_stream_view_click_join,
-        "stream_join_left_outer": q_stream_join_left_outer,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "dedup_clusters": q_dedup_clusters,
-        "train_corpus": q_train_corpus,
-        "decontam_report": q_decontam_report,
-        "asof_last_error": q_asof_last_error,
-        "zorder_values": q_zorder_values,
-        "fuzzy_decontam": q_fuzzy_decontam,
-        "stream_minhash_dedup": q_stream_minhash_dedup,
-        "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
-        "events_range_join": q_events_range_join,
-        "classifier_scores": q_classifier_scores,
-        "ann_index_topk": q_ann_index_topk,
-        "semantic_dedup": q_semantic_dedup,
-        "domain_quality_gate": q_domain_quality_gate,
-        "search_bm25": q_search_bm25,
-        "search_facets": q_search_facets,
-        "search_hybrid_rrf": q_search_hybrid_rrf,
-        "search_highlight": q_search_highlight,
-        "search_suggest": q_search_suggest,
-        "ann_filtered_topk": q_ann_filtered_topk,
-        "search_profile": q_search_profile,
-        "rag_chunks": q_rag_chunks,
-        "search_simple_query": q_search_simple_query,
-        "search_synonyms": q_search_synonyms,
-        "text_index_topk": q_text_index_topk,
-        "saved_hybrid_search": q_saved_hybrid_search,
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "lm_scores": q_lm_scores,
-        "approx_distinct_users": q_approx_distinct_users,
-        "approx_event_quantiles": q_approx_event_quantiles,
-        "span_dedup": q_span_dedup,
-        "partitioned_counts": q_partitioned_counts,
-        "partitioned_runs": q_partitioned_runs,
-        "upsert_merge": q_upsert_merge,
-        "indexer_run": q_indexer_run,
-        "indexer_run_metrics": q_indexer_run_metrics,
     }
 
 

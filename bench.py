@@ -291,6 +291,13 @@ def _release_session_state(spark) -> None:
     spark.catalog.clearCache()
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         rdd.unpersist()
+    # also drop the (session, sf) harness memo so EVERY timed execution is a
+    # real full re-run: without this the warm rows of indexer_run /
+    # partitioned_runs / stream_* measured a dict lookup + count on a
+    # persisted frame (~0.06 s) while non-memoized lifecycle queries rebuilt
+    # from scratch — two different "warm" definitions in one total
+    # (VERDICT r6 wrong-#3)
+    entrymod._HARNESS_MEMO.clear()
 
 
 def main() -> None:
@@ -362,7 +369,10 @@ def main() -> None:
             "warm_vs_cold": "headline total uses the warm (second) "
             "execution of each query; cold-start JIT variance at "
             "sub-second real work repeatedly looked like regressions "
-            "(VERDICT r5 wrong-#3)",
+            "(VERDICT r5 wrong-#3).  The per-(session, sf) harness memo "
+            "is cleared between timings, so warm rows measure a REAL "
+            "re-execution for every query including indexer_run / "
+            "partitioned_runs / stream_* (VERDICT r6 wrong-#3)",
             "index_lifecycle": "build_full indexes ~99% of the table; "
             "upsert/delete apply a ~1% batch and must be bounded by "
             "affected bucket/cell partitions, not index size",
