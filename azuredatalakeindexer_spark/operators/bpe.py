@@ -264,6 +264,7 @@ def encode_bpe(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Vocabulary-cached BPE encoding: per-document BPE token counts
     ``(id_col, n_words, n_bpe_tokens)``.
@@ -280,7 +281,7 @@ def encode_bpe(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
     )
     vocab = apply_merges(
-        occurrences.select("word").distinct(), merges
+        occurrences.select("word").distinct(), merges, use_arrow=use_arrow
     ).select("word", "n_bpe")
     return (
         occurrences.join(F.broadcast(vocab), "word")
