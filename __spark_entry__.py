@@ -1463,6 +1463,51 @@ def q_text_index_upsert_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_lsm_topk(spark, sf):
+    """Segmented (LSM) text-index lifecycle (sources/text_segments.py):
+    build on doc_id>=10, then THREE stacked O(batch) segments — upsert
+    (insert 0-9, replace 10-14), delete 15-19, upsert re-adding doc 15
+    with fresh text — and answer BM25 top-k through the last-writer-wins
+    resolution.  Unlike the in-place `text_index_upsert_topk`, nothing
+    existing is rewritten: each mutation writes only its batch (the scale
+    path for Zipf text, where any batch's terms touch ~every bucket —
+    measured in BENCH_sf1_r07.json).  Oracle: the bm25 replay over the
+    logical corpus (>=20 original, 0-9 inserted, 10-14 replaced, 16-19
+    deleted, 15 revived)."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        delete_from_text_index_segmented,
+        upsert_text_index_segmented,
+    )
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") >= 10)
+    delta1 = docs.where(F.col("doc_id") < 10).unionByName(
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+            "doc_id", F.lit("merge merge stream").alias("text")
+        )
+    )
+    dead = docs.select("doc_id").where(
+        (F.col("doc_id") >= 15) & (F.col("doc_id") < 20)
+    )
+    delta2 = docs.where(F.col("doc_id") == 15).select(
+        "doc_id", F.lit("stream stream query").alias("text")
+    )
+    root = tempfile.mkdtemp(prefix="adls_txtlsm_")
+    try:
+        build_text_index(base, root, n_buckets=64)
+        upsert_text_index_segmented(spark, root, delta1, n_buckets=64)
+        delete_from_text_index_segmented(spark, root, dead)
+        upsert_text_index_segmented(spark, root, delta2, n_buckets=64)
+        out = query_text_index(spark, root, SEARCH_TERMS, k=20, n_buckets=64)
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_text_index(spark, sf):
     """Continuously-maintained inverted index: drain document arrivals
     (availableNow, 1 file per trigger → build + 3 upsert micro-batches)
@@ -2237,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- changed this round (r7 index-maintenance fixes: clear-after-
         # -- write ordering, doclens-emptiness gating, postings sentinel):
         # -- need fresh driver rows
+        "text_index_lsm_topk": q_text_index_lsm_topk,
         "text_index_upsert_topk": q_text_index_upsert_topk,
         "text_index_delete_topk": q_text_index_delete_topk,
         "ann_upsert_topk": q_ann_upsert_topk,
@@ -2289,9 +2335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "search_facets": q_search_facets,
         "search_hybrid_rrf": q_search_hybrid_rrf,
-        "search_highlight": q_search_highlight,
         # ---------------- 50-entry window boundary ---------------------
         # -- r04/r05-evidence remainder ---------------------------------
+        "search_highlight": q_search_highlight,
         "search_suggest": q_search_suggest,
         "ann_filtered_topk": q_ann_filtered_topk,
         "search_profile": q_search_profile,
@@ -3407,6 +3453,25 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, 'merge merge stream' AS text
         FROM documents WHERE doc_id >= 10 AND doc_id < 15),
+      {_bm25_cte(["merge", "query", "stream"], source="corpus")}
+      SELECT doc_id, bm25 FROM kw
+    """
+
+    # segmented (LSM) lifecycle: three stacked segments resolve to the
+    # logical corpus below — >=20 original, 0-9 inserted, 10-14 replaced,
+    # 16-19 deleted, 15 revived with fresh text — and queries answer
+    # bit-identically to a fresh build over it
+    sqls["text_index_lsm_topk"] = f"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 20
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id, 'merge merge stream' AS text
+        FROM documents WHERE doc_id >= 10 AND doc_id < 15
+        UNION ALL
+        SELECT doc_id, 'stream stream query' AS text
+        FROM documents WHERE doc_id = 15),
       {_bm25_cte(["merge", "query", "stream"], source="corpus")}
       SELECT doc_id, bm25 FROM kw
     """

@@ -85,6 +85,19 @@ def build_text_index(
     ).parquet(f"{path}/postings")
 
 
+def _require_unsegmented(spark: SparkSession, path: str, op: str) -> None:
+    """The in-place maintenance ops rewrite base partitions directly and
+    would silently ignore LSM segments layered on top; force a compaction
+    first rather than corrupt the merged view."""
+    from azuredatalakeindexer_spark.sources.text_segments import list_segments
+
+    if list_segments(spark, path):
+        raise ValueError(
+            f"{op}: index at {path} has LSM segments; run "
+            "compact_text_index() first or use the *_segmented maintenance ops"
+        )
+
+
 def upsert_text_index(
     spark: SparkSession,
     path: str,
@@ -123,6 +136,7 @@ def upsert_text_index(
         _dynamic_overwrite,
     )
 
+    _require_unsegmented(spark, path, "upsert_text_index")
     toks = tokens(F.col(text_col))
     base = delta.select(F.col(id_col), toks.alias("_toks")).localCheckpoint()
     new_postings = (
@@ -248,12 +262,30 @@ def query_text_index(
     terms = sorted({t.lower() for t in query_terms})
     buckets = sorted({_py_bucket(t, n_buckets) for t in terms})
     stats = spark.read.parquet(f"{path}/stats")
-    postings = (
-        spark.read.parquet(f"{path}/postings")
-        .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", id_col, "tf")
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        alive_docs,
+        list_segments,
+        live_postings,
     )
-    doclens = spark.read.parquet(f"{path}/doclens").select(id_col, "dl")
+
+    segs = list_segments(spark, path)
+    if segs:
+        # segmented index (LSM upserts landed since the last compaction):
+        # same bucket pruning + term pushdown in EVERY segment, then the
+        # last-writer-wins resolution replaces the plain reads — scoring
+        # below is untouched, so results stay bit-identical to a compacted
+        # or freshly built index
+        postings = live_postings(
+            spark, path, segs, id_col=id_col, buckets=buckets, terms=terms
+        )
+        doclens = alive_docs(spark, path, segs, id_col).select(id_col, "dl")
+    else:
+        postings = (
+            spark.read.parquet(f"{path}/postings")
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", id_col, "tf")
+        )
+        doclens = spark.read.parquet(f"{path}/doclens").select(id_col, "dl")
     dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     rows = (
         postings.join(doclens, id_col)
@@ -383,6 +415,7 @@ def delete_from_text_index(
         _dynamic_overwrite,
     )
 
+    _require_unsegmented(spark, path, "delete_from_text_index")
     ids = doc_ids.select(id_col).distinct().localCheckpoint()
 
     doclens_path = f"{path}/doclens"

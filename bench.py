@@ -82,6 +82,7 @@ HEADLINE = [
     # queries; the build-vs-upsert split is in `index_lifecycle`)
     "text_index_upsert_topk",
     "text_index_delete_topk",
+    "text_index_lsm_topk",
     "stream_text_index",
     "ann_upsert_topk",
     "saved_hybrid_search",
@@ -254,6 +255,37 @@ def index_lifecycle_metrics(spark, sf_dir: str) -> dict[str, float]:
                 spark, tpath, ["merge", "query", "stream"], k=20, n_buckets=64
             ).count(),
         )
+
+        # segmented (LSM) maintenance: the scale path for text — the
+        # in-place rows above rewrite every bucket a batch's terms touch
+        # (~all of them for Zipf text), the segment rows write O(batch)
+        from azuredatalakeindexer_spark.sources.text_segments import (
+            compact_text_index,
+            delete_from_text_index_segmented,
+            upsert_text_index_segmented,
+        )
+
+        spath = f"{tmp}/ti_seg"
+        build_text_index(base, spath, n_buckets=64)
+        timed(
+            "text_seg_upsert_1pct_batch",
+            lambda: upsert_text_index_segmented(
+                spark, spath, delta, n_buckets=64
+            ).count(),
+        )
+        timed(
+            "text_seg_delete_1pct_batch",
+            lambda: delete_from_text_index_segmented(
+                spark, spath, delta.select("doc_id")
+            ),
+        )
+        timed(
+            "text_seg_query_topk",
+            lambda: query_text_index(
+                spark, spath, ["merge", "query", "stream"], k=20, n_buckets=64
+            ).count(),
+        )
+        timed("text_seg_compact", lambda: compact_text_index(spark, spath, n_buckets=64))
 
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         ebase = emb.where(F.col("vec_id") % 100 != 0)

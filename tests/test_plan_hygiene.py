@@ -48,6 +48,7 @@ SKIP = {
     "text_index_topk",       # builds the temp index at plan-build time
     "text_index_upsert_topk",
     "text_index_delete_topk",
+    "text_index_lsm_topk",
     "saved_hybrid_search",
     "ann_upsert_topk",
     "bpe_train",          # iterative: runs vocabulary jobs while building

@@ -1,0 +1,179 @@
+"""Segmented (LSM-style) text-index maintenance (sources/text_segments.py):
+O(batch) upserts/deletes as immutable segments, last-writer-wins query
+resolution, compaction equivalence, stats exactness."""
+
+from __future__ import annotations
+
+import pytest
+
+from azuredatalakeindexer_spark.operators.search import bm25_topk
+from azuredatalakeindexer_spark.sources.fixtures import load_table
+from azuredatalakeindexer_spark.sources.text_index import (
+    build_text_index,
+    delete_from_text_index,
+    query_text_index,
+    upsert_text_index,
+)
+from azuredatalakeindexer_spark.sources.text_segments import (
+    compact_text_index,
+    delete_from_text_index_segmented,
+    list_segments,
+    upsert_text_index_segmented,
+)
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["merge", "query", "stream"]
+
+
+def _rows(df):
+    return [(r["doc_id"], r["bm25"]) for r in df.collect()]
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_segmented_upsert_matches_scan_and_inplace(spark, tmp_path):
+    """A segmented upsert (replacements + inserts) must answer queries
+    bit-identically to (a) the scan-time bm25 over the logical corpus and
+    (b) the in-place upsert applied to a copy of the same base."""
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark)
+    base = docs.where(F.col("doc_id") % 7 != 0)
+    delta = docs.where(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 5 == 0)
+    ).select("doc_id", F.concat(F.col("text"), F.lit(" merge stream")).alias("text"))
+    logical = base.join(delta.select("doc_id"), "doc_id", "left_anti").unionByName(delta)
+
+    seg_path = str(tmp_path / "seg")
+    build_text_index(base, seg_path, n_buckets=16)
+    st_seg = {r["doc_id"]: r["status"] for r in
+              upsert_text_index_segmented(spark, seg_path, delta, n_buckets=16).collect()}
+    assert list_segments(spark, seg_path) == [1]
+
+    inp_path = str(tmp_path / "inplace")
+    build_text_index(base, inp_path, n_buckets=16)
+    st_inp = {r["doc_id"]: r["status"] for r in
+              upsert_text_index(spark, inp_path, delta, n_buckets=16).collect()}
+    assert st_seg == st_inp  # same 201/200 contract
+
+    got = _rows(query_text_index(spark, seg_path, TERMS, k=20, n_buckets=16))
+    assert got == _rows(bm25_topk(logical, TERMS, k=20))
+    assert got == _rows(query_text_index(spark, inp_path, TERMS, k=20, n_buckets=16))
+
+
+def test_segmented_delete_readd_and_idempotence(spark, tmp_path):
+    """Delete tombstones kill docs across ALL older segments; re-adding a
+    deleted doc revives it (newer doclens outranks the tombstone); deleting
+    an absent or already-deleted id is a no-op."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+
+    ids = spark.createDataFrame([(2,), (99,)], "doc_id long")
+    assert delete_from_text_index_segmented(spark, path, ids) == 1
+    assert delete_from_text_index_segmented(spark, path, ids) == 0  # idempotent
+    alive = query_text_index(spark, path, ["beta"], k=10, n_buckets=16)
+    assert {r["doc_id"] for r in alive.collect()} == {1, 3}
+
+    readd = spark.createDataFrame([(2, "beta echo")], "doc_id long, text string")
+    st = {r["doc_id"]: r["status"] for r in
+          upsert_text_index_segmented(spark, path, readd, n_buckets=16).collect()}
+    assert st == {2: 201}  # was dead -> created
+    alive = query_text_index(spark, path, ["beta"], k=10, n_buckets=16)
+    assert {r["doc_id"] for r in alive.collect()} == {1, 2, 3}
+    # stats track the revival exactly
+    s = spark.read.parquet(f"{path}/stats").first()
+    assert s["n_docs"] == 3 and abs(s["avgdl"] - (2 + 2 + 3) / 3) < 1e-12
+
+
+def test_multi_segment_lww_and_compaction_equivalence(spark, tmp_path):
+    """Three stacked segments (upsert, delete, upsert) resolve LWW
+    correctly; compaction folds them into a base byte-equivalent in content
+    to a fresh build of the logical corpus, after which the in-place ops
+    work again."""
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark)
+    base = docs.where(F.col("doc_id") < 40)
+    up1 = docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+    dead = base.select("doc_id").where(F.col("doc_id") % 3 == 0)
+    up2 = docs.where(F.col("doc_id") < 10).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" stream stream")).alias("text")
+    )
+
+    path = str(tmp_path / "ti")
+    build_text_index(base, path, n_buckets=16)
+    upsert_text_index_segmented(spark, path, up1, n_buckets=16)
+    delete_from_text_index_segmented(spark, path, dead)
+    upsert_text_index_segmented(spark, path, up2, n_buckets=16)
+    assert list_segments(spark, path) == [1, 2, 3]
+
+    logical = (
+        base.unionByName(up1)
+        .join(dead, "doc_id", "left_anti")
+        .join(up2.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(up2)
+    )
+    got = _rows(query_text_index(spark, path, TERMS, k=20, n_buckets=16))
+    assert got == _rows(bm25_topk(logical, TERMS, k=20))
+
+    # in-place ops refuse while segments exist
+    with pytest.raises(ValueError, match="LSM segments"):
+        upsert_text_index(spark, path, up2, n_buckets=16)
+    with pytest.raises(ValueError, match="LSM segments"):
+        delete_from_text_index(spark, path, dead)
+
+    assert compact_text_index(spark, path, n_buckets=16) == 3
+    assert list_segments(spark, path) == []
+    # content equals a fresh build of the logical corpus
+    fresh = str(tmp_path / "fresh")
+    build_text_index(logical, fresh, n_buckets=16)
+    for rel in ("postings", "doclens", "stats"):
+        a = {tuple(r) for r in spark.read.parquet(f"{path}/{rel}").collect()}
+        b = {tuple(r) for r in spark.read.parquet(f"{fresh}/{rel}").collect()}
+        assert a == b, rel
+    assert _rows(query_text_index(spark, path, TERMS, k=20, n_buckets=16)) == got
+    # and the in-place path works again post-compaction
+    st = upsert_text_index(spark, path, up2, n_buckets=16).collect()
+    assert all(r["status"] == 200 for r in st)
+
+
+def test_segmented_stats_match_rebuild_after_each_op(spark, tmp_path):
+    """The exact bigint running stats must equal a from-scratch aggregate
+    of the logical corpus after every segmented operation (BM25 parity
+    depends on n_docs/avgdl being exactly the rebuild values)."""
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark).limit(60).cache()
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+
+    from azuredatalakeindexer_spark.functions.text import tokens as _tok
+
+    def check(logical):
+        s = spark.read.parquet(f"{path}/stats").first()
+        exp = (
+            logical.select(F.size(_tok(F.col("text"))).alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a"))
+            .first()
+        )
+        assert s["n_docs"] == exp["n"]
+        assert s["avgdl"] == pytest.approx(exp["a"], abs=0)
+
+    delta = docs.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" extra words here")).alias("text")
+    )
+    upsert_text_index_segmented(spark, path, delta, n_buckets=16)
+    logical = docs.join(delta.select("doc_id"), "doc_id", "left_anti").unionByName(delta)
+    check(logical)
+
+    dead = logical.select("doc_id").where(F.col("doc_id") % 6 == 1)
+    delete_from_text_index_segmented(spark, path, dead)
+    logical = logical.join(dead, "doc_id", "left_anti")
+    check(logical)
+    docs.unpersist()
