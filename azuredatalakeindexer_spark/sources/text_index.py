@@ -70,10 +70,7 @@ def build_text_index(
     doclens.repartition("dbucket").write.mode("overwrite").partitionBy(
         "dbucket"
     ).parquet(f"{path}/doclens")
-    stats = doclens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    _write_stats_from(docs.sparkSession, path, doclens)
     postings = (
         base.select(F.col(id_col), F.explode("_toks").alias("term"))
         .groupBy("term", id_col)
@@ -83,6 +80,25 @@ def build_text_index(
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{path}/postings")
+
+
+def _write_stats_from(spark: SparkSession, path: str, doclens_df: DataFrame) -> None:
+    """Aggregate ``(n_docs, avgdl, sum_dl)`` from the given doclens relation
+    in ONE job and write both ``stats`` (what queries broadcast) and
+    ``segstats`` (the exact bigint running stats the segmented maintenance
+    path advances incrementally — every writer keeps it in sync so a later
+    segmented op never has to re-aggregate the base)."""
+    r = doclens_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("a"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+    ).first()
+    spark.createDataFrame(
+        [(r["n"], r["a"])], "n_docs bigint, avgdl double"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    spark.createDataFrame(
+        [(r["n"], int(r["s"]))], "n_docs bigint, sum_dl bigint"
+    ).write.mode("overwrite").parquet(f"{path}/segstats")
 
 
 def _require_unsegmented(spark: SparkSession, path: str, op: str) -> None:
@@ -228,12 +244,7 @@ def upsert_text_index(
                 "dbucket"
             ).parquet(doclens_path)
 
-    stats = (
-        spark.read.parquet(doclens_path)
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-        .localCheckpoint()
-    )
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    _write_stats_from(spark, path, spark.read.parquet(doclens_path))
     return statuses
 
 
@@ -427,17 +438,24 @@ def delete_from_text_index(
     n_removed = dvictims.select(id_col).distinct().count()
     # stats must reflect ALL surviving docs; aggregate before the rewrite so
     # a fully-emptied doclens layout never has to be re-read
-    stats = (
+    _srow = (
         full_lens.join(F.broadcast(ids), id_col, "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-        .localCheckpoint()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+        )
+        .first()
+    )
+    stats = spark.createDataFrame(
+        [(_srow["n_docs"], _srow["avgdl"])], "n_docs bigint, avgdl double"
     )
     # n_docs == 0 means EVERY document was deleted: both relations end up
     # row-free, and a partitioned layout with zero data files cannot be
     # re-read (schema inference fails) — replace it with a typed 0-row
     # unpartitioned sentinel instead; upsert routes back to the static
     # build write when it sees the empty base
-    index_emptied = stats.first()["n_docs"] == 0
+    index_emptied = _srow["n_docs"] == 0
 
     postings_path = f"{path}/postings"
     old_keys = spark.read.parquet(postings_path).select(id_col, "bucket")
@@ -497,4 +515,7 @@ def delete_from_text_index(
         _clear_emptied_partitions(spark, doclens_path, "dbucket", daffected, dpresent)
 
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+    spark.createDataFrame(
+        [(_srow["n_docs"], int(_srow["sum_dl"]))], "n_docs bigint, sum_dl bigint"
+    ).write.mode("overwrite").parquet(f"{path}/segstats")
     return int(n_removed)

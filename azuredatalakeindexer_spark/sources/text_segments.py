@@ -258,42 +258,42 @@ def upsert_text_index_segmented(
 
     Returns ``(id_col, status)`` with 201=created / 200=modified — the same
     contract as the in-place ``upsert_text_index`` (after either, queries
-    answer identically; test-pinned).  Work: tokenize the batch, write its
-    postings + doclens under ``segments/seg=K``, look up which delta ids
-    are currently alive (column-pruned doclens slices + tombstones — for
-    statuses AND the exact stats delta), and refresh the 1-row stats.
+    answer identically; test-pinned).  Work: tokenize the batch, join it
+    ONCE against the live-doc set (column-pruned, dbucket-pruned doclens
+    slices + tombstones) and materialize that batch-sized frame — statuses,
+    the segment doclens, and the exact stats delta all derive from it with
+    no further input scans — then write the segment postings + doclens and
+    refresh the 1-row stats.  Job count is deliberately minimal: at bench
+    scale an upsert is pure scheduling overhead, and at 100 TB the data
+    cost is O(batch) either way.
     """
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
     toks = tokens(F.col(text_col))
-    base = delta.select(F.col(id_col), toks.alias("_toks")).localCheckpoint()
-    delta_ids = base.select(id_col)
+    base = delta.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
+    ).localCheckpoint()
 
     # the alive-lookup only needs docs that can collide with the batch:
     # prune every segment's doclens to the batch's id-hash partitions
-    dbuckets = [
-        r["d"]
-        for r in delta_ids.select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("d")
-        )
-        .distinct()
-        .collect()
-    ]
-    alive = alive_docs(spark, path, segs, id_col, dbuckets)
-    prev = alive.join(F.broadcast(delta_ids), id_col, "left_semi").select(
+    dbuckets = [r["dbucket"] for r in base.select("dbucket").distinct().collect()]
+    alive = alive_docs(spark, path, segs, id_col, dbuckets).select(
         id_col, F.col("dl").alias("_old_dl")
-    ).localCheckpoint()
-
-    statuses = (
-        delta_ids.join(F.broadcast(prev.select(id_col, F.lit(1).alias("_old"))), id_col, "left")
-        .select(
-            id_col,
-            F.when(F.col("_old").isNotNull(), F.lit(200))
-            .otherwise(F.lit(201))
-            .alias("status"),
-        )
+    )
+    # ONE batch-sized materialization carrying everything downstream needs
+    enriched = (
+        base.select(id_col, F.size("_toks").alias("dl"), "dbucket")
+        .join(alive, id_col, "left")
         .localCheckpoint()
+    )
+    statuses = enriched.select(
+        id_col,
+        F.when(F.col("_old_dl").isNotNull(), F.lit(200))
+        .otherwise(F.lit(201))
+        .alias("status"),
     )
 
     seg_dir = _seg_dir(path, new_seg)
@@ -306,27 +306,17 @@ def upsert_text_index_segmented(
     new_postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{seg_dir}/postings")
-    new_lens = base.select(
-        F.col(id_col),
-        F.size("_toks").alias("dl"),
-        F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
-    ).localCheckpoint()
-    new_lens.repartition("dbucket").write.mode("overwrite").partitionBy(
-        "dbucket"
-    ).parquet(f"{seg_dir}/doclens")
+    enriched.select(id_col, "dl", "dbucket").repartition("dbucket").write.mode(
+        "overwrite"
+    ).partitionBy("dbucket").parquet(f"{seg_dir}/doclens")
 
     # exact stats delta: replaced docs swap their dl, created docs add one
     n_docs, sum_dl = _read_segstats(spark, path, id_col)
-    agg = (
-        statuses.join(new_lens.select(id_col, "dl"), id_col)
-        .join(prev, id_col, "left")
-        .agg(
-            F.coalesce(F.sum(F.when(F.col("status") == 201, 1)), F.lit(0)).alias("created"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("added_dl"),
-            F.coalesce(F.sum("_old_dl"), F.lit(0)).alias("removed_dl"),
-        )
-        .first()
-    )
+    agg = enriched.agg(
+        F.coalesce(F.sum(F.when(F.col("_old_dl").isNull(), 1)), F.lit(0)).alias("created"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("added_dl"),
+        F.coalesce(F.sum("_old_dl"), F.lit(0)).alias("removed_dl"),
+    ).first()
     _write_stats(
         spark,
         path,
@@ -405,14 +395,11 @@ def compact_text_index(
     lens.repartition("dbucket").write.mode("overwrite").partitionBy(
         "dbucket"
     ).parquet(f"{path}/doclens")
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).localCheckpoint()
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    from azuredatalakeindexer_spark.sources.text_index import _write_stats_from
+
+    _write_stats_from(spark, path, lens)
     fs, _ = _hadoop_fs(spark, path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    for victim in (f"{path}/segments", f"{path}/segstats"):
-        p = jpath(victim)
-        if fs.exists(p):
-            fs.delete(p, True)
+    p = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/segments")
+    if fs.exists(p):
+        fs.delete(p, True)
     return len(segs)

@@ -69,6 +69,10 @@ def _pick(options: list[str], seed: F.Column) -> F.Column:
 def main() -> None:
     out_dir, mult = sys.argv[1], int(sys.argv[2])
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    # optional 4th arg: comma-separated table subset (e.g. the
+    # index-lifecycle bench only needs "documents,embeddings" — at mult
+    # >= 100 generating lineitem would dominate wall-time for nothing)
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     spark = get_spark("make_true_sf")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out_dir, exist_ok=True)
@@ -82,6 +86,8 @@ def main() -> None:
     n_emb = 2_000 * mult
 
     def w(df, name):
+        if only is not None and name not in only:
+            return
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
         print(f"{name}: {spark.read.parquet(f'{out_dir}/{name}.parquet').count():,} rows")
 
@@ -139,9 +145,16 @@ def main() -> None:
     )
     w(orders, "orders")
 
-    li = (
+    # lineitem derives from the WRITTEN orders (re-read breaks the lineage,
+    # keeping the 1.5M-row explode off the orders plan); the lazy `orders`
+    # frame substitutes when orders was excluded by the table filter
+    li_src = (
         spark.read.parquet(f"{out_dir}/orders.parquet")
-        .select("o_orderkey", "o_orderdate")
+        if (only is None or "orders" in only)
+        else orders
+    )
+    li = (
+        li_src.select("o_orderkey", "o_orderdate")
         .select(
             "o_orderkey",
             "o_orderdate",
