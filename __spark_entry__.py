@@ -1542,6 +1542,45 @@ def q_stream_text_index(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_text_index_lsm(spark, sf):
+    """Segmented streaming index maintenance: the same document-arrival
+    drain as `stream_text_index`, but every post-build micro-batch is an
+    O(batch) LSM segment (`text_segments.upsert_text_index_segmented`)
+    with `compact_every=2` folding mid-stream — the scale-correct shape
+    for continuous text ingestion (in-place rewrites grow linearly with
+    index size: BENCH_sf10_r07.json).  LWW per doc keeps it
+    batch-split-invariant, so the oracle is the same scan-time bm25
+    replay."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        query_text_index,
+        run_stream_text_index,
+    )
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="adls_strlsm_")
+    try:
+        docs_dir = os.path.join(root, "docs")
+        docs.repartition(4).write.parquet(docs_dir)
+        schema = spark.read.parquet(docs_dir).schema
+        run_stream_text_index(
+            spark,
+            docs_dir,
+            schema,
+            os.path.join(root, "index"),
+            os.path.join(root, "ckpt"),
+            n_buckets=64,
+            max_files_per_trigger=1,
+            segmented=True,
+            compact_every=2,
+        )
+        out = query_text_index(
+            spark, os.path.join(root, "index"), SEARCH_TERMS, k=20, n_buckets=64
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_index_delete_topk(spark, sf):
     """Deleted-document handling for the in-engine search index (J2
     applied to the index itself): build on the full corpus, delete docs
@@ -2287,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_delete_topk": q_text_index_delete_topk,
         "ann_upsert_topk": q_ann_upsert_topk,
         "stream_text_index": q_stream_text_index,
+        "stream_text_index_lsm": q_stream_text_index_lsm,
         # -- oldest driver evidence first (r02/r03 cohort, VERDICT r6
         # -- next-#4) ---------------------------------------------------
         "oversize_filter": q_oversize_filter,
@@ -2334,9 +2374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_gate": q_domain_quality_gate,
         "search_bm25": q_search_bm25,
         "search_facets": q_search_facets,
-        "search_hybrid_rrf": q_search_hybrid_rrf,
         # ---------------- 50-entry window boundary ---------------------
         # -- r04/r05-evidence remainder ---------------------------------
+        "search_hybrid_rrf": q_search_hybrid_rrf,
         "search_highlight": q_search_highlight,
         "search_suggest": q_search_suggest,
         "ann_filtered_topk": q_ann_filtered_topk,
@@ -3394,6 +3434,8 @@ def oracle_sql() -> dict[str, str]:
     # streaming drain of the same index is batch-split-invariant (LWW per
     # doc, affected-bucket rewrites), so its oracle is the same replay
     sqls["stream_text_index"] = sqls["text_index_topk"]
+    # segmented streaming maintenance is LWW per doc too: same replay
+    sqls["stream_text_index_lsm"] = sqls["text_index_topk"]
 
     # saved-index hybrid serving: text-index bm25 leg (== the scan replay)
     # + saved-IVF vector leg (query vec 0, self excluded) + RRF fusion

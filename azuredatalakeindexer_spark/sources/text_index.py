@@ -274,22 +274,20 @@ def query_text_index(
     buckets = sorted({_py_bucket(t, n_buckets) for t in terms})
     stats = spark.read.parquet(f"{path}/stats")
     from azuredatalakeindexer_spark.sources.text_segments import (
-        alive_docs,
         list_segments,
-        live_postings,
+        live_query_slice,
     )
 
     segs = list_segments(spark, path)
     if segs:
         # segmented index (LSM upserts landed since the last compaction):
-        # same bucket pruning + term pushdown in EVERY segment, then the
-        # last-writer-wins resolution replaces the plain reads — scoring
-        # below is untouched, so results stay bit-identical to a compacted
-        # or freshly built index
-        postings = live_postings(
+        # same bucket pruning + term pushdown in EVERY segment, then ONE
+        # candidate-restricted last-writer-wins resolution replaces the
+        # plain reads — scoring below is untouched, so results stay
+        # bit-identical to a compacted or freshly built index
+        postings, doclens = live_query_slice(
             spark, path, segs, id_col=id_col, buckets=buckets, terms=terms
         )
-        doclens = alive_docs(spark, path, segs, id_col).select(id_col, "dl")
     else:
         postings = (
             spark.read.parquet(f"{path}/postings")
@@ -348,6 +346,8 @@ def run_stream_text_index(
     id_col: str = "doc_id",
     n_buckets: int = 64,
     max_files_per_trigger: int = 1,
+    segmented: bool = False,
+    compact_every: int | None = None,
 ) -> None:
     """Continuously maintain the inverted index from a document arrival
     stream — the reference's whole architecture (watch lake → upsert
@@ -361,6 +361,15 @@ def run_stream_text_index(
     1 or N micro-batches yields a bit-identical index to one batch build
     over the whole corpus (test-pinned; the oracle is the scan-time bm25
     replay).
+
+    ``segmented=True`` switches later batches to the LSM path
+    (`text_segments.upsert_text_index_segmented`) — each micro-batch is an
+    O(batch) segment write instead of an affected-bucket rewrite, the
+    scale-correct shape for continuous text ingestion (the in-place
+    rewrite grows linearly with index size: `BENCH_sf10_r07.json`).
+    ``compact_every=N`` folds segments back into the base whenever N have
+    accumulated (the LSM amortization; None = leave compaction to the
+    caller).  Batch-split invariance holds identically — LWW per doc.
     """
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
@@ -378,6 +387,28 @@ def run_stream_text_index(
             build_text_index(
                 batch, index_dir, text_col=text_col, id_col=id_col, n_buckets=n_buckets
             )
+        elif segmented:
+            from azuredatalakeindexer_spark.sources.text_segments import (
+                compact_text_index,
+                list_segments,
+                upsert_text_index_segmented,
+            )
+
+            upsert_text_index_segmented(
+                batch.sparkSession,
+                index_dir,
+                batch,
+                text_col=text_col,
+                id_col=id_col,
+                n_buckets=n_buckets,
+            ).count()
+            if (
+                compact_every
+                and len(list_segments(batch.sparkSession, index_dir)) >= compact_every
+            ):
+                compact_text_index(
+                    batch.sparkSession, index_dir, id_col=id_col, n_buckets=n_buckets
+                )
         else:
             upsert_text_index(
                 batch.sparkSession,

@@ -212,6 +212,70 @@ def live_postings(
     return allp.join(alive, [id_col, "seg"]).select("term", id_col, "tf")
 
 
+def live_query_slice(
+    spark: SparkSession,
+    path: str,
+    segs: list[int],
+    *,
+    id_col: str = "doc_id",
+    buckets: list[int],
+    terms: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """One-pass query-side resolution: ``(postings, doclens)`` restricted to
+    the docs that actually carry a query term.
+
+    The naive composition resolves liveness twice (once for postings, once
+    for doclens) and over EVERY document; this computes the candidate-id
+    set from the bucket-pruned, term-filtered postings union first, then
+    runs the max_by liveness aggregate only over those docs' doclens rows —
+    at 100 TB that is |docs containing a query term| rows instead of
+    |corpus| rows, and one aggregate instead of two."""
+    def slice_(df: DataFrame, seg: int) -> DataFrame:
+        return (
+            df.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", id_col, "tf")
+            .withColumn("seg", F.lit(seg))
+        )
+
+    parts = [slice_(spark.read.parquet(f"{path}/postings"), BASE_SEG)]
+    for s in segs:
+        parts.append(
+            slice_(
+                _read_or_empty(
+                    spark,
+                    f"{_seg_dir(path, s)}/postings",
+                    f"term string, {id_col} long, tf bigint, bucket int",
+                ),
+                s,
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    allp = allp.localCheckpoint()
+
+    cand = allp.select(id_col).distinct()
+    dls = _all_doclens(spark, path, segs, id_col).join(cand, id_col, "left_semi")
+    latest = dls.groupBy(id_col).agg(
+        F.max_by("dl", "seg").alias("dl"), F.max("seg").alias("seg")
+    )
+    tombs = (
+        _all_tombstones(spark, path, segs, id_col)
+        .groupBy(id_col)
+        .agg(F.max("seg").alias("_tseg"))
+    )
+    alive = (
+        latest.join(tombs, id_col, "left")
+        .where(F.col("seg") > F.coalesce(F.col("_tseg"), F.lit(-1)))
+        .select(id_col, "dl", "seg")
+        .localCheckpoint()
+    )
+    postings = allp.join(alive.select(id_col, "seg"), [id_col, "seg"]).select(
+        "term", id_col, "tf"
+    )
+    return postings, alive.select(id_col, "dl")
+
+
 def _read_segstats(spark: SparkSession, path: str, id_col: str) -> tuple[int, int]:
     """(n_docs, sum_dl) — from ``segstats`` if present, else initialized
     EXACTLY from the base doclens (bigint aggregate; first segmented op

@@ -45,6 +45,7 @@ SKIP = {
     "stream_exact_dedup",
     "stream_curated_dedup",
     "stream_text_index",
+    "stream_text_index_lsm",
     "text_index_topk",       # builds the temp index at plan-build time
     "text_index_upsert_topk",
     "text_index_delete_topk",

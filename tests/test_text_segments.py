@@ -177,3 +177,27 @@ def test_segmented_stats_match_rebuild_after_each_op(spark, tmp_path):
     logical = logical.join(dead, "doc_id", "left_anti")
     check(logical)
     docs.unpersist()
+
+
+def test_stream_text_index_segmented_with_midstream_compaction(spark, tmp_path):
+    """Segmented streaming maintenance: 4 micro-batches -> build + 3 LSM
+    segments, with compact_every=2 folding mid-stream.  The drained index
+    must answer bit-identically to the scan-time bm25 over the whole
+    corpus (batch-split invariance, LWW per doc), and compaction must have
+    triggered (segment count below the threshold at the end)."""
+    from azuredatalakeindexer_spark.sources.text_index import run_stream_text_index
+
+    docs = _docs(spark)
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+
+    idx = str(tmp_path / "ti_lsm_stream")
+    run_stream_text_index(
+        spark, docs_dir, schema, idx, str(tmp_path / "ckpt"),
+        n_buckets=16, max_files_per_trigger=1,
+        segmented=True, compact_every=2,
+    )
+    assert len(list_segments(spark, idx)) < 2  # compaction ran
+    got = _rows(query_text_index(spark, idx, TERMS, k=20, n_buckets=16))
+    assert got == _rows(bm25_topk(docs, TERMS, k=20))
