@@ -407,7 +407,21 @@ def main() -> None:
             "partitioned_runs / stream_* (VERDICT r6 wrong-#3)",
             "index_lifecycle": "build_full indexes ~99% of the table; "
             "upsert/delete apply a ~1% batch and must be bounded by "
-            "affected bucket/cell partitions, not index size",
+            "affected bucket/cell partitions (in-place) or by the batch "
+            "itself (segmented/LSM rows; see BENCH_sf10_r07.json for the "
+            "scale crossover)",
+            "headline_composition": "7 of the headline queries "
+            "(text_index_upsert/delete/lsm_topk, stream_text_index, "
+            "ann_upsert_topk, saved_hybrid_search, bpe_pipeline) build, "
+            "incrementally maintain, and serve PERSISTED indexes "
+            "end-to-end while the DuckDB oracle computes the final "
+            "relation from parquet in one scan - structurally "
+            "non-comparable (r7 sf0.1: 70 s spark vs 1.9 s duck). "
+            "Excluding them the like-for-like ratio is ~0.59. The r7 "
+            "headline ratio also rose vs r6 for two deliberate reasons: "
+            "warm rows now measure REAL re-execution (the r6 memo lookup "
+            "flattered indexer_run/partitioned_runs/stream_* by ~9 s) and "
+            "the 47th query text_index_lsm_topk (+13.5 s) was added",
         },
     }
     with open(detail_path, "w") as f:
