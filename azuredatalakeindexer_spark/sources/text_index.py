@@ -10,7 +10,9 @@ into a saved inverted file:
   ``partitionBy("bucket")`` where ``bucket = portable_hash64(term) %
   n_buckets`` — each bucket is its own parquet directory;
 - ``<path>/doclens`` — ``(doc_id, dl)`` per-document token counts;
-- ``<path>/stats`` — the 1-row ``(n_docs, avgdl)`` corpus statistics.
+- ``<path>/stats`` — the 1-row ``(n_docs, avgdl, sum_dl)`` corpus
+  statistics (``sum_dl`` is the exact bigint the segmented maintenance
+  path advances incrementally — see ``text_segments.py``).
 
 A query computes its terms' buckets DRIVER-SIDE (the same md5-derived
 portable hash, so no Spark job is needed to locate them) and reads only
@@ -83,22 +85,19 @@ def build_text_index(
 
 
 def _write_stats_from(spark: SparkSession, path: str, doclens_df: DataFrame) -> None:
-    """Aggregate ``(n_docs, avgdl, sum_dl)`` from the given doclens relation
-    in ONE job and write both ``stats`` (what queries broadcast) and
-    ``segstats`` (the exact bigint running stats the segmented maintenance
-    path advances incrementally — every writer keeps it in sync so a later
-    segmented op never has to re-aggregate the base)."""
-    r = doclens_df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("dl").alias("a"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
-    ).first()
-    spark.createDataFrame(
-        [(r["n"], r["a"])], "n_docs bigint, avgdl double"
+    """Write the 1-row ``stats`` relation ``(n_docs, avgdl, sum_dl)`` from
+    the given doclens relation in ONE fused agg+write job.  ``sum_dl`` is
+    the exact bigint the segmented maintenance path advances incrementally
+    (avgdl = sum_dl/n_docs is the same long-sum/count division ``avg``
+    performs, so BM25 scores stay bit-identical either way); every writer
+    keeps it current so a segmented op never re-aggregates the base.  The
+    extra column is inert to queries — they broadcast the row and select
+    ``n_docs``/``avgdl`` by name."""
+    doclens_df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
-    spark.createDataFrame(
-        [(r["n"], int(r["s"]))], "n_docs bigint, sum_dl bigint"
-    ).write.mode("overwrite").parquet(f"{path}/segstats")
 
 
 def _require_unsegmented(spark: SparkSession, path: str, op: str) -> None:
@@ -479,7 +478,8 @@ def delete_from_text_index(
         .first()
     )
     stats = spark.createDataFrame(
-        [(_srow["n_docs"], _srow["avgdl"])], "n_docs bigint, avgdl double"
+        [(_srow["n_docs"], _srow["avgdl"], int(_srow["sum_dl"]))],
+        "n_docs bigint, avgdl double, sum_dl bigint",
     )
     # n_docs == 0 means EVERY document was deleted: both relations end up
     # row-free, and a partitioned layout with zero data files cannot be
@@ -546,7 +546,4 @@ def delete_from_text_index(
         _clear_emptied_partitions(spark, doclens_path, "dbucket", daffected, dpresent)
 
     stats.write.mode("overwrite").parquet(f"{path}/stats")
-    spark.createDataFrame(
-        [(_srow["n_docs"], int(_srow["sum_dl"]))], "n_docs bigint, sum_dl bigint"
-    ).write.mode("overwrite").parquet(f"{path}/segstats")
     return int(n_removed)

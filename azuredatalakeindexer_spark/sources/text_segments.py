@@ -23,10 +23,11 @@ Layout (extends ``text_index.py``'s base layout, which acts as segment 0):
 - ``<path>/segments/seg=K/doclens/dbucket=*`` — the K-th batch's doclens;
 - ``<path>/segments/seg=K/tombstones`` — deleted ids (delete-only segments
   carry ONLY this);
-- ``<path>/segstats`` — exact mergeable running stats ``(n_docs bigint,
-  sum_dl bigint)``; ``<path>/stats`` ``(n_docs, avgdl)`` is kept in sync
-  (avgdl = sum_dl/n_docs, the same long-sum/count division Spark's and
-  DuckDB's ``avg`` perform, so BM25 scores stay bit-identical).
+- ``<path>/stats`` — the 1-row ``(n_docs, avgdl, sum_dl)`` relation;
+  ``sum_dl`` is the exact mergeable bigint the segmented ops advance
+  incrementally (avgdl = sum_dl/n_docs, the same long-sum/count division
+  Spark's and DuckDB's ``avg`` perform, so BM25 scores stay
+  bit-identical).
 
 LIVENESS.  A document's authoritative row is its doclens row with the
 highest segment id; the doc is alive iff that id exceeds the doc's highest
@@ -277,12 +278,12 @@ def live_query_slice(
 
 
 def _read_segstats(spark: SparkSession, path: str, id_col: str) -> tuple[int, int]:
-    """(n_docs, sum_dl) — from ``segstats`` if present, else initialized
-    EXACTLY from the base doclens (bigint aggregate; first segmented op
-    only)."""
-    p = f"{path}/segstats"
-    if hadoop_path_exists(spark, p):
-        r = spark.read.parquet(p).first()
+    """(n_docs, sum_dl) — from the stats relation's exact bigint column
+    (every writer maintains it), falling back to a base-doclens aggregate
+    for an index written before ``sum_dl`` existed."""
+    stats = spark.read.parquet(f"{path}/stats")
+    if "sum_dl" in stats.columns:
+        r = stats.first()
         return int(r["n_docs"]), int(r["sum_dl"])
     r = (
         spark.read.parquet(f"{path}/doclens")
@@ -296,16 +297,12 @@ def _read_segstats(spark: SparkSession, path: str, id_col: str) -> tuple[int, in
 
 
 def _write_stats(spark: SparkSession, path: str, n_docs: int, sum_dl: int) -> None:
-    """Write ``segstats`` (exact bigints) and the derived ``stats`` the
-    query path broadcasts.  avgdl = sum_dl/n_docs is the same
-    long-sum/count division ``avg(dl)`` performs, so scores stay
-    bit-identical to a fresh build."""
-    spark.createDataFrame([(n_docs, sum_dl)], "n_docs bigint, sum_dl bigint").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/segstats")
+    """Advance the 1-row stats relation from the exact bigint running
+    values.  avgdl = sum_dl/n_docs is the same long-sum/count division
+    ``avg(dl)`` performs, so scores stay bit-identical to a fresh build."""
     avgdl = (sum_dl / n_docs) if n_docs else None
     spark.createDataFrame(
-        [(n_docs, avgdl)], "n_docs bigint, avgdl double"
+        [(n_docs, avgdl, sum_dl)], "n_docs bigint, avgdl double, sum_dl bigint"
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -426,7 +423,7 @@ def compact_text_index(
 ) -> int:
     """Fold every segment back into the base layout (the LSM compaction):
     resolve live postings/doclens across all segments, rewrite the base,
-    drop ``segments/`` and ``segstats``.  Afterwards the index is
+    drop ``segments/``.  Afterwards the index is
     byte-equivalent in CONTENT to a fresh ``build_text_index`` of the
     logical corpus (test-pinned) and queries take the segment-free fast
     path again.  Returns the number of segments folded.
