@@ -1463,6 +1463,34 @@ def q_text_index_upsert_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_ann_delete_topk(spark, sf):
+    """Deleted-vector handling for the saved IVF index (J2 applied to the
+    vector index — completes the MergeOrUpload/Delete pair): build on the
+    full embeddings, delete vec_id 5-14 (cell-bounded rewrite), answer
+    top-k from the survivors.  Quantizer frozen at build time (first 16
+    corpus ids), so the oracle replays a fresh IVF over the survivors on
+    those same centroids."""
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="adls_ivfdel_")
+    try:
+        build_ivf_index(emb, root, n_centroids=16)
+        ids = spark.range(5, 15).withColumnRenamed("id", "vec_id")
+        delete_from_ivf_index(spark, root, ids)
+        out = query_ivf_index(spark, root, q, k=5, n_probe=2)
+        return _persisted(
+            spark, out.withColumn("rank", F.col("rank").cast("int"))
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_index_lsm_topk(spark, sf):
     """Segmented (LSM) text-index lifecycle (sources/text_segments.py):
     build on doc_id>=10, then THREE stacked O(batch) segments — upsert
@@ -2325,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_upsert_topk": q_text_index_upsert_topk,
         "text_index_delete_topk": q_text_index_delete_topk,
         "ann_upsert_topk": q_ann_upsert_topk,
+        "ann_delete_topk": q_ann_delete_topk,
         "stream_text_index": q_stream_text_index,
         "stream_text_index_lsm": q_stream_text_index_lsm,
         # -- oldest driver evidence first (r02/r03 cohort, VERDICT r6
@@ -2373,9 +2402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "domain_quality_gate": q_domain_quality_gate,
         "search_bm25": q_search_bm25,
-        "search_facets": q_search_facets,
         # ---------------- 50-entry window boundary ---------------------
         # -- r04/r05-evidence remainder ---------------------------------
+        "search_facets": q_search_facets,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "search_highlight": q_search_highlight,
         "search_suggest": q_search_suggest,
@@ -3078,6 +3107,36 @@ def oracle_sql() -> dict[str, str]:
         WHERE vec_id NOT IN (SELECT vec_id FROM delta)
         UNION ALL SELECT vec_id, v FROM delta),
       cents AS (SELECT vec_id AS cid, v AS cvec FROM base ORDER BY vec_id LIMIT 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT c.vec_id, c.v, cents.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_cos('c.v', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM c, cents) t WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM craw WHERE vec_id < 5),
+      probes AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT q.query_id, q.qv, cents.cid,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos('q.qv', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM q, cents) t WHERE r <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, {_cos('p.qv', 'a.v')} AS cosine
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.vec_id != p.query_id)
+      SELECT query_id, neighbor_id, cosine,
+             (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+      FROM scored
+      QUALIFY rank <= 5
+    """
+
+    # saved-index delete: survivors answer identically to a fresh IVF over
+    # them on the BUILD-time frozen quantizer (first 16 corpus ids, some of
+    # which are themselves deleted — centroids are frozen, not rows)
+    sqls["ann_delete_topk"] = f"""
+      WITH craw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, v AS cvec FROM craw ORDER BY vec_id LIMIT 16),
+      c AS (SELECT vec_id, v FROM craw WHERE vec_id < 5 OR vec_id >= 15),
       assigned AS (
         SELECT vec_id, v, cid AS cell FROM (
           SELECT c.vec_id, c.v, cents.cid,

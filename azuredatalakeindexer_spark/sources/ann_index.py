@@ -127,6 +127,14 @@ def upsert_ivf_index(
         .select(id_col, vec_col, "cell")
     )
     merged = keep.unionByName(assigned.select(id_col, vec_col, "cell")).localCheckpoint()
+    if old_keys.isEmpty():
+        # delete-all left the 0-row unpartitioned sentinel: a dynamic write
+        # on top of it would mix root files with cell= directories and break
+        # partition discovery — replace it with a clean partitioned layout
+        merged.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(postings_path)
+        return statuses
     # a victim cell whose rows were ALL replaced ids that moved to other
     # cells survives with zero rows — dynamic overwrite would skip it and
     # serve the stale vectors; clear such emptied cells explicitly
@@ -141,6 +149,57 @@ def upsert_ivf_index(
     # (single-writer assumed; there is no cross-directory atomicity either way)
     _clear_emptied_partitions(spark, postings_path, "cell", affected, present)
     return statuses
+
+
+def delete_from_ivf_index(
+    spark: SparkSession,
+    path: str,
+    vec_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Remove vectors from the saved IVF index — the reference's
+    deleted-blob handling (J2, `PathIndexerFunc.cs` BlobDeleted path)
+    applied to the vector index, completing the MergeOrUpload/Delete pair
+    `upsert_ivf_index` started.  Returns the number of vectors removed;
+    deleting an absent id is a no-op (idempotent on redelivered events).
+
+    Same cell-bounded shape as the upsert: victims are located via the
+    column-pruned (id, cell) projection semi-joined against the broadcast
+    id set, ONLY their cells are rewritten with the victims anti-joined
+    out (dynamic partition overwrite), a cell whose survivors are empty is
+    cleared explicitly after the write, and deleting the LAST vector drops
+    the layout to the typed 0-row unpartitioned sentinel (a partitioned
+    dir with zero data files cannot be re-read) — `upsert_ivf_index`
+    routes back through the clean static write when it sees it.  The
+    quantizer (centroids) is untouched, so queries on the survivors are
+    bit-identical to a fresh build over them on the same centroids — which
+    is what the DuckDB oracle replays.
+    """
+    ids = vec_ids.select(id_col).distinct().localCheckpoint()
+    postings_path = f"{path}/postings"
+    old = spark.read.parquet(postings_path)
+    victims = old.select(id_col, "cell").join(F.broadcast(ids), id_col, "left_semi")
+    affected = [r["cell"] for r in victims.select("cell").distinct().collect()]
+    n_removed = victims.select(id_col).distinct().count()
+    if not affected:
+        return 0
+    keep = (
+        old.where(F.col("cell").isin(affected))
+        .join(F.broadcast(ids), id_col, "left_anti")
+        .localCheckpoint()
+    )
+    present = [r["cell"] for r in keep.select("cell").distinct().collect()]
+    if present:
+        with _dynamic_overwrite(spark):
+            keep.repartition("cell").write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(postings_path)
+    _clear_emptied_partitions(spark, postings_path, "cell", affected, present)
+    if not present and not _any_partition_dirs(spark, postings_path, "cell"):
+        # every cell emptied: write the typed 0-row sentinel so the layout
+        # stays readable
+        keep.write.mode("overwrite").parquet(postings_path)
+    return int(n_removed)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):

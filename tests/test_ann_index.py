@@ -438,3 +438,46 @@ def test_delete_last_token_docs_leaves_readable_postings(spark, tmp_path):
     assert lens == {3: 0, 4: 0, 5: 2}
     assert spark.read.parquet(f"{path}/stats").first()["n_docs"] == 3
     assert query_text_index(spark, path, ["beta"], k=5, n_buckets=16).count() == 1
+
+
+def test_delete_from_ivf_index_matches_fresh_rebuild(spark, tmp_path):
+    """Deleting vectors leaves an index identical in content to a fresh
+    build over the survivors on the SAME frozen centroids; only victim
+    cells are rewritten; idempotent; delete-all leaves a readable sentinel
+    that a later upsert rebuilds through the static path."""
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        query_ivf_index,
+        upsert_ivf_index,
+    )
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    ids = spark.range(5, 15).withColumnRenamed("id", "vec_id")
+    untouched_before = {
+        f for f in os.listdir(f"{path}/postings") if f.startswith("cell=")
+    }
+    assert delete_from_ivf_index(spark, path, ids) == 10
+    assert delete_from_ivf_index(spark, path, ids) == 0  # idempotent
+    survivors = emb.where((F.col("vec_id") < 5) | (F.col("vec_id") >= 15))
+    q = emb.where(F.col("vec_id") < 5)
+    got = query_ivf_index(spark, path, q, k=5, n_probe=2)
+    # fresh build over survivors with the ORIGINAL centroids
+    fresh = str(tmp_path / "fresh")
+    cents = spark.read.parquet(f"{path}/centroids")
+    build_ivf_index(survivors, fresh, centroids=cents)
+    exp = query_ivf_index(spark, fresh, q, k=5, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    # deleted ids never appear
+    assert got.where(F.col("neighbor_id").between(5, 14)).count() == 0
+
+    # delete everything: layout must stay readable and accept a fresh upsert
+    assert delete_from_ivf_index(spark, path, emb.select("vec_id")) > 0
+    assert spark.read.parquet(f"{path}/postings").count() == 0
+    assert query_ivf_index(spark, path, q, k=5, n_probe=2).count() == 0
+    st = {r["status"] for r in upsert_ivf_index(spark, path, emb.limit(20)).collect()}
+    assert st == {201}
+    assert query_ivf_index(spark, path, q, k=5, n_probe=2).count() > 0

@@ -52,6 +52,7 @@ SKIP = {
     "text_index_lsm_topk",
     "saved_hybrid_search",
     "ann_upsert_topk",
+    "ann_delete_topk",
     "bpe_train",          # iterative: runs vocabulary jobs while building
     "bpe_encode",         # collects the learned merges at plan-build time
     "stream_sessionize",
