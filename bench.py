@@ -216,6 +216,7 @@ def index_lifecycle_metrics(spark, sf_dir: str) -> dict[str, float]:
 
     from azuredatalakeindexer_spark.sources.ann_index import (
         build_ivf_index,
+        delete_from_ivf_index,
         query_ivf_index,
         upsert_ivf_index,
     )
@@ -295,6 +296,10 @@ def index_lifecycle_metrics(spark, sf_dir: str) -> dict[str, float]:
         timed(
             "ann_upsert_1pct_batch",
             lambda: upsert_ivf_index(spark, apath, edelta).count(),
+        )
+        timed(
+            "ann_delete_1pct_batch",
+            lambda: delete_from_ivf_index(spark, apath, edelta.select("vec_id")),
         )
         timed(
             "ann_query_topk",
