@@ -232,6 +232,11 @@ def index_lifecycle_metrics(spark, sf_dir: str) -> dict[str, float]:
     tmp = tempfile.mkdtemp(prefix="bench_lifecycle_")
 
     def timed(key: str, fn) -> None:
+        # each step stands alone: orphaned localCheckpoint blocks from the
+        # previous step otherwise build GC pressure that dominates the
+        # later timings (same rationale as the headline's release; measured
+        # at sf10: the in-place upsert swings 8-56 s with accumulated state)
+        _release_session_state(spark)
         t0 = time.time()
         fn()
         out[key] = round(time.time() - t0, 3)
