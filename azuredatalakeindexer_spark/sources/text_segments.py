@@ -221,6 +221,7 @@ def live_query_slice(
     id_col: str = "doc_id",
     buckets: list[int],
     terms: list[str],
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One-pass query-side resolution: ``(postings, doclens)`` restricted to
     the docs that actually carry a query term.
@@ -230,7 +231,11 @@ def live_query_slice(
     set from the bucket-pruned, term-filtered postings union first, then
     runs the max_by liveness aggregate only over those docs' doclens rows —
     at 100 TB that is |docs containing a query term| rows instead of
-    |corpus| rows, and one aggregate instead of two."""
+    |corpus| rows, and one aggregate instead of two.
+
+    ``materialize=False`` skips the two localCheckpoints (the candidate
+    union and the alive set are then recomputed by each consumer) — used
+    by the plan-pruning test to inspect the un-checkpointed scan plans."""
     def slice_(df: DataFrame, seg: int) -> DataFrame:
         return (
             df.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
@@ -253,7 +258,8 @@ def live_query_slice(
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
-    allp = allp.localCheckpoint()
+    if materialize:
+        allp = allp.localCheckpoint()
 
     cand = allp.select(id_col).distinct()
     dls = _all_doclens(spark, path, segs, id_col).join(cand, id_col, "left_semi")
@@ -269,8 +275,9 @@ def live_query_slice(
         latest.join(tombs, id_col, "left")
         .where(F.col("seg") > F.coalesce(F.col("_tseg"), F.lit(-1)))
         .select(id_col, "dl", "seg")
-        .localCheckpoint()
     )
+    if materialize:
+        alive = alive.localCheckpoint()
     postings = allp.join(alive.select(id_col, "seg"), [id_col, "seg"]).select(
         "term", id_col, "tf"
     )

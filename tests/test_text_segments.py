@@ -201,3 +201,43 @@ def test_stream_text_index_segmented_with_midstream_compaction(spark, tmp_path):
     assert len(list_segments(spark, idx)) < 2  # compaction ran
     got = _rows(query_text_index(spark, idx, TERMS, k=20, n_buckets=16))
     assert got == _rows(bm25_topk(docs, TERMS, k=20))
+
+
+def test_segmented_query_prunes_buckets_in_every_segment(spark, tmp_path):
+    """The segmented query must carry the query terms' bucket IN-list as a
+    STATIC PartitionFilter on the BASE postings scan and on EVERY
+    segment's postings scan — the LSM read tax is |segments| PRUNED scans,
+    never |segments| full scans.  Asserted on the real live_query_slice
+    plan (materialize=False exposes the scans the checkpoint would hide)."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.sources.text_index import _py_bucket
+    from azuredatalakeindexer_spark.sources.text_segments import live_query_slice
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs.where(F.col("doc_id") >= 20), path, n_buckets=16)
+    upsert_text_index_segmented(
+        spark, path, docs.where(F.col("doc_id") < 10), n_buckets=16
+    )
+    upsert_text_index_segmented(
+        spark, path, docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        n_buckets=16,
+    )
+    postings, _ = live_query_slice(
+        spark, path, [1, 2],
+        buckets=[_py_bucket("merge", 16)], terms=["merge"],
+        materialize=False,
+    )
+    plan = postings._jdf.queryExecution().executedPlan().toString()
+    # every postings FileScan (ReadSchema carries `term`) must be
+    # bucket-pruned; the un-checkpointed plan repeats the 3-way union, so
+    # count >= 3 and — the real guarantee — ZERO unpruned postings scans
+    postings_scans = [
+        ln for ln in plan.splitlines() if "ReadSchema: struct<term:string" in ln
+    ]
+    assert len(postings_scans) >= 3, plan  # base + 2 segments at least once
+    for ln in postings_scans:
+        assert re.search(r"PartitionFilters: \[[^\]]*bucket#\d+L? (?:=|IN)", ln), ln
