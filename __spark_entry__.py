@@ -1463,6 +1463,19 @@ def q_text_index_upsert_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_search_phrase(spark, sf):
+    """Exact token-adjacency phrase ranking (`operators/search.py::
+    phrase_topk` — the positional-search counterpart of Lucene's
+    PhraseQuery, which the bag-of-words bm25 and the substring-predicate
+    simple-query syntax cannot express): phrase_tf counts occurrences of
+    the exact token sequence, ranked by BM25 with the phrase as one
+    virtual term.  Oracle replays the slice-equality count and the same
+    saturation formula in SQL."""
+    from azuredatalakeindexer_spark.operators.search import phrase_topk
+
+    return phrase_topk(_docs(spark, sf), "merge stream", k=20)
+
+
 def q_ann_delete_topk(spark, sf):
     """Deleted-vector handling for the saved IVF index (J2 applied to the
     vector index — completes the MergeOrUpload/Delete pair): build on the
@@ -2356,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_delete_topk": q_ann_delete_topk,
         "stream_text_index": q_stream_text_index,
         "stream_text_index_lsm": q_stream_text_index_lsm,
+        "search_phrase": q_search_phrase,
         # -- oldest driver evidence first (r02/r03 cohort, VERDICT r6
         # -- next-#4) ---------------------------------------------------
         "oversize_filter": q_oversize_filter,
@@ -2401,9 +2415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_topk": q_ann_index_topk,
         "semantic_dedup": q_semantic_dedup,
         "domain_quality_gate": q_domain_quality_gate,
-        "search_bm25": q_search_bm25,
         # ---------------- 50-entry window boundary ---------------------
-        # -- r04/r05-evidence remainder ---------------------------------
+        # -- r04/r05-evidence remainder (search_bm25/facets/hybrid_rrf
+        # -- slid out as r7 additions took their slots; they lead r08) ---
+        "search_bm25": q_search_bm25,
         "search_facets": q_search_facets,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "search_highlight": q_search_highlight,
@@ -3459,6 +3474,30 @@ def oracle_sql() -> dict[str, str]:
         FROM per, stats),
       kw AS (SELECT doc_id, bm25 FROM bm25_scored WHERE bm25 > 0
              ORDER BY bm25 DESC, doc_id LIMIT 20)
+    """
+
+    # exact token-adjacency phrase: slice-equality occurrence count over
+    # start positions, BM25 with the phrase as one virtual term (same
+    # tokenization and saturation constants as bm25_topk)
+    sqls["search_phrase"] = f"""
+      WITH per AS (
+        SELECT doc_id, len(words) AS dl,
+               CASE WHEN len(words) >= 2 THEN
+                 len(list_filter(generate_series(1, len(words) - 1),
+                     p -> words[p:p+1] = ['merge', 'stream']))
+               ELSE 0 END AS phrase_tf
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)),
+      stats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN phrase_tf > 0 THEN 1 ELSE 0 END) AS df
+        FROM per)
+      SELECT doc_id, phrase_tf, bm25 FROM (
+        SELECT doc_id, phrase_tf::BIGINT AS phrase_tf,
+               round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * phrase_tf * 2.2
+                     / (phrase_tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        FROM per, stats) t
+      WHERE bm25 > 0
+      ORDER BY bm25 DESC, doc_id LIMIT 20
     """
 
     bm25_scored = _bm25_cte(["merge", "query", "stream"])

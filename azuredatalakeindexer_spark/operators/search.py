@@ -508,3 +508,83 @@ def keyword_snippets(
     return docs.where(pos > 0).select(
         F.col(id_col), pos.alias("hit_pos"), snippet.alias("snippet")
     )
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrase: Sequence[str] | str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` documents for an EXACT TOKEN-ADJACENCY phrase, ranked by
+    BM25 with the whole phrase as one virtual term.
+
+    `simple_query_topk`'s ``"a phrase"`` handles phrases as required
+    SUBSTRING predicates (filter-only, service-style).  This operator is
+    the positional-search counterpart a Lucene ``PhraseQuery`` provides:
+    ``tf`` is the number of occurrences of the exact token sequence
+    (``slice(toks, p, m) == phrase`` counted over all start positions —
+    adjacency under the same whitespace analyzer as every other scorer),
+    ``df`` the number of docs with at least one occurrence, and the score
+    the standard BM25 saturation formula, rounded to 6 decimals before
+    ranking with id-asc tie-breaks (cross-engine stable).
+
+    Scale shape: the occurrence count is a pure Catalyst array expression
+    — ``size(filter(sequence(1, n-m+1), p -> slice(..) == ..))`` — no
+    explode, no positional-postings shuffle; corpus stats are the same
+    1-row broadcast as :func:`bm25_topk`.  The ``n >= m`` guard matters:
+    ``sequence(1, 0)`` DESCENDS in Spark, so short docs must short-circuit
+    to tf=0 instead of generating [1, 0].
+
+    Output ``(id_col, phrase_tf bigint, bm25)``.
+    """
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    terms = [t.lower() for t in terms]
+    if not terms:
+        raise ValueError("phrase_topk needs a non-empty phrase")
+    m = len(terms)
+    docs = ensure_parallelism(docs)
+    toks = tokens(F.col(text_col))
+    phrase_arr = F.array(*[F.lit(t) for t in terms])
+    n = F.size(toks)
+    tf_expr = F.when(
+        n >= m,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - m + 1),
+                lambda p: F.slice(toks, p, m) == phrase_arr,
+            )
+        ),
+    ).otherwise(F.lit(0))
+    per = docs.select(
+        F.col(id_col),
+        n.alias("_dl"),
+        tf_expr.cast("bigint").alias("phrase_tf"),
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        F.sum((F.col("phrase_tf") > 0).cast("long")).alias("_df"),
+    )
+    scored = per.crossJoin(F.broadcast(stats))
+    norm = F.when(
+        F.col("_avgdl") > 0, F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    ).otherwise(F.lit(0.0))
+    tf = F.col("phrase_tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    score = (idf * tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + norm)
+    )
+    return (
+        scored.select(F.col(id_col), "phrase_tf", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -272,3 +272,47 @@ def test_simple_query_phrase_only_and_validation(sqs_docs):
     assert [(r["doc_id"], r["bm25"]) for r in out] == [(2, 1.0)]
     with pytest.raises(ValueError):
         simple_query_topk(sqs_docs, "-slow")
+
+
+def test_phrase_topk_adjacency_and_edges(spark):
+    """Exact token adjacency: 'data big' is NOT a match for 'big data';
+    overlapping occurrences each count ('big big big' has TWO 'big big'
+    starts); docs shorter than the phrase short-circuit to tf=0 (the
+    sequence(1,0)-descends pitfall); ranking follows BM25 with id-asc
+    ties."""
+    from azuredatalakeindexer_spark.operators.search import phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data big"),   # tf 2
+            (2, "data big"),                # reversed: tf 0
+            (3, "Big DATA x"),              # case-folded: tf 1
+            (4, "big"),                     # shorter than phrase: tf 0
+            (5, ""),                        # empty: tf 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["phrase_tf"] for r in
+           phrase_topk(docs, "big data", k=10).collect()}
+    assert out == {1: 2, 3: 1}
+
+    ov = spark.createDataFrame(
+        [(1, "big big big"), (2, "big big")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["phrase_tf"] for r in
+           phrase_topk(ov, ["big", "big"], k=10).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_phrase_topk_single_word_equals_bm25(spark):
+    """A 1-word phrase degenerates to that term's bm25 ranking exactly
+    (same tf, df, dl, constants)."""
+    from azuredatalakeindexer_spark.operators.search import bm25_topk, phrase_topk
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    ph = [(r["doc_id"], r["bm25"]) for r in phrase_topk(docs, "merge", k=15).collect()]
+    kw = [(r["doc_id"], r["bm25"]) for r in bm25_topk(docs, ["merge"], k=15).collect()]
+    assert ph == kw
