@@ -75,6 +75,7 @@ HEADLINE = [
     "semantic_dedup",
     "domain_quality_gate",
     "search_bm25",
+    "search_phrase",
     "search_hybrid_rrf",
     "text_index_topk",
     "bpe_train",
