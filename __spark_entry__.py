@@ -1476,6 +1476,17 @@ def q_search_phrase(spark, sf):
     return phrase_topk(_docs(spark, sf), "merge stream", k=20)
 
 
+def q_search_near(spark, sf):
+    """Ordered proximity search (`operators/search.py::near_topk` —
+    Lucene sloppy-PhraseQuery/NEAR semantics): rank docs where 'merge' is
+    followed by 'stream' within slop=2 intervening tokens; near_tf counts
+    ordered position pairs, scored like `search_phrase`.  Oracle replays
+    the position-pair count with DuckDB list lambdas."""
+    from azuredatalakeindexer_spark.operators.search import near_topk
+
+    return near_topk(_docs(spark, sf), "merge", "stream", slop=2, k=20)
+
+
 def q_ann_delete_topk(spark, sf):
     """Deleted-vector handling for the saved IVF index (J2 applied to the
     vector index — completes the MergeOrUpload/Delete pair): build on the
@@ -2370,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_text_index": q_stream_text_index,
         "stream_text_index_lsm": q_stream_text_index_lsm,
         "search_phrase": q_search_phrase,
+        "search_near": q_search_near,
         # -- oldest driver evidence first (r02/r03 cohort, VERDICT r6
         # -- next-#4) ---------------------------------------------------
         "oversize_filter": q_oversize_filter,
@@ -2414,10 +2426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": q_classifier_scores,
         "ann_index_topk": q_ann_index_topk,
         "semantic_dedup": q_semantic_dedup,
-        "domain_quality_gate": q_domain_quality_gate,
         # ---------------- 50-entry window boundary ---------------------
-        # -- r04/r05-evidence remainder (search_bm25/facets/hybrid_rrf
-        # -- slid out as r7 additions took their slots; they lead r08) ---
+        # -- r04/r05-evidence remainder (domain_quality_gate and the
+        # -- search_bm25/facets/hybrid_rrf trio slid out as r7 additions
+        # -- took their slots; they lead r08) ----------------------------
+        "domain_quality_gate": q_domain_quality_gate,
         "search_bm25": q_search_bm25,
         "search_facets": q_search_facets,
         "search_hybrid_rrf": q_search_hybrid_rrf,
@@ -3496,6 +3509,34 @@ def oracle_sql() -> dict[str, str]:
                round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * phrase_tf * 2.2
                      / (phrase_tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
         FROM per, stats) t
+      WHERE bm25 > 0
+      ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+    # ordered proximity: position-pair count (p1 < p2 <= p1 + slop + 1)
+    # over per-term position lists, BM25 with the pair count as tf
+    sqls["search_near"] = f"""
+      WITH per AS (
+        SELECT doc_id, len(words) AS dl,
+          coalesce(list_sum(list_transform(
+            list_filter(list_transform(generate_series(1, len(words)),
+                        p -> CASE WHEN words[p] = 'merge' THEN p END),
+                        x -> x IS NOT NULL),
+            p1 -> len(list_filter(
+              list_filter(list_transform(generate_series(1, len(words)),
+                          p -> CASE WHEN words[p] = 'stream' THEN p END),
+                          x -> x IS NOT NULL),
+              p2 -> p2 > p1 AND p2 <= p1 + 3)))), 0) AS near_tf
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)),
+      nstats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN near_tf > 0 THEN 1 ELSE 0 END) AS df
+        FROM per)
+      SELECT doc_id, near_tf, bm25 FROM (
+        SELECT doc_id, near_tf::BIGINT AS near_tf,
+               round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * near_tf * 2.2
+                     / (near_tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        FROM per, nstats) t
       WHERE bm25 > 0
       ORDER BY bm25 DESC, doc_id LIMIT 20
     """

@@ -588,3 +588,75 @@ def phrase_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def near_topk(
+    docs: DataFrame,
+    term1: str,
+    term2: str,
+    *,
+    slop: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Ordered proximity search (Lucene sloppy ``PhraseQuery`` / NEAR):
+    rank documents where ``term1`` is followed by ``term2`` within at most
+    ``slop`` intervening tokens.  ``near_tf`` counts ordered position
+    pairs ``(p1, p2)`` with ``p1 < p2 <= p1 + slop + 1`` (``slop=0``
+    degenerates to the 2-term exact phrase); ranking is the same
+    BM25-with-virtual-term treatment as :func:`phrase_topk`.
+
+    Scale shape: per-term position lists come from ONE indexed
+    ``transform`` + ``filter`` over the token array, and the pair count is
+    a nested higher-order aggregate over the two (short) position lists —
+    all Catalyst array expressions on a single narrow projection; corpus
+    stats are the usual 1-row broadcast.  No explode, no positional
+    postings, no shuffle beyond the final top-k.
+    """
+    t1, t2 = term1.lower(), term2.lower()
+    docs = ensure_parallelism(docs)
+    toks = tokens(F.col(text_col))
+
+    def positions(term: str):
+        # 1-based positions of `term` in the token array
+        idx = F.transform(toks, lambda x, i: F.when(x == term, i + 1))
+        return F.filter(idx, lambda p: p.isNotNull())
+
+    p1s, p2s = positions(t1), positions(t2)
+    pair_count = F.aggregate(
+        p1s,
+        F.lit(0).cast("bigint"),
+        lambda acc, p1: acc
+        + F.size(F.filter(p2s, lambda p2: (p2 > p1) & (p2 <= p1 + slop + 1))),
+    )
+    per = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        pair_count.alias("near_tf"),
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        F.sum((F.col("near_tf") > 0).cast("long")).alias("_df"),
+    )
+    scored = per.crossJoin(F.broadcast(stats))
+    norm = F.when(
+        F.col("_avgdl") > 0, F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    ).otherwise(F.lit(0.0))
+    tf = F.col("near_tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    score = (idf * tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + norm)
+    )
+    return (
+        scored.select(F.col(id_col), "near_tf", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "temperature_mix",     # crossJoin of the SINGLE-ROW weight-sum frame
     "search_bm25",         # crossJoin of the SINGLE-ROW corpus-stats frame
     "search_phrase",       # same SINGLE-ROW corpus-stats frame
+    "search_near",         # same SINGLE-ROW corpus-stats frame
     "search_hybrid_rrf",   # same bm25 stats frame + SINGLE-ROW query vector
     "search_profile",      # same SINGLE-ROW per-field corpus-stats frame
     "search_simple_query", # same bm25 SINGLE-ROW stats frame

@@ -316,3 +316,30 @@ def test_phrase_topk_single_word_equals_bm25(spark):
     ph = [(r["doc_id"], r["bm25"]) for r in phrase_topk(docs, "merge", k=15).collect()]
     kw = [(r["doc_id"], r["bm25"]) for r in bm25_topk(docs, ["merge"], k=15).collect()]
     assert ph == kw
+
+
+def test_near_topk_ordering_slop_and_phrase_degeneration(spark):
+    """NEAR is ORDERED (term2 after term1), bounded by slop; slop=0
+    degenerates exactly to the 2-term phrase counts."""
+    from azuredatalakeindexer_spark.operators.search import near_topk, phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big x data"),        # 1 intervening token: slop>=1
+            (2, "big x y z data"),    # 3 intervening: slop>=3
+            (3, "data big"),          # wrong order: never
+            (4, "big data big data"), # pairs at slop2: (1,2),(1,4),(3,4)
+        ],
+        "doc_id long, text string",
+    )
+    s2 = {r["doc_id"]: r["near_tf"] for r in
+          near_topk(docs, "big", "data", slop=2, k=10).collect()}
+    assert s2 == {1: 1, 4: 3}
+    s3 = {r["doc_id"]: r["near_tf"] for r in
+          near_topk(docs, "big", "data", slop=3, k=10).collect()}
+    assert s3 == {1: 1, 2: 1, 4: 3}
+    s0 = {r["doc_id"]: r["near_tf"] for r in
+          near_topk(docs, "big", "data", slop=0, k=10).collect()}
+    ph = {r["doc_id"]: r["phrase_tf"] for r in
+          phrase_topk(docs, "big data", k=10).collect()}
+    assert s0 == ph == {4: 2}
