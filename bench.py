@@ -76,6 +76,7 @@ HEADLINE = [
     "domain_quality_gate",
     "search_bm25",
     "search_phrase",
+    "search_near",
     "search_hybrid_rrf",
     "text_index_topk",
     "bpe_train",
