@@ -1487,6 +1487,27 @@ def q_search_near(spark, sf):
     return near_topk(_docs(spark, sf), "merge", "stream", slop=2, k=20)
 
 
+def q_text_index_phrase_topk(spark, sf):
+    """Exact-phrase top-k served FROM a POSITIONAL saved index
+    (`sources/text_index.py::query_phrase_index` — the Lucene PhraseQuery
+    execution: bucket-pruned positional postings, per-doc position-list
+    intersection).  Built with positions=True over the full corpus; the
+    result is bit-identical to the scan-time `search_phrase`, so the
+    oracle is the same slice-equality replay."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_phrase_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_txtpos_")
+    try:
+        build_text_index(_docs(spark, sf), root, n_buckets=64, positions=True)
+        out = query_phrase_index(spark, root, "merge stream", k=20, n_buckets=64)
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_ann_delete_topk(spark, sf):
     """Deleted-vector handling for the saved IVF index (J2 applied to the
     vector index — completes the MergeOrUpload/Delete pair): build on the
@@ -2382,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_text_index_lsm": q_stream_text_index_lsm,
         "search_phrase": q_search_phrase,
         "search_near": q_search_near,
+        "text_index_phrase_topk": q_text_index_phrase_topk,
         # -- oldest driver evidence first (r02/r03 cohort, VERDICT r6
         # -- next-#4) ---------------------------------------------------
         "oversize_filter": q_oversize_filter,
@@ -2425,11 +2447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "classifier_scores": q_classifier_scores,
         "ann_index_topk": q_ann_index_topk,
-        "semantic_dedup": q_semantic_dedup,
         # ---------------- 50-entry window boundary ---------------------
-        # -- r04/r05-evidence remainder (domain_quality_gate and the
-        # -- search_bm25/facets/hybrid_rrf trio slid out as r7 additions
-        # -- took their slots; they lead r08) ----------------------------
+        # -- r04/r05-evidence remainder (semantic_dedup, domain_quality_
+        # -- gate, and the search_bm25/facets/hybrid_rrf trio slid out as
+        # -- r7 additions took their slots; they lead r08) ---------------
+        "semantic_dedup": q_semantic_dedup,
         "domain_quality_gate": q_domain_quality_gate,
         "search_bm25": q_search_bm25,
         "search_facets": q_search_facets,
@@ -3575,6 +3597,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["stream_text_index"] = sqls["text_index_topk"]
     # segmented streaming maintenance is LWW per doc too: same replay
     sqls["stream_text_index_lsm"] = sqls["text_index_topk"]
+    # the positional saved index answers the phrase query bit-identically
+    # to the scan-time operator: same oracle
+    sqls["text_index_phrase_topk"] = sqls["search_phrase"]
 
     # saved-index hybrid serving: text-index bm25 leg (== the scan replay)
     # + saved-IVF vector leg (query vec 0, self excluded) + RRF fusion

@@ -45,6 +45,37 @@ def _py_bucket(term: str, n_buckets: int) -> int:
     return h % n_buckets
 
 
+def _postings_from(base: DataFrame, id_col: str, n_buckets: int, positions: bool) -> DataFrame:
+    """(term, id, tf[, pos], bucket) aggregate from a ``(id, _toks)``
+    relation.  With ``positions`` the rows additionally carry the sorted
+    1-based position list — Lucene-style positional postings for
+    index-backed phrase queries (``query_phrase_index``).  Either way one
+    map-side-combined aggregate; the positional variant's shuffle carries
+    (term, doc, pos) occurrences instead of distinct (term, doc) pairs —
+    the standard positional-index cost, paid only when asked for."""
+    if positions:
+        occ = base.select(F.col(id_col), F.posexplode("_toks").alias("_p", "term"))
+        agg = occ.groupBy("term", id_col).agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list(F.col("_p") + 1)).alias("pos"),
+        )
+    else:
+        agg = (
+            base.select(F.col(id_col), F.explode("_toks").alias("term"))
+            .groupBy("term", id_col)
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    return agg.withColumn(
+        "bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets))
+    )
+
+
+def _postings_cols(postings_df: DataFrame, id_col: str) -> list[str]:
+    """The value columns of a postings relation in canonical order —
+    includes ``pos`` iff the index was built positional."""
+    return ["term", id_col, "tf"] + (["pos"] if "pos" in postings_df.columns else [])
+
+
 def build_text_index(
     docs: DataFrame,
     path: str,
@@ -52,6 +83,7 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    positions: bool = False,
 ) -> None:
     """Write the inverted index for ``docs`` under ``path``.
 
@@ -61,6 +93,12 @@ def build_text_index(
     ``build_ivf_index``.  ``doclens`` is partitioned by an id-hash bucket
     so incremental upserts rewrite only affected directories, same as the
     postings.
+
+    ``positions=True`` stores Lucene-style positional postings (sorted
+    1-based position lists per (term, doc)) so exact-phrase queries can be
+    served FROM THE INDEX (`query_phrase_index`) instead of rescanning the
+    corpus; BM25 queries and all maintenance ops work identically on
+    either layout (the extra column rides along).
     """
     toks = tokens(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("_toks"))
@@ -73,12 +111,7 @@ def build_text_index(
         "dbucket"
     ).parquet(f"{path}/doclens")
     _write_stats_from(docs.sparkSession, path, doclens)
-    postings = (
-        base.select(F.col(id_col), F.explode("_toks").alias("term"))
-        .groupBy("term", id_col)
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets)))
-    )
+    postings = _postings_from(base, id_col, n_buckets, positions)
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{path}/postings")
@@ -154,17 +187,15 @@ def upsert_text_index(
     _require_unsegmented(spark, path, "upsert_text_index")
     toks = tokens(F.col(text_col))
     base = delta.select(F.col(id_col), toks.alias("_toks")).localCheckpoint()
-    new_postings = (
-        base.select(F.col(id_col), F.explode("_toks").alias("term"))
-        .groupBy("term", id_col)
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets)))
-        .localCheckpoint()
-    )
+    postings_path = f"{path}/postings"
+    old_postings = spark.read.parquet(postings_path)
+    vcols = _postings_cols(old_postings, id_col)  # carries pos on positional indexes
+    new_postings = _postings_from(
+        base, id_col, n_buckets, positions="pos" in vcols
+    ).localCheckpoint()
     delta_ids = base.select(id_col)
 
-    postings_path = f"{path}/postings"
-    old_keys = spark.read.parquet(postings_path).select(id_col, "bucket")
+    old_keys = old_postings.select(id_col, "bucket")
     victims = old_keys.join(F.broadcast(delta_ids), id_col, "left_semi")
     affected = [
         r["bucket"]
@@ -186,10 +217,10 @@ def upsert_text_index(
         spark.read.parquet(postings_path)
         .where(F.col("bucket").isin(affected))
         .join(F.broadcast(delta_ids), id_col, "left_anti")
-        .select("term", id_col, "tf", "bucket")
+        .select(*vcols, "bucket")
     )
     merged = keep.unionByName(
-        new_postings.select("term", id_col, "tf", "bucket")
+        new_postings.select(*vcols, "bucket")
     ).localCheckpoint()
     base_empty = old_keys.isEmpty()  # delete-all left a 0-row sentinel layout
     if base_empty:
@@ -489,7 +520,9 @@ def delete_from_text_index(
     index_emptied = _srow["n_docs"] == 0
 
     postings_path = f"{path}/postings"
-    old_keys = spark.read.parquet(postings_path).select(id_col, "bucket")
+    old_postings = spark.read.parquet(postings_path)
+    vcols = _postings_cols(old_postings, id_col)  # carries pos on positional indexes
+    old_keys = old_postings.select(id_col, "bucket")
     victims = old_keys.join(F.broadcast(ids), id_col, "left_semi")
     affected = [r["bucket"] for r in victims.select("bucket").distinct().collect()]
     if affected:
@@ -497,7 +530,7 @@ def delete_from_text_index(
             spark.read.parquet(postings_path)
             .where(F.col("bucket").isin(affected))
             .join(F.broadcast(ids), id_col, "left_anti")
-            .select("term", id_col, "tf", "bucket")
+            .select(*vcols, "bucket")
             .localCheckpoint()
         )
         present = [r["bucket"] for r in keep.select("bucket").distinct().collect()]
@@ -547,3 +580,112 @@ def delete_from_text_index(
 
     stats.write.mode("overwrite").parquet(f"{path}/stats")
     return int(n_removed)
+
+
+def query_phrase_index(
+    spark: SparkSession,
+    path: str,
+    phrase,
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact-phrase top-k served FROM a positional index (built with
+    ``build_text_index(positions=True)``) — the Lucene PhraseQuery
+    execution: read only the phrase terms' bucket partitions, intersect
+    the per-doc position lists (``tf = |∩_i (P_i − i)|``, identical to
+    counting slice-equality starts), and rank with the same
+    BM25-virtual-term formula as the scan-time ``phrase_topk`` — results
+    are bit-identical to it (test-pinned).
+
+    Scale: per-query cost is |postings of the phrase's terms| (static
+    bucket PartitionFilter + pushed ``term IN``), NOT the corpus — the
+    whole point of a positional index.  The intersection is one
+    map-side-combinable groupBy over those rows; df/stats are 1-row
+    broadcasts.  Works on segmented (LSM) indexes too: the positional
+    rows ride the same last-writer-wins resolution.
+    """
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    terms = [t.lower() for t in terms]
+    if not terms:
+        raise ValueError("query_phrase_index needs a non-empty phrase")
+    uniq = sorted(set(terms))
+    buckets = sorted({_py_bucket(t, n_buckets) for t in uniq})
+    stats = spark.read.parquet(f"{path}/stats")
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        alive_docs,
+        list_segments,
+        live_postings,
+    )
+
+    segs = list_segments(spark, path)
+    if segs:
+        postings = live_postings(
+            spark, path, segs, id_col=id_col, buckets=buckets, terms=uniq
+        )
+        doclens = alive_docs(spark, path, segs, id_col).select(id_col, "dl")
+    else:
+        postings = (
+            spark.read.parquet(f"{path}/postings")
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+        )
+        doclens = spark.read.parquet(f"{path}/doclens").select(id_col, "dl")
+    if "pos" not in postings.columns:
+        raise ValueError(
+            "query_phrase_index needs a POSITIONAL index: rebuild with "
+            "build_text_index(..., positions=True)"
+        )
+    g = postings.groupBy(id_col).agg(
+        *[
+            F.first(F.when(F.col("term") == t, F.col("pos")), ignorenulls=True).alias(
+                f"_p{i}"
+            )
+            for i, t in enumerate(terms)
+        ]
+    )
+    # NB the shift lambda must be SINGLE-arg: F.transform treats a 2-arg
+    # lambda as (element, index) and would bind the array index over a
+    # default-arg offset (the F.filter-arity pitfall)
+    def _shift(off: int):
+        return lambda x: x - off
+
+    starts = F.col("_p0")
+    for i in range(1, len(terms)):
+        starts = F.array_intersect(
+            starts, F.transform(F.col(f"_p{i}"), _shift(i))
+        )
+    have_all = F.lit(True)
+    for i in range(len(terms)):
+        have_all = have_all & F.col(f"_p{i}").isNotNull()
+    cand = g.select(
+        F.col(id_col),
+        F.when(have_all, F.size(starts)).otherwise(F.lit(0)).cast("bigint").alias(
+            "phrase_tf"
+        ),
+    ).where(F.col("phrase_tf") > 0)
+    dfr = cand.agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        cand.join(doclens, id_col)
+        .crossJoin(F.broadcast(dfr))
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
+    )
+    norm = F.when(
+        F.col("avgdl") > 0, F.lit(b) * F.col("dl") / F.col("avgdl")
+    ).otherwise(F.lit(0.0))
+    tf = F.col("phrase_tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    score = (idf * tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + norm)
+    )
+    return (
+        scored.select(F.col(id_col), "phrase_tf", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

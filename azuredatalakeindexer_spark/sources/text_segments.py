@@ -183,26 +183,32 @@ def live_postings(
     buckets: list[int] | None = None,
     terms: list[str] | None = None,
 ) -> DataFrame:
-    """``(term, id_col, tf)`` of live postings across base + segments,
-    optionally bucket-pruned (static partition filter in EVERY segment) and
-    term-filtered.  Stale postings of replaced docs drop out via the
-    ``(doc_id, seg)`` equi-join against :func:`alive_docs`."""
+    """``(term, id_col, tf[, pos])`` of live postings across base +
+    segments, optionally bucket-pruned (static partition filter in EVERY
+    segment) and term-filtered.  Stale postings of replaced docs drop out
+    via the ``(doc_id, seg)`` equi-join against :func:`alive_docs`.
+    Positional indexes keep their ``pos`` lists through the resolution
+    (and therefore through compaction)."""
+    from azuredatalakeindexer_spark.sources.text_index import _postings_cols
+
+    base_postings = spark.read.parquet(f"{path}/postings")
+    vcols = _postings_cols(base_postings, id_col)
+    empty_schema = f"term string, {id_col} long, tf bigint" + (
+        ", pos array<int>" if "pos" in vcols else ""
+    ) + ", bucket int"
+
     def slice_(df: DataFrame, seg: int) -> DataFrame:
         if buckets is not None:
             df = df.where(F.col("bucket").isin(buckets))
         if terms is not None:
             df = df.where(F.col("term").isin(terms))
-        return df.select("term", id_col, "tf").withColumn("seg", F.lit(seg))
+        return df.select(*vcols).withColumn("seg", F.lit(seg))
 
-    parts = [slice_(spark.read.parquet(f"{path}/postings"), BASE_SEG)]
+    parts = [slice_(base_postings, BASE_SEG)]
     for s in segs:
         parts.append(
             slice_(
-                _read_or_empty(
-                    spark,
-                    f"{_seg_dir(path, s)}/postings",
-                    f"term string, {id_col} long, tf bigint, bucket int",
-                ),
+                _read_or_empty(spark, f"{_seg_dir(path, s)}/postings", empty_schema),
                 s,
             )
         )
@@ -210,7 +216,7 @@ def live_postings(
     for p in parts[1:]:
         allp = allp.unionByName(p)
     alive = alive_docs(spark, path, segs, id_col).select(id_col, "seg")
-    return allp.join(alive, [id_col, "seg"]).select("term", id_col, "tf")
+    return allp.join(alive, [id_col, "seg"]).select(*vcols)
 
 
 def live_query_slice(
@@ -365,12 +371,12 @@ def upsert_text_index_segmented(
     )
 
     seg_dir = _seg_dir(path, new_seg)
-    new_postings = (
-        base.select(F.col(id_col), F.explode("_toks").alias("term"))
-        .groupBy("term", id_col)
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets)))
-    )
+    from azuredatalakeindexer_spark.sources.text_index import _postings_from
+
+    # a positional base gets positional segments (pos rides through the
+    # LWW resolution and compaction unchanged)
+    has_pos = "pos" in spark.read.parquet(f"{path}/postings").columns
+    new_postings = _postings_from(base, id_col, n_buckets, positions=has_pos)
     new_postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{seg_dir}/postings")

@@ -52,6 +52,7 @@ SKIP = {
     "text_index_upsert_topk",
     "text_index_delete_topk",
     "text_index_lsm_topk",
+    "text_index_phrase_topk",
     "saved_hybrid_search",
     "ann_upsert_topk",
     "ann_delete_topk",

@@ -241,3 +241,65 @@ def test_segmented_query_prunes_buckets_in_every_segment(spark, tmp_path):
     assert len(postings_scans) >= 3, plan  # base + 2 segments at least once
     for ln in postings_scans:
         assert re.search(r"PartitionFilters: \[[^\]]*bucket#\d+L? (?:=|IN)", ln), ln
+
+
+def test_positional_index_phrase_parity_through_full_lifecycle(spark, tmp_path):
+    """A positional index (positions=True) serves exact-phrase queries
+    bit-identically to the scan-time phrase_topk over the logical corpus,
+    through EVERY maintenance path: in-place upsert, LSM segments
+    (upsert + tombstone delete), and compaction — positions ride the LWW
+    resolution and the compaction rewrite unchanged."""
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.operators.search import phrase_topk
+    from azuredatalakeindexer_spark.sources.text_index import query_phrase_index
+
+    docs = _docs(spark)
+    base = docs.where(F.col("doc_id") >= 10)
+    path = str(tmp_path / "tip")
+    build_text_index(base, path, n_buckets=16, positions=True)
+
+    def idx_rows():
+        return [tuple(r) for r in
+                query_phrase_index(spark, path, "merge stream", k=15, n_buckets=16).collect()]
+
+    def scan_rows(logical):
+        return [tuple(r) for r in phrase_topk(logical, "merge stream", k=15).collect()]
+
+    assert idx_rows() == scan_rows(base)
+
+    # in-place upsert keeps positions
+    d1 = docs.where(F.col("doc_id") < 5).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" merge stream")).alias("text"))
+    upsert_text_index(spark, path, d1, n_buckets=16)
+    logical = base.unionByName(d1)
+    assert idx_rows() == scan_rows(logical)
+
+    # LSM segment upsert + tombstone delete keep positions
+    d2 = docs.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
+        "doc_id", F.lit("stream merge stream").alias("text"))
+    upsert_text_index_segmented(spark, path, d2, n_buckets=16)
+    dead = logical.select("doc_id").where(F.col("doc_id") % 9 == 0)
+    delete_from_text_index_segmented(spark, path, dead)
+    logical = (logical.unionByName(d2)
+               .join(dead, "doc_id", "left_anti"))
+    assert idx_rows() == scan_rows(logical)
+
+    # compaction preserves the pos column and the results
+    compact_text_index(spark, path, n_buckets=16)
+    assert "pos" in spark.read.parquet(f"{path}/postings").columns
+    assert idx_rows() == scan_rows(logical)
+    # and the plain BM25 query is oblivious to the extra column
+    got = _rows(query_text_index(spark, path, TERMS, k=15, n_buckets=16))
+    assert got == _rows(bm25_topk(logical, TERMS, k=15))
+
+
+def test_query_phrase_index_requires_positions(spark, tmp_path):
+    import pytest as _pytest
+
+    from azuredatalakeindexer_spark.sources.text_index import query_phrase_index
+
+    path = str(tmp_path / "ti")
+    build_text_index(_docs(spark).limit(20), path, n_buckets=16)  # no positions
+    with _pytest.raises(ValueError, match="POSITIONAL"):
+        query_phrase_index(spark, path, "merge stream", n_buckets=16)
