@@ -378,6 +378,7 @@ def run_stream_text_index(
     max_files_per_trigger: int = 1,
     segmented: bool = False,
     compact_every: int | None = None,
+    positions: bool = False,
 ) -> None:
     """Continuously maintain the inverted index from a document arrival
     stream — the reference's whole architecture (watch lake → upsert
@@ -415,7 +416,12 @@ def run_stream_text_index(
         # would take the build path, keeping only the last batch
         if not hadoop_path_exists(batch.sparkSession, f"{index_dir}/stats"):
             build_text_index(
-                batch, index_dir, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+                batch,
+                index_dir,
+                text_col=text_col,
+                id_col=id_col,
+                n_buckets=n_buckets,
+                positions=positions,
             )
         elif segmented:
             from azuredatalakeindexer_spark.sources.text_segments import (

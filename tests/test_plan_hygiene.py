@@ -4,7 +4,7 @@ BroadcastNestedLoopJoin is allowed only where it is the documented design
 
 This is the standing guarantee behind SCALE.md: candidate generation and
 joins are always equi-keyed at any scale; a regression that sneaks an
-all-pairs plan into any of the ~87 registered queries fails here.
+all-pairs plan into any of the ~120 registered queries fails here.
 """
 
 from __future__ import annotations

@@ -303,3 +303,55 @@ def test_query_phrase_index_requires_positions(spark, tmp_path):
     build_text_index(_docs(spark).limit(20), path, n_buckets=16)  # no positions
     with _pytest.raises(ValueError, match="POSITIONAL"):
         query_phrase_index(spark, path, "merge stream", n_buckets=16)
+
+
+def test_positional_stream_three_term_phrase_and_deep_segment_stack(spark, tmp_path):
+    """(a) A POSITIONAL index maintained by the segmented STREAM drain
+    serves a 3-term phrase (two chained position-shift intersections)
+    bit-identically to the scan-time operator; (b) a deep stack of 8 LSM
+    segments resolves LWW correctly and compaction folds all of them."""
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.operators.search import phrase_topk
+    from azuredatalakeindexer_spark.sources.text_index import (
+        query_phrase_index,
+        run_stream_text_index,
+    )
+
+    docs = _docs(spark)
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+    idx = str(tmp_path / "tip_stream")
+    run_stream_text_index(
+        spark, docs_dir, schema, idx, str(tmp_path / "ckpt"),
+        n_buckets=16, max_files_per_trigger=1,
+        segmented=True, positions=True,   # no compact_every: keep 3 segments
+    )
+    assert len(list_segments(spark, idx)) == 3
+    got = [tuple(r) for r in
+           query_phrase_index(spark, idx, "the merge stream", k=15, n_buckets=16).collect()]
+    exp = [tuple(r) for r in phrase_topk(docs, "the merge stream", k=15).collect()]
+    assert got == exp
+    got2 = [tuple(r) for r in
+            query_phrase_index(spark, idx, "merge stream", k=15, n_buckets=16).collect()]
+    assert got2 == [tuple(r) for r in phrase_topk(docs, "merge stream", k=15).collect()]
+
+    # deep segment stack: 8 single-doc upserts rewriting the SAME doc
+    path = str(tmp_path / "deep")
+    build_text_index(docs.limit(30), path, n_buckets=16)
+    for ver in range(8):
+        delta = spark.createDataFrame(
+            [(7, f"merge stream v{ver} " + "stream " * ver)],
+            "doc_id long, text string",
+        )
+        upsert_text_index_segmented(spark, path, delta, n_buckets=16)
+    assert len(list_segments(spark, path)) == 8
+    logical = docs.limit(30).where(F.col("doc_id") != 7).unionByName(
+        spark.createDataFrame([(7, "merge stream v7 " + "stream " * 7)],
+                              "doc_id long, text string"))
+    assert _rows(query_text_index(spark, path, TERMS, k=15, n_buckets=16)) == \
+        _rows(bm25_topk(logical, TERMS, k=15))
+    assert compact_text_index(spark, path, n_buckets=16) == 8
+    assert _rows(query_text_index(spark, path, TERMS, k=15, n_buckets=16)) == \
+        _rows(bm25_topk(logical, TERMS, k=15))
