@@ -110,27 +110,48 @@ def build_text_index(
     doclens.repartition("dbucket").write.mode("overwrite").partitionBy(
         "dbucket"
     ).parquet(f"{path}/doclens")
-    _write_stats_from(docs.sparkSession, path, doclens)
+    _write_stats_from(docs.sparkSession, path, doclens, n_buckets)
     postings = _postings_from(base, id_col, n_buckets, positions)
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{path}/postings")
 
 
-def _write_stats_from(spark: SparkSession, path: str, doclens_df: DataFrame) -> None:
-    """Write the 1-row ``stats`` relation ``(n_docs, avgdl, sum_dl)`` from
-    the given doclens relation in ONE fused agg+write job.  ``sum_dl`` is
-    the exact bigint the segmented maintenance path advances incrementally
-    (avgdl = sum_dl/n_docs is the same long-sum/count division ``avg``
-    performs, so BM25 scores stay bit-identical either way); every writer
-    keeps it current so a segmented op never re-aggregates the base.  The
-    extra column is inert to queries — they broadcast the row and select
-    ``n_docs``/``avgdl`` by name."""
+def _write_stats_from(
+    spark: SparkSession, path: str, doclens_df: DataFrame, n_buckets: int
+) -> None:
+    """Write the 1-row ``stats`` relation ``(n_docs, avgdl, sum_dl,
+    n_buckets)`` from the given doclens relation in ONE fused agg+write
+    job.  ``sum_dl`` is the exact bigint the segmented maintenance path
+    advances incrementally (avgdl = sum_dl/n_docs is the same
+    long-sum/count division ``avg`` performs, so BM25 scores stay
+    bit-identical either way); ``n_buckets`` pins the layout's bucket
+    count so every later op can refuse a mismatched argument instead of
+    silently missing buckets.  The extra columns are inert to queries —
+    they broadcast the row and select ``n_docs``/``avgdl`` by name."""
     doclens_df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _check_n_buckets(spark: SparkSession, path: str, n_buckets: int, op: str) -> None:
+    """Refuse an ``n_buckets`` argument that differs from the one the
+    index was built with: bucket lookups would silently miss partitions
+    and every result would be quietly wrong — the worst failure mode.
+    Indexes written before the pin (no ``n_buckets`` column) are accepted
+    as-is."""
+    stats = spark.read.parquet(f"{path}/stats")
+    if "n_buckets" not in stats.columns:
+        return
+    row = stats.first()
+    if row is not None and row["n_buckets"] is not None and int(row["n_buckets"]) != n_buckets:
+        raise ValueError(
+            f"{op}: index at {path} was built with n_buckets="
+            f"{int(row['n_buckets'])}, got n_buckets={n_buckets}"
+        )
 
 
 def _require_unsegmented(spark: SparkSession, path: str, op: str) -> None:
@@ -185,6 +206,7 @@ def upsert_text_index(
     )
 
     _require_unsegmented(spark, path, "upsert_text_index")
+    _check_n_buckets(spark, path, n_buckets, "upsert_text_index")
     toks = tokens(F.col(text_col))
     base = delta.select(F.col(id_col), toks.alias("_toks")).localCheckpoint()
     postings_path = f"{path}/postings"
@@ -274,7 +296,7 @@ def upsert_text_index(
                 "dbucket"
             ).parquet(doclens_path)
 
-    _write_stats_from(spark, path, spark.read.parquet(doclens_path))
+    _write_stats_from(spark, path, spark.read.parquet(doclens_path), n_buckets)
     return statuses
 
 
@@ -301,6 +323,7 @@ def query_text_index(
     if not query_terms:
         raise ValueError("query_text_index needs at least one query term")
     terms = sorted({t.lower() for t in query_terms})
+    _check_n_buckets(spark, path, n_buckets, "query_text_index")
     buckets = sorted({_py_bucket(t, n_buckets) for t in terms})
     stats = spark.read.parquet(f"{path}/stats")
     from azuredatalakeindexer_spark.sources.text_segments import (
@@ -494,6 +517,7 @@ def delete_from_text_index(
     )
 
     _require_unsegmented(spark, path, "delete_from_text_index")
+    _check_n_buckets(spark, path, n_buckets, "delete_from_text_index")
     ids = doc_ids.select(id_col).distinct().localCheckpoint()
 
     doclens_path = f"{path}/doclens"
@@ -515,8 +539,8 @@ def delete_from_text_index(
         .first()
     )
     stats = spark.createDataFrame(
-        [(_srow["n_docs"], _srow["avgdl"], int(_srow["sum_dl"]))],
-        "n_docs bigint, avgdl double, sum_dl bigint",
+        [(_srow["n_docs"], _srow["avgdl"], int(_srow["sum_dl"]), n_buckets)],
+        "n_docs bigint, avgdl double, sum_dl bigint, n_buckets int",
     )
     # n_docs == 0 means EVERY document was deleted: both relations end up
     # row-free, and a partitioned layout with zero data files cannot be
@@ -619,6 +643,7 @@ def query_phrase_index(
     if not terms:
         raise ValueError("query_phrase_index needs a non-empty phrase")
     uniq = sorted(set(terms))
+    _check_n_buckets(spark, path, n_buckets, "query_phrase_index")
     buckets = sorted({_py_bucket(t, n_buckets) for t in uniq})
     stats = spark.read.parquet(f"{path}/stats")
     from azuredatalakeindexer_spark.sources.text_segments import (

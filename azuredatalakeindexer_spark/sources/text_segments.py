@@ -290,14 +290,22 @@ def live_query_slice(
     return postings, alive.select(id_col, "dl")
 
 
-def _read_segstats(spark: SparkSession, path: str, id_col: str) -> tuple[int, int]:
-    """(n_docs, sum_dl) — from the stats relation's exact bigint column
-    (every writer maintains it), falling back to a base-doclens aggregate
-    for an index written before ``sum_dl`` existed."""
+def _read_segstats(
+    spark: SparkSession, path: str, id_col: str
+) -> tuple[int, int, int | None]:
+    """(n_docs, sum_dl, n_buckets-pin) — from the stats relation's exact
+    bigint columns (every writer maintains them), falling back to a
+    base-doclens aggregate for an index written before ``sum_dl``
+    existed (pin None in that case)."""
     stats = spark.read.parquet(f"{path}/stats")
     if "sum_dl" in stats.columns:
         r = stats.first()
-        return int(r["n_docs"]), int(r["sum_dl"])
+        pin = (
+            int(r["n_buckets"])
+            if "n_buckets" in stats.columns and r["n_buckets"] is not None
+            else None
+        )
+        return int(r["n_docs"]), int(r["sum_dl"]), pin
     r = (
         spark.read.parquet(f"{path}/doclens")
         .agg(
@@ -306,16 +314,20 @@ def _read_segstats(spark: SparkSession, path: str, id_col: str) -> tuple[int, in
         )
         .first()
     )
-    return int(r["n"]), int(r["s"])
+    return int(r["n"]), int(r["s"]), None
 
 
-def _write_stats(spark: SparkSession, path: str, n_docs: int, sum_dl: int) -> None:
+def _write_stats(
+    spark: SparkSession, path: str, n_docs: int, sum_dl: int, n_buckets: int | None
+) -> None:
     """Advance the 1-row stats relation from the exact bigint running
-    values.  avgdl = sum_dl/n_docs is the same long-sum/count division
-    ``avg(dl)`` performs, so scores stay bit-identical to a fresh build."""
+    values, carrying the ``n_buckets`` layout pin forward.  avgdl =
+    sum_dl/n_docs is the same long-sum/count division ``avg(dl)``
+    performs, so scores stay bit-identical to a fresh build."""
     avgdl = (sum_dl / n_docs) if n_docs else None
     spark.createDataFrame(
-        [(n_docs, avgdl, sum_dl)], "n_docs bigint, avgdl double, sum_dl bigint"
+        [(n_docs, avgdl, sum_dl, n_buckets)],
+        "n_docs bigint, avgdl double, sum_dl bigint, n_buckets int",
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -341,6 +353,9 @@ def upsert_text_index_segmented(
     scale an upsert is pure scheduling overhead, and at 100 TB the data
     cost is O(batch) either way.
     """
+    from azuredatalakeindexer_spark.sources.text_index import _check_n_buckets
+
+    _check_n_buckets(spark, path, n_buckets, "upsert_text_index_segmented")
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
@@ -385,7 +400,7 @@ def upsert_text_index_segmented(
     ).partitionBy("dbucket").parquet(f"{seg_dir}/doclens")
 
     # exact stats delta: replaced docs swap their dl, created docs add one
-    n_docs, sum_dl = _read_segstats(spark, path, id_col)
+    n_docs, sum_dl, _pin = _read_segstats(spark, path, id_col)
     agg = enriched.agg(
         F.coalesce(F.sum(F.when(F.col("_old_dl").isNull(), 1)), F.lit(0)).alias("created"),
         F.coalesce(F.sum("dl"), F.lit(0)).alias("added_dl"),
@@ -396,6 +411,7 @@ def upsert_text_index_segmented(
         path,
         n_docs + int(agg["created"]),
         sum_dl + int(agg["added_dl"]) - int(agg["removed_dl"]),
+        _pin if _pin is not None else n_buckets,
     )
     return statuses
 
@@ -422,8 +438,8 @@ def delete_from_text_index_segmented(
     n_removed = victims.count()
     stats = victims.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).first()
     ids.write.mode("overwrite").parquet(f"{_seg_dir(path, new_seg)}/tombstones")
-    n_docs, sum_dl = _read_segstats(spark, path, id_col)
-    _write_stats(spark, path, n_docs - n_removed, sum_dl - int(stats["s"]))
+    n_docs, sum_dl, _pin = _read_segstats(spark, path, id_col)
+    _write_stats(spark, path, n_docs - n_removed, sum_dl - int(stats["s"]), _pin)
     return int(n_removed)
 
 
@@ -446,6 +462,9 @@ def compact_text_index(
     the resolution (same pattern as the in-place upsert; at 100 TB stage
     through a scratch prefix + rename instead).
     """
+    from azuredatalakeindexer_spark.sources.text_index import _check_n_buckets
+
+    _check_n_buckets(spark, path, n_buckets, "compact_text_index")
     segs = list_segments(spark, path)
     if not segs:
         return 0
@@ -471,7 +490,7 @@ def compact_text_index(
     ).parquet(f"{path}/doclens")
     from azuredatalakeindexer_spark.sources.text_index import _write_stats_from
 
-    _write_stats_from(spark, path, lens)
+    _write_stats_from(spark, path, lens, n_buckets)
     fs, _ = _hadoop_fs(spark, path)
     p = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/segments")
     if fs.exists(p):

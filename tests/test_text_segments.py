@@ -355,3 +355,28 @@ def test_positional_stream_three_term_phrase_and_deep_segment_stack(spark, tmp_p
     assert compact_text_index(spark, path, n_buckets=16) == 8
     assert _rows(query_text_index(spark, path, TERMS, k=15, n_buckets=16)) == \
         _rows(bm25_topk(logical, TERMS, k=15))
+
+
+def test_n_buckets_mismatch_is_refused(spark, tmp_path):
+    """Ops called with a different n_buckets than the index was built with
+    would silently miss bucket partitions — they must refuse instead."""
+    import pytest as _pytest
+
+    from azuredatalakeindexer_spark.sources.text_index import query_phrase_index
+
+    docs = _docs(spark).limit(30)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    for fn in (
+        lambda: query_text_index(spark, path, ["merge"], n_buckets=32),
+        lambda: upsert_text_index(spark, path, docs, n_buckets=32),
+        lambda: delete_from_text_index(
+            spark, path, docs.select("doc_id"), n_buckets=32
+        ),
+        lambda: upsert_text_index_segmented(spark, path, docs, n_buckets=32),
+        lambda: compact_text_index(spark, path, n_buckets=32),
+    ):
+        with _pytest.raises(ValueError, match="n_buckets=16"):
+            fn()
+    # matching value still works
+    assert query_text_index(spark, path, ["merge"], k=5, n_buckets=16).count() >= 0
