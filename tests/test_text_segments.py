@@ -380,3 +380,58 @@ def test_n_buckets_mismatch_is_refused(spark, tmp_path):
             fn()
     # matching value still works
     assert query_text_index(spark, path, ["merge"], k=5, n_buckets=16).count() >= 0
+
+
+def test_randomized_lsm_op_sequence_matches_model(spark, tmp_path):
+    """Seeded randomized sequence of segmented upserts/deletes (with
+    overlapping ids, re-adds, and empty-batch edge draws) must keep the
+    index equal to a driver-side dict model at every step — queries equal
+    the scan-time bm25 over the model corpus, n_docs tracks the model
+    size exactly."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(0xC0FFEE)
+    words = ["merge", "stream", "query", "scan", "batch", "join", "row"]
+
+    def text_for(doc, ver):
+        n = rng.randint(1, 8)
+        return " ".join(rng.choice(words) for _ in range(n)) + f" v{ver}"
+
+    model: dict[int, str] = {i: text_for(i, 0) for i in range(20)}
+    path = str(tmp_path / "ti")
+    build_text_index(
+        spark.createDataFrame(list(model.items()), "doc_id long, text string"),
+        path, n_buckets=16,
+    )
+
+    def check():
+        logical = spark.createDataFrame(
+            list(model.items()) or [(None, None)], "doc_id long, text string"
+        ).where(F.col("doc_id").isNotNull())
+        got = _rows(query_text_index(spark, path, TERMS, k=25, n_buckets=16))
+        assert got == _rows(bm25_topk(logical, TERMS, k=25))
+        assert spark.read.parquet(f"{path}/stats").first()["n_docs"] == len(model)
+
+    for step in range(6):
+        if rng.random() < 0.6:
+            ids = rng.sample(range(30), rng.randint(1, 5))
+            batch = [(i, text_for(i, step + 1)) for i in ids]
+            upsert_text_index_segmented(
+                spark, path,
+                spark.createDataFrame(batch, "doc_id long, text string"),
+                n_buckets=16,
+            )
+            model.update(dict(batch))
+        else:
+            ids = rng.sample(range(30), rng.randint(1, 6))
+            removed = delete_from_text_index_segmented(
+                spark, path, spark.createDataFrame([(i,) for i in ids], "doc_id long")
+            )
+            assert removed == len([i for i in ids if i in model])
+            for i in ids:
+                model.pop(i, None)
+        check()
+    compact_text_index(spark, path, n_buckets=16)
+    check()
