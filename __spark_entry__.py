@@ -1367,6 +1367,25 @@ def q_search_suggest(spark, sf):
     return suggest_terms(_docs(spark, sf), "s", k=10)
 
 
+def q_text_index_suggest(spark, sf):
+    """Autocomplete served FROM the saved inverted index
+    (`sources/text_index.py::suggest_from_index`): candidates from the
+    postings' term column with the startswith predicate pushed to the
+    scans, df = live-postings count — never touches corpus text, equals
+    the scan-time suggester (same oracle)."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        suggest_from_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_txtsug_")
+    try:
+        build_text_index(_docs(spark, sf), root, n_buckets=64)
+        return _persisted(spark, suggest_from_index(spark, root, "s", k=10))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_ann_filtered_topk(spark, sf):
     """Filtered vector search (pre-filter semantics): IVF ANN over the
     odd-label half of the corpus — every query gets k matches FROM the
@@ -2404,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": q_search_phrase,
         "search_near": q_search_near,
         "text_index_phrase_topk": q_text_index_phrase_topk,
+        "text_index_suggest": q_text_index_suggest,
         # -- oldest driver evidence first (r02/r03 cohort, VERDICT r6
         # -- next-#4) ---------------------------------------------------
         "oversize_filter": q_oversize_filter,
@@ -2446,11 +2466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
         "events_range_join": q_events_range_join,
         "classifier_scores": q_classifier_scores,
-        "ann_index_topk": q_ann_index_topk,
         # ---------------- 50-entry window boundary ---------------------
-        # -- r04/r05-evidence remainder (semantic_dedup, domain_quality_
-        # -- gate, and the search_bm25/facets/hybrid_rrf trio slid out as
-        # -- r7 additions took their slots; they lead r08) ---------------
+        # -- r04/r05-evidence remainder (ann_index_topk, semantic_dedup,
+        # -- domain_quality_gate, and the search_bm25/facets/hybrid_rrf
+        # -- trio slid out as r7 additions took their slots; they
+        # -- lead r08) ---------------------------------------------------
+        "ann_index_topk": q_ann_index_topk,
         "semantic_dedup": q_semantic_dedup,
         "domain_quality_gate": q_domain_quality_gate,
         "search_bm25": q_search_bm25,
@@ -3792,6 +3813,8 @@ def oracle_sql() -> dict[str, str]:
       SELECT term, count(DISTINCT doc_id) AS df
       FROM m GROUP BY term ORDER BY df DESC, term LIMIT 10
     """
+    # index-served autocomplete equals the scan-time suggester
+    sqls["text_index_suggest"] = sqls["search_suggest"]
 
     sqls["search_highlight"] = """
       SELECT doc_id,

@@ -720,3 +720,55 @@ def query_phrase_index(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def suggest_from_index(
+    spark: SparkSession,
+    path: str,
+    prefix: str,
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Autocomplete suggestions served FROM the saved inverted index —
+    identical output contract to the scan-time
+    ``operators.search.suggest_terms`` (``(term, df)`` ranked df-desc,
+    term-asc ties; test-pinned equal), but the corpus text is never
+    touched: candidates come from the postings' ``term`` column with the
+    ``startswith`` predicate PUSHED to the parquet scans (string min/max
+    row-group stats prune non-matching groups), and df is the per-term
+    live-postings count.
+
+    Works on segmented indexes (terms of every segment considered; df
+    counts only LIVE docs via the LWW resolution).  Prefix terms hash to
+    arbitrary buckets, so the scan is vocabulary-wide but column-pruned to
+    (term, id) — at 100 TB serve interactive autocomplete from a cached
+    materialization of this relation (one line: ``.cache()`` or a saved
+    ``terms`` rollup refreshed on compaction), the same trade every search
+    service makes.
+    """
+    if not prefix:
+        raise ValueError("suggest_from_index needs a non-empty prefix")
+    needle = prefix.lower()
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        list_segments,
+        live_postings,
+    )
+
+    segs = list_segments(spark, path)
+    if segs:
+        postings = live_postings(spark, path, segs, id_col=id_col).where(
+            F.col("term").startswith(needle)
+        )
+    else:
+        postings = (
+            spark.read.parquet(f"{path}/postings")
+            .where(F.col("term").startswith(needle))
+            .select("term", id_col)
+        )
+    return (
+        postings.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(k)
+    )

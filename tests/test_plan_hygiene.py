@@ -53,6 +53,7 @@ SKIP = {
     "text_index_delete_topk",
     "text_index_lsm_topk",
     "text_index_phrase_topk",
+    "text_index_suggest",
     "saved_hybrid_search",
     "ann_upsert_topk",
     "ann_delete_topk",

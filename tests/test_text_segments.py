@@ -435,3 +435,38 @@ def test_randomized_lsm_op_sequence_matches_model(spark, tmp_path):
         check()
     compact_text_index(spark, path, n_buckets=16)
     check()
+
+
+def test_suggest_from_index_matches_scan_time_suggester(spark, tmp_path):
+    """Index-served autocomplete equals the scan-time suggest_terms on the
+    logical corpus — base-only AND with live LSM segments (deleted docs
+    must not count toward df)."""
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.operators.search import suggest_terms
+    from azuredatalakeindexer_spark.sources.text_index import suggest_from_index
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+
+    def rows(df):
+        return [(r["term"], r["df"]) for r in df.collect()]
+
+    assert rows(suggest_from_index(spark, path, "s", k=8)) == rows(
+        suggest_terms(docs, "s", k=8)
+    )
+    # mutate via segments: replace some docs, delete others
+    delta = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit("stream scan scanner").alias("text"))
+    upsert_text_index_segmented(spark, path, delta, n_buckets=16)
+    dead = docs.select("doc_id").where(F.col("doc_id") % 7 == 0)
+    delete_from_text_index_segmented(spark, path, dead)
+    logical = (docs.join(delta.select("doc_id"), "doc_id", "left_anti")
+               .unionByName(delta).join(dead, "doc_id", "left_anti"))
+    assert rows(suggest_from_index(spark, path, "s", k=8)) == rows(
+        suggest_terms(logical, "s", k=8)
+    )
+    assert rows(suggest_from_index(spark, path, "sca", k=5)) == rows(
+        suggest_terms(logical, "sca", k=5)
+    )
