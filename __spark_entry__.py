@@ -1527,6 +1527,19 @@ def q_text_index_phrase_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_search_near_unordered(spark, sf):
+    """Unordered proximity (`near_topk(ordered=False)` — Lucene's
+    unordered SpanNearQuery): 'merge' and 'stream' co-occurring within
+    slop=2 in EITHER direction; near_tf counts position pairs with
+    0 < |p1-p2| <= slop+1.  Oracle replays the absolute-distance pair
+    count."""
+    from azuredatalakeindexer_spark.operators.search import near_topk
+
+    return near_topk(
+        _docs(spark, sf), "merge", "stream", slop=2, ordered=False, k=20
+    )
+
+
 def q_ann_delete_topk(spark, sf):
     """Deleted-vector handling for the saved IVF index (J2 applied to the
     vector index — completes the MergeOrUpload/Delete pair): build on the
@@ -2422,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_text_index_lsm": q_stream_text_index_lsm,
         "search_phrase": q_search_phrase,
         "search_near": q_search_near,
+        "search_near_unordered": q_search_near_unordered,
         "text_index_phrase_topk": q_text_index_phrase_topk,
         "text_index_suggest": q_text_index_suggest,
         # -- oldest driver evidence first (r02/r03 cohort, VERDICT r6
@@ -2465,12 +2479,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
         "events_range_join": q_events_range_join,
-        "classifier_scores": q_classifier_scores,
         # ---------------- 50-entry window boundary ---------------------
-        # -- r04/r05-evidence remainder (ann_index_topk, semantic_dedup,
-        # -- domain_quality_gate, and the search_bm25/facets/hybrid_rrf
-        # -- trio slid out as r7 additions took their slots; they
-        # -- lead r08) ---------------------------------------------------
+        # (classifier_scores also slid below; it leads r08 with the rest)
+        # -- r04/r05-evidence remainder (classifier_scores, ann_index_
+        # -- topk, semantic_dedup, domain_quality_gate, and the search_
+        # -- bm25/facets/hybrid_rrf trio slid out as r7 additions took
+        # -- their slots; they lead r08) ---------------------------------
+        "classifier_scores": q_classifier_scores,
         "ann_index_topk": q_ann_index_topk,
         "semantic_dedup": q_semantic_dedup,
         "domain_quality_gate": q_domain_quality_gate,
@@ -3570,6 +3585,33 @@ def oracle_sql() -> dict[str, str]:
                           p -> CASE WHEN words[p] = 'stream' THEN p END),
                           x -> x IS NOT NULL),
               p2 -> p2 > p1 AND p2 <= p1 + 3)))), 0) AS near_tf
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)),
+      nstats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN near_tf > 0 THEN 1 ELSE 0 END) AS df
+        FROM per)
+      SELECT doc_id, near_tf, bm25 FROM (
+        SELECT doc_id, near_tf::BIGINT AS near_tf,
+               round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * near_tf * 2.2
+                     / (near_tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        FROM per, nstats) t
+      WHERE bm25 > 0
+      ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+    # unordered proximity: absolute-distance pair count, either direction
+    sqls["search_near_unordered"] = f"""
+      WITH per AS (
+        SELECT doc_id, len(words) AS dl,
+          coalesce(list_sum(list_transform(
+            list_filter(list_transform(generate_series(1, len(words)),
+                        p -> CASE WHEN words[p] = 'merge' THEN p END),
+                        x -> x IS NOT NULL),
+            p1 -> len(list_filter(
+              list_filter(list_transform(generate_series(1, len(words)),
+                          p -> CASE WHEN words[p] = 'stream' THEN p END),
+                          x -> x IS NOT NULL),
+              p2 -> p2 != p1 AND abs(p2 - p1) <= 3)))), 0) AS near_tf
         FROM (SELECT doc_id, {_WORDS} AS words FROM documents)),
       nstats AS (
         SELECT count(*) AS n, avg(dl) AS avgdl,

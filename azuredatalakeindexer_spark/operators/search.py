@@ -596,17 +596,21 @@ def near_topk(
     term2: str,
     *,
     slop: int = 2,
+    ordered: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 20,
 ) -> DataFrame:
-    """Ordered proximity search (Lucene sloppy ``PhraseQuery`` / NEAR):
-    rank documents where ``term1`` is followed by ``term2`` within at most
-    ``slop`` intervening tokens.  ``near_tf`` counts ordered position
-    pairs ``(p1, p2)`` with ``p1 < p2 <= p1 + slop + 1`` (``slop=0``
-    degenerates to the 2-term exact phrase); ranking is the same
+    """Proximity search (Lucene sloppy ``PhraseQuery`` / NEAR): rank
+    documents where ``term1`` and ``term2`` co-occur within at most
+    ``slop`` intervening tokens.  ``ordered=True`` (default) requires
+    ``term2`` AFTER ``term1`` — ``near_tf`` counts ordered position pairs
+    ``(p1, p2)`` with ``p1 < p2 <= p1 + slop + 1`` (``slop=0``
+    degenerates to the 2-term exact phrase); ``ordered=False`` counts
+    co-occurrence in EITHER direction (``0 < |p1 - p2| <= slop + 1`` —
+    Lucene's unordered SpanNearQuery).  Ranking is the same
     BM25-with-virtual-term treatment as :func:`phrase_topk`.
 
     Scale shape: per-term position lists come from ONE indexed
@@ -626,12 +630,26 @@ def near_topk(
         return F.filter(idx, lambda p: p.isNotNull())
 
     p1s, p2s = positions(t1), positions(t2)
-    pair_count = F.aggregate(
-        p1s,
-        F.lit(0).cast("bigint"),
-        lambda acc, p1: acc
-        + F.size(F.filter(p2s, lambda p2: (p2 > p1) & (p2 <= p1 + slop + 1))),
-    )
+    if ordered:
+        pair_count = F.aggregate(
+            p1s,
+            F.lit(0).cast("bigint"),
+            lambda acc, p1: acc
+            + F.size(F.filter(p2s, lambda p2: (p2 > p1) & (p2 <= p1 + slop + 1))),
+        )
+    else:
+        pair_count = F.aggregate(
+            p1s,
+            F.lit(0).cast("bigint"),
+            lambda acc, p1: acc
+            + F.size(
+                F.filter(
+                    p2s,
+                    lambda p2: (p2 != p1)
+                    & (F.abs(p2 - p1) <= slop + 1),
+                )
+            ),
+        )
     per = docs.select(
         F.col(id_col),
         F.size(toks).alias("_dl"),

@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "search_bm25",         # crossJoin of the SINGLE-ROW corpus-stats frame
     "search_phrase",       # same SINGLE-ROW corpus-stats frame
     "search_near",         # same SINGLE-ROW corpus-stats frame
+    "search_near_unordered",  # same SINGLE-ROW corpus-stats frame
     "search_hybrid_rrf",   # same bm25 stats frame + SINGLE-ROW query vector
     "search_profile",      # same SINGLE-ROW per-field corpus-stats frame
     "search_simple_query", # same bm25 SINGLE-ROW stats frame

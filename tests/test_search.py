@@ -343,3 +343,26 @@ def test_near_topk_ordering_slop_and_phrase_degeneration(spark):
     ph = {r["doc_id"]: r["phrase_tf"] for r in
           phrase_topk(docs, "big data", k=10).collect()}
     assert s0 == ph == {4: 2}
+
+
+def test_near_topk_unordered_counts_both_directions(spark):
+    """ordered=False counts co-occurrence in either direction with the
+    same window; supersets the ordered counts."""
+    from azuredatalakeindexer_spark.operators.search import near_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big x data"),    # forward, 1 gap
+            (2, "data x big"),    # reverse, 1 gap
+            (3, "data big"),      # reverse, adjacent
+            (4, "big data big"),  # both directions around data
+        ],
+        "doc_id long, text string",
+    )
+    uo = {r["doc_id"]: r["near_tf"] for r in
+          near_topk(docs, "big", "data", slop=1, ordered=False, k=10).collect()}
+    assert uo == {1: 1, 2: 1, 3: 1, 4: 2}
+    o = {r["doc_id"]: r["near_tf"] for r in
+         near_topk(docs, "big", "data", slop=1, ordered=True, k=10).collect()}
+    assert o == {1: 1, 4: 1}
+    assert all(uo.get(d, 0) >= tf for d, tf in o.items())
