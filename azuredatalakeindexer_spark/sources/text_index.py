@@ -70,6 +70,22 @@ def _postings_from(base: DataFrame, id_col: str, n_buckets: int, positions: bool
     )
 
 
+def _dedupe_delta(delta: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Resolve duplicate ids WITHIN one upsert batch to a single row.
+
+    A delta carrying the same id twice would otherwise double its doclens
+    row (same seg → nondeterministic LWW tie), double-count it in the
+    created/added_dl/removed_dl stats deltas, and merge both versions'
+    postings (tf summed across versions) — and the incremental stats then
+    stay wrong forever.  One batch-sized map-side-combinable aggregate;
+    ties resolve to the lexicographically greatest text (deterministic
+    across runs and engines).  Callers with a real ordering column should
+    pre-resolve last-writer-wins first (``operators.upsert.dedup_last_writer``),
+    exactly as the reference dedupes a batch before posting it.
+    """
+    return delta.groupBy(id_col).agg(F.max(text_col).alias(text_col))
+
+
 def _postings_cols(postings_df: DataFrame, id_col: str) -> list[str]:
     """The value columns of a postings relation in canonical order —
     includes ``pos`` iff the index was built positional."""
@@ -208,7 +224,11 @@ def upsert_text_index(
     _require_unsegmented(spark, path, "upsert_text_index")
     _check_n_buckets(spark, path, n_buckets, "upsert_text_index")
     toks = tokens(F.col(text_col))
-    base = delta.select(F.col(id_col), toks.alias("_toks")).localCheckpoint()
+    base = (
+        _dedupe_delta(delta, id_col, text_col)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .localCheckpoint()
+    )
     postings_path = f"{path}/postings"
     old_postings = spark.read.parquet(postings_path)
     vcols = _postings_cols(old_postings, id_col)  # carries pos on positional indexes
@@ -494,6 +514,7 @@ def delete_from_text_index(
     *,
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    broadcast_ids: bool = True,
 ) -> int:
     """Remove documents from the saved inverted index — the reference's
     deleted-blob handling (J2, `PathIndexerFunc.cs` BlobDeleted path)
@@ -509,6 +530,11 @@ def delete_from_text_index(
     Removal is counted from the doclens side (every doc has a doclens row;
     a zero-token doc has no postings).  Deleting an absent id is a no-op
     (idempotent — redelivered delete events are harmless).
+
+    ``broadcast_ids=True`` is the incremental default.  For bulk purges
+    whose id set is not driver-broadcastable (~10⁷ ids for a 1% batch of a
+    10⁹-doc corpus) pass ``False``: every victim lookup / anti-join becomes
+    a shuffled join, mirroring ``merge_upsert(broadcast_batch_keys=False)``.
     """
     from azuredatalakeindexer_spark.sources.ann_index import (
         _any_partition_dirs,
@@ -519,18 +545,19 @@ def delete_from_text_index(
     _require_unsegmented(spark, path, "delete_from_text_index")
     _check_n_buckets(spark, path, n_buckets, "delete_from_text_index")
     ids = doc_ids.select(id_col).distinct().localCheckpoint()
+    keys = F.broadcast(ids) if broadcast_ids else ids
 
     doclens_path = f"{path}/doclens"
     full_lens = spark.read.parquet(doclens_path)
     dvictims = full_lens.select(id_col, "dbucket").join(
-        F.broadcast(ids), id_col, "left_semi"
+        keys, id_col, "left_semi"
     )
     daffected = [r["dbucket"] for r in dvictims.select("dbucket").distinct().collect()]
     n_removed = dvictims.select(id_col).distinct().count()
     # stats must reflect ALL surviving docs; aggregate before the rewrite so
     # a fully-emptied doclens layout never has to be re-read
     _srow = (
-        full_lens.join(F.broadcast(ids), id_col, "left_anti")
+        full_lens.join(keys, id_col, "left_anti")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.avg("dl").alias("avgdl"),
@@ -553,13 +580,13 @@ def delete_from_text_index(
     old_postings = spark.read.parquet(postings_path)
     vcols = _postings_cols(old_postings, id_col)  # carries pos on positional indexes
     old_keys = old_postings.select(id_col, "bucket")
-    victims = old_keys.join(F.broadcast(ids), id_col, "left_semi")
+    victims = old_keys.join(keys, id_col, "left_semi")
     affected = [r["bucket"] for r in victims.select("bucket").distinct().collect()]
     if affected:
         keep = (
             spark.read.parquet(postings_path)
             .where(F.col("bucket").isin(affected))
-            .join(F.broadcast(ids), id_col, "left_anti")
+            .join(keys, id_col, "left_anti")
             .select(*vcols, "bucket")
             .localCheckpoint()
         )
@@ -592,7 +619,7 @@ def delete_from_text_index(
         dkeep = (
             spark.read.parquet(doclens_path)
             .where(F.col("dbucket").isin(daffected))
-            .join(F.broadcast(ids), id_col, "left_anti")
+            .join(keys, id_col, "left_anti")
             .select(id_col, "dl", "dbucket")
             .localCheckpoint()
         )

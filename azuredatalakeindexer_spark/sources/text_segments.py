@@ -353,14 +353,17 @@ def upsert_text_index_segmented(
     scale an upsert is pure scheduling overhead, and at 100 TB the data
     cost is O(batch) either way.
     """
-    from azuredatalakeindexer_spark.sources.text_index import _check_n_buckets
+    from azuredatalakeindexer_spark.sources.text_index import (
+        _check_n_buckets,
+        _dedupe_delta,
+    )
 
     _check_n_buckets(spark, path, n_buckets, "upsert_text_index_segmented")
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
     toks = tokens(F.col(text_col))
-    base = delta.select(
+    base = _dedupe_delta(delta, id_col, text_col).select(
         F.col(id_col),
         toks.alias("_toks"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
@@ -422,22 +425,40 @@ def delete_from_text_index_segmented(
     doc_ids: DataFrame,
     *,
     id_col: str = "doc_id",
+    broadcast_ids: bool = True,
 ) -> int:
     """Delete as a TOMBSTONE-ONLY SEGMENT: O(batch) writes.  Returns the
     number of live documents removed; deleting an absent or already-deleted
-    id is a no-op (idempotent on redelivered delete events)."""
+    id is a no-op (idempotent on redelivered delete events) and writes NO
+    segment when no live victim was found, so redeliveries never grow the
+    segment count (query cost stays flat until a real mutation lands).
+
+    ``broadcast_ids=True`` is the incremental default (a micro-batch's id
+    set is driver-broadcastable).  For bulk purges — a 1% batch of a
+    10⁹-doc corpus is ~10⁷ ids — pass ``False``: the victim lookup becomes
+    a shuffled left-semi join (both sides hash-partition on the id), the
+    same fallback ``merge_upsert(broadcast_batch_keys=False)`` provides.
+    """
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
     ids = doc_ids.select(id_col).distinct().localCheckpoint()
+    keys = F.broadcast(ids) if broadcast_ids else ids
     victims = (
         alive_docs(spark, path, segs, id_col)
-        .join(F.broadcast(ids), id_col, "left_semi")
+        .join(keys, id_col, "left_semi")
         .localCheckpoint()
     )
     n_removed = victims.count()
+    if n_removed == 0:
+        return 0
     stats = victims.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).first()
-    ids.write.mode("overwrite").parquet(f"{_seg_dir(path, new_seg)}/tombstones")
+    # tombstone only the ACTUAL victims: absent ids carry no information,
+    # and dropping them keeps redelivered mixed batches from resurrecting
+    # nothing while still shrinking the tombstone relation to live hits
+    victims.select(id_col).write.mode("overwrite").parquet(
+        f"{_seg_dir(path, new_seg)}/tombstones"
+    )
     n_docs, sum_dl, _pin = _read_segstats(spark, path, id_col)
     _write_stats(spark, path, n_docs - n_removed, sum_dl - int(stats["s"]), _pin)
     return int(n_removed)
@@ -482,12 +503,26 @@ def compact_text_index(
         )
         .localCheckpoint()
     )
-    merged.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/postings")
-    lens.repartition("dbucket").write.mode("overwrite").partitionBy(
-        "dbucket"
-    ).parquet(f"{path}/doclens")
+    # A fully-tombstoned (or all-zero-token) corpus resolves to 0-row
+    # relations, and a partitioned overwrite of a 0-row frame leaves a
+    # directory with zero data files that cannot be re-read (schema
+    # inference fails on every later query/upsert).  Mirror the in-place
+    # delete path: write the typed 0-row UNPARTITIONED sentinel instead,
+    # which upsert recognizes (isEmpty) and replaces with a static build
+    # write.  Checked per relation — postings can empty while doclens
+    # keeps rows (surviving docs all zero-token).
+    if merged.isEmpty():
+        merged.write.mode("overwrite").parquet(f"{path}/postings")
+    else:
+        merged.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{path}/postings")
+    if lens.isEmpty():
+        lens.write.mode("overwrite").parquet(f"{path}/doclens")
+    else:
+        lens.repartition("dbucket").write.mode("overwrite").partitionBy(
+            "dbucket"
+        ).parquet(f"{path}/doclens")
     from azuredatalakeindexer_spark.sources.text_index import _write_stats_from
 
     _write_stats_from(spark, path, lens, n_buckets)

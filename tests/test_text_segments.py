@@ -470,3 +470,149 @@ def test_suggest_from_index_matches_scan_time_suggester(spark, tmp_path):
     assert rows(suggest_from_index(spark, path, "sca", k=5)) == rows(
         suggest_terms(logical, "sca", k=5)
     )
+
+
+def test_duplicate_ids_in_one_delta_resolve_deterministically(spark, tmp_path):
+    """A delta carrying the same id twice must collapse to ONE version
+    (lexicographically greatest text) on BOTH maintenance paths: one
+    doclens row, exact stats, identical query answers — not doubled
+    postings / double-counted stats."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    dup = spark.createDataFrame(
+        [(2, "beta beta zeta"), (2, "alpha alpha"), (3, "beta zeta")],
+        "doc_id long, text string",
+    )
+    resolved = spark.createDataFrame(  # max(text) per id
+        [(1, "alpha beta"), (2, "beta beta zeta"), (3, "beta zeta")],
+        "doc_id long, text string",
+    )
+    for mode in ("segmented", "inplace"):
+        path = str(tmp_path / mode)
+        build_text_index(docs, path, n_buckets=16)
+        if mode == "segmented":
+            st = upsert_text_index_segmented(spark, path, dup, n_buckets=16)
+        else:
+            st = upsert_text_index(spark, path, dup, n_buckets=16)
+        # statuses deduped too: one row per distinct id
+        got = {r["doc_id"]: r["status"] for r in st.collect()}
+        assert got == {2: 200, 3: 201}
+        lens = spark.read.parquet(f"{path}/doclens")
+        if mode == "segmented":
+            from azuredatalakeindexer_spark.sources.text_segments import alive_docs
+            lens = alive_docs(spark, path, list_segments(spark, path))
+        assert lens.where(F.col("doc_id") == 2).count() == 1
+        assert _rows(
+            query_text_index(spark, path, ["beta", "zeta"], k=10, n_buckets=16)
+        ) == _rows(bm25_topk(resolved, ["beta", "zeta"], k=10))
+        stats = spark.read.parquet(f"{path}/stats").first()
+        assert (stats["n_docs"], stats["sum_dl"]) == (3, 2 + 3 + 2)
+
+
+def test_noop_segmented_delete_writes_no_segment(spark, tmp_path):
+    """Redelivered / absent-id deletes must not grow the segment stack:
+    n_removed == 0 → no tombstone segment, stats untouched."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    absent = spark.createDataFrame([(99,), (100,)], "doc_id long")
+    before = spark.read.parquet(f"{path}/stats").first()
+    assert delete_from_text_index_segmented(spark, path, absent) == 0
+    assert list_segments(spark, path) == []  # no segment written
+    live = spark.createDataFrame([(2,), (99,)], "doc_id long")
+    assert delete_from_text_index_segmented(spark, path, live) == 1
+    assert list_segments(spark, path) == [1]
+    # redelivery of the same delete: no-op again, still one segment
+    assert delete_from_text_index_segmented(spark, path, live) == 0
+    assert list_segments(spark, path) == [1]
+    after = spark.read.parquet(f"{path}/stats").first()
+    assert before["n_docs"] - 1 == after["n_docs"]
+
+
+def test_compact_after_delete_all_leaves_readable_sentinel(spark, tmp_path):
+    """Compacting a fully-tombstoned index must leave typed 0-row sentinel
+    relations (not a partitioned dir with zero data files): later reads,
+    queries, and upserts keep working."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    assert delete_from_text_index_segmented(spark, path, docs.select("doc_id")) == 2
+    assert compact_text_index(spark, path, n_buckets=16) == 1
+    assert list_segments(spark, path) == []
+    # all three relations re-readable, empty
+    assert spark.read.parquet(f"{path}/postings").count() == 0
+    assert spark.read.parquet(f"{path}/doclens").count() == 0
+    assert spark.read.parquet(f"{path}/stats").first()["n_docs"] == 0
+    # and the index comes back to life through the normal upsert path
+    upsert_text_index(spark, path, docs, n_buckets=16)
+    got = _rows(query_text_index(spark, path, ["beta"], k=10, n_buckets=16))
+    assert got == _rows(bm25_topk(docs, ["beta"], k=10))
+
+
+def test_delete_shuffled_fallback_plan(spark, tmp_path):
+    """broadcast_ids=False must route the victim lookup through a shuffled
+    join (never BroadcastHashJoin/BroadcastNestedLoop) on BOTH delete
+    paths — the non-broadcastable bulk-purge fallback."""
+    import pyspark.sql.functions as F
+
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta gamma").alias("text")
+    )
+    ids = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        path = str(tmp_path / "seg")
+        build_text_index(docs, path, n_buckets=16)
+        from unittest.mock import patch
+
+        calls = []
+        orig = F.broadcast
+
+        def spy(df):
+            calls.append(df)
+            return orig(df)
+
+        with patch.object(F, "broadcast", side_effect=spy):
+            assert (
+                delete_from_text_index_segmented(
+                    spark, path, ids, broadcast_ids=False
+                )
+                == 10
+            )
+        assert not calls  # no broadcast hint anywhere on the fallback path
+
+        path2 = str(tmp_path / "inplace")
+        build_text_index(docs, path2, n_buckets=16)
+        with patch.object(F, "broadcast", side_effect=spy):
+            assert (
+                delete_from_text_index(
+                    spark, path2, ids, n_buckets=16, broadcast_ids=False
+                )
+                == 10
+            )
+        assert not calls
+        # default path still broadcasts
+        path3 = str(tmp_path / "bc")
+        build_text_index(docs, path3, n_buckets=16)
+        with patch.object(F, "broadcast", side_effect=spy):
+            assert delete_from_text_index_segmented(spark, path3, ids) == 10
+        assert calls
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
