@@ -8,11 +8,20 @@ into a saved inverted file:
 
 - ``<path>/postings`` — ``(term, doc_id, tf)``, written
   ``partitionBy("bucket")`` where ``bucket = portable_hash64(term) %
-  n_buckets`` — each bucket is its own parquet directory;
+  n_buckets`` — each bucket is its own parquet directory, term-sorted
+  within its files so pushed term predicates (``IN`` lists, prefix
+  ``startswith``) prune parquet row groups via string min/max stats;
 - ``<path>/doclens`` — ``(doc_id, dl)`` per-document token counts;
 - ``<path>/stats`` — the 1-row ``(n_docs, avgdl, sum_dl)`` corpus
   statistics (``sum_dl`` is the exact bigint the segmented maintenance
-  path advances incrementally — see ``text_segments.py``).
+  path advances incrementally — see ``text_segments.py``);
+- ``<path>/terms`` — the ``(term, df)`` vocabulary rollup,
+  range-partitioned AND sorted by term, written by build/compaction and
+  advanced by the same exact-delta discipline as ``sum_dl`` on the
+  in-place maintenance ops.  This is the relation interactive
+  autocomplete serves from (``suggest_from_index``): vocabulary-sized
+  (orders of magnitude under the postings) and term-ordered, so a prefix
+  probe touches only the row groups covering that prefix range.
 
 A query computes its terms' buckets DRIVER-SIDE (the same md5-derived
 portable hash, so no Spark job is needed to locate them) and reads only
@@ -68,6 +77,71 @@ def _postings_from(base: DataFrame, id_col: str, n_buckets: int, positions: bool
     return agg.withColumn(
         "bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets))
     )
+
+
+def _write_terms_rollup(spark: SparkSession, path: str, terms_df: DataFrame) -> None:
+    """Write ``<path>/terms`` — the ``(term, df)`` rollup — range-partitioned
+    and sorted by term, so a pushed ``startswith`` predicate prunes both
+    whole files (range partitioner) and row groups (string min/max stats).
+    The relation is vocabulary-sized; rewriting it whole per maintenance op
+    is a metadata-class job next to any postings write (at 100 TB, a ~100M
+    row narrow relation vs multi-TB postings)."""
+    terms_df.select(
+        F.col("term"), F.col("df").cast("bigint").alias("df")
+    ).repartitionByRange("term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/terms")
+
+
+def _rebuild_terms_rollup(spark: SparkSession, path: str, id_col: str) -> None:
+    """(Re)derive the rollup from the written postings — the upgrade path
+    for indexes built before ``terms`` existed (postings rows are distinct
+    (term, doc) pairs, so df is a plain count)."""
+    postings = spark.read.parquet(f"{path}/postings")
+    _write_terms_rollup(
+        spark, path, postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def _advance_terms_rollup(
+    spark: SparkSession,
+    path: str,
+    added: DataFrame | None,
+    removed: DataFrame | None,
+    id_col: str,
+) -> None:
+    """Advance ``<path>/terms`` by the exact per-term delta — the same
+    discipline the 1-row stats use for ``sum_dl``.  ``added`` / ``removed``
+    are ``(term, n)`` counts of inserted / vanished (term, doc) pairs
+    (batch-sized: victims' old postings and the delta's new postings).
+    Falls back to a full rebuild for a pre-rollup index."""
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    if not hadoop_path_exists(spark, f"{path}/terms"):
+        _rebuild_terms_rollup(spark, path, id_col)
+        return
+    old = spark.read.parquet(f"{path}/terms")
+    net = None
+    if added is not None:
+        net = added.select("term", F.col("n").cast("bigint").alias("_d"))
+    if removed is not None:
+        neg = removed.select("term", (-F.col("n")).cast("bigint").alias("_d"))
+        net = neg if net is None else net.unionByName(neg)
+    if net is None:
+        return
+    delta = net.groupBy("term").agg(F.sum("_d").alias("_d"))
+    merged = (
+        old.join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("_d"), F.lit(0))).alias("df"),
+        )
+        .where(F.col("df") > 0)
+        # the rollup is an input of its own overwrite — materialize first
+        # (vocabulary-sized; same pattern as the postings merges)
+        .localCheckpoint()
+    )
+    _write_terms_rollup(spark, path, merged)
 
 
 def _dedupe_delta(delta: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -128,9 +202,14 @@ def build_text_index(
     ).parquet(f"{path}/doclens")
     _write_stats_from(docs.sparkSession, path, doclens, n_buckets)
     postings = _postings_from(base, id_col, n_buckets, positions)
-    postings.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/postings")
+    # term-sorted within each bucket's files: pushed term predicates
+    # (IN-lists, startswith) then prune row groups via min/max stats
+    postings.repartition("bucket").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+    # the (term, df) autocomplete rollup, derived from the WRITTEN postings
+    # (a vocabulary-sized read-back, far cheaper than a second corpus scan)
+    _rebuild_terms_rollup(docs.sparkSession, path, id_col)
 
 
 def _write_stats_from(
@@ -237,8 +316,14 @@ def upsert_text_index(
     ).localCheckpoint()
     delta_ids = base.select(id_col)
 
-    old_keys = old_postings.select(id_col, "bucket")
-    victims = old_keys.join(F.broadcast(delta_ids), id_col, "left_semi")
+    # victims carry term as well as bucket: the same column-pruned scan
+    # yields the affected buckets AND the per-term removal counts the
+    # terms-rollup delta needs (no extra pass)
+    victims = (
+        old_postings.select("term", id_col, "bucket")
+        .join(F.broadcast(delta_ids), id_col, "left_semi")
+        .localCheckpoint()
+    )
     affected = [
         r["bucket"]
         for r in new_postings.select("bucket")
@@ -264,12 +349,12 @@ def upsert_text_index(
     merged = keep.unionByName(
         new_postings.select(*vcols, "bucket")
     ).localCheckpoint()
-    base_empty = old_keys.isEmpty()  # delete-all left a 0-row sentinel layout
+    base_empty = old_postings.isEmpty()  # delete-all left a 0-row sentinel layout
     if base_empty:
         # static overwrite replaces the unpartitioned sentinel with a clean
         # partitioned layout (a dynamic write on top of it would mix root
         # files with bucket= directories and break partition discovery)
-        merged.repartition("bucket").write.mode("overwrite").partitionBy(
+        merged.repartition("bucket").sortWithinPartitions("term").write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(postings_path)
     else:
@@ -278,7 +363,7 @@ def upsert_text_index(
         # overwrite would skip it and keep the stale postings on disk
         present = [r["bucket"] for r in merged.select("bucket").distinct().collect()]
         with _dynamic_overwrite(spark):
-            merged.repartition("bucket").write.mode("overwrite").partitionBy(
+            merged.repartition("bucket").sortWithinPartitions("term").write.mode("overwrite").partitionBy(
                 "bucket"
             ).parquet(postings_path)
         # emptied ∩ present = ∅: the overwrite never touches emptied buckets,
@@ -317,6 +402,15 @@ def upsert_text_index(
             ).parquet(doclens_path)
 
     _write_stats_from(spark, path, spark.read.parquet(doclens_path), n_buckets)
+    # exact (term, df) delta: the delta's new pairs minus the victims' old
+    # pairs — both batch-sized frames already materialized above
+    _advance_terms_rollup(
+        spark,
+        path,
+        added=new_postings.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
+        removed=victims.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
+        id_col=id_col,
+    )
     return statuses
 
 
@@ -579,8 +673,13 @@ def delete_from_text_index(
     postings_path = f"{path}/postings"
     old_postings = spark.read.parquet(postings_path)
     vcols = _postings_cols(old_postings, id_col)  # carries pos on positional indexes
-    old_keys = old_postings.select(id_col, "bucket")
-    victims = old_keys.join(keys, id_col, "left_semi")
+    # victims carry term too: the same scan feeds the affected-bucket list
+    # and the per-term removal counts for the terms-rollup delta
+    victims = (
+        old_postings.select("term", id_col, "bucket")
+        .join(keys, id_col, "left_semi")
+        .localCheckpoint()
+    )
     affected = [r["bucket"] for r in victims.select("bucket").distinct().collect()]
     if affected:
         keep = (
@@ -595,7 +694,7 @@ def delete_from_text_index(
             keep.write.mode("overwrite").parquet(postings_path)
         elif present:
             with _dynamic_overwrite(spark):
-                keep.repartition("bucket").write.mode("overwrite").partitionBy(
+                keep.repartition("bucket").sortWithinPartitions("term").write.mode("overwrite").partitionBy(
                     "bucket"
                 ).parquet(postings_path)
         # present empty but other buckets survive: nothing to write, only the
@@ -636,6 +735,18 @@ def delete_from_text_index(
         _clear_emptied_partitions(spark, doclens_path, "dbucket", daffected, dpresent)
 
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+    if index_emptied:
+        spark.createDataFrame([], "term string, df bigint").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/terms")
+    else:
+        _advance_terms_rollup(
+            spark,
+            path,
+            added=None,
+            removed=victims.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
+            id_col=id_col,
+        )
     return int(n_removed)
 
 
@@ -757,36 +868,47 @@ def suggest_from_index(
     id_col: str = "doc_id",
     k: int = 10,
 ) -> DataFrame:
-    """Autocomplete suggestions served FROM the saved inverted index —
-    identical output contract to the scan-time
+    """Autocomplete suggestions served FROM the persisted ``(term, df)``
+    rollup — identical output contract to the scan-time
     ``operators.search.suggest_terms`` (``(term, df)`` ranked df-desc,
-    term-asc ties; test-pinned equal), but the corpus text is never
-    touched: candidates come from the postings' ``term`` column with the
-    ``startswith`` predicate PUSHED to the parquet scans (string min/max
-    row-group stats prune non-matching groups), and df is the per-term
-    live-postings count.
+    term-asc ties; test-pinned equal), but neither the corpus text nor the
+    postings are touched in the common case:
 
-    Works on segmented indexes (terms of every segment considered; df
-    counts only LIVE docs via the LWW resolution).  Prefix terms hash to
-    arbitrary buckets, so the scan is vocabulary-wide but column-pruned to
-    (term, id) — at 100 TB serve interactive autocomplete from a cached
-    materialization of this relation (one line: ``.cache()`` or a saved
-    ``terms`` rollup refreshed on compaction), the same trade every search
-    service makes.
+    - **Unsegmented index** (fresh build, in-place-maintained, or
+      post-compaction — the steady state): one scan of ``<path>/terms``,
+      a vocabulary-sized relation range-partitioned AND sorted by term,
+      so the pushed ``startswith`` prunes to the files/row groups covering
+      the prefix range.  This is the interactive-autocomplete shape: cost
+      is |vocabulary slice under the prefix|, independent of corpus size.
+    - **Segmented index** (LSM segments pending compaction): the rollup is
+      stale by the segments' mutations, so df is recounted exactly from
+      the live postings — the prefix predicate applied INSIDE every
+      segment scan (term-sorted files → row groups prune) and liveness
+      resolved only over candidate docs (``live_prefix_slice``).
+      Compaction restores the pure-rollup path.
+
+    Indexes written before the rollup existed fall back to the postings
+    recount as well (``build``/``compact``/any in-place op upgrades them).
     """
     if not prefix:
         raise ValueError("suggest_from_index needs a non-empty prefix")
     needle = prefix.lower()
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
     from azuredatalakeindexer_spark.sources.text_segments import (
         list_segments,
-        live_postings,
+        live_prefix_slice,
     )
 
     segs = list_segments(spark, path)
-    if segs:
-        postings = live_postings(spark, path, segs, id_col=id_col).where(
-            F.col("term").startswith(needle)
+    if not segs and hadoop_path_exists(spark, f"{path}/terms"):
+        return (
+            spark.read.parquet(f"{path}/terms")
+            .where(F.col("term").startswith(needle))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(k)
         )
+    if segs:
+        postings = live_prefix_slice(spark, path, segs, needle, id_col=id_col)
     else:
         postings = (
             spark.read.parquet(f"{path}/postings")

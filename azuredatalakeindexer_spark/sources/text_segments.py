@@ -290,6 +290,63 @@ def live_query_slice(
     return postings, alive.select(id_col, "dl")
 
 
+def live_prefix_slice(
+    spark: SparkSession,
+    path: str,
+    segs: list[int],
+    prefix: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(term, id_col)`` pairs of LIVE postings whose term starts with
+    ``prefix`` — the segmented-state autocomplete slice.
+
+    Same one-pass shape as :func:`live_query_slice`: the prefix predicate
+    is applied INSIDE every slice scan (base + each segment) so it pushes
+    to the parquet readers — postings files are term-sorted within their
+    buckets, so the string min/max row-group stats actually prune — and
+    the last-writer-wins liveness aggregate then runs only over the docs
+    that carry a matching term (candidate-sized, not corpus-sized)."""
+    def slice_(df: DataFrame, seg: int) -> DataFrame:
+        return (
+            df.where(F.col("term").startswith(prefix))
+            .select("term", id_col)
+            .withColumn("seg", F.lit(seg))
+        )
+
+    parts = [slice_(spark.read.parquet(f"{path}/postings"), BASE_SEG)]
+    for s in segs:
+        parts.append(
+            slice_(
+                _read_or_empty(
+                    spark,
+                    f"{_seg_dir(path, s)}/postings",
+                    f"term string, {id_col} long, bucket int",
+                ),
+                s,
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    allp = allp.localCheckpoint()
+
+    cand = allp.select(id_col).distinct()
+    dls = _all_doclens(spark, path, segs, id_col).join(cand, id_col, "left_semi")
+    latest = dls.groupBy(id_col).agg(F.max("seg").alias("seg"))
+    tombs = (
+        _all_tombstones(spark, path, segs, id_col)
+        .groupBy(id_col)
+        .agg(F.max("seg").alias("_tseg"))
+    )
+    alive = (
+        latest.join(tombs, id_col, "left")
+        .where(F.col("seg") > F.coalesce(F.col("_tseg"), F.lit(-1)))
+        .select(id_col, "seg")
+    )
+    return allp.join(alive, [id_col, "seg"]).select("term", id_col)
+
+
 def _read_segstats(
     spark: SparkSession, path: str, id_col: str
 ) -> tuple[int, int, int | None]:
@@ -395,9 +452,9 @@ def upsert_text_index_segmented(
     # LWW resolution and compaction unchanged)
     has_pos = "pos" in spark.read.parquet(f"{path}/postings").columns
     new_postings = _postings_from(base, id_col, n_buckets, positions=has_pos)
-    new_postings.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{seg_dir}/postings")
+    new_postings.repartition("bucket").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{seg_dir}/postings")
     enriched.select(id_col, "dl", "dbucket").repartition("dbucket").write.mode(
         "overwrite"
     ).partitionBy("dbucket").parquet(f"{seg_dir}/doclens")
@@ -514,18 +571,27 @@ def compact_text_index(
     if merged.isEmpty():
         merged.write.mode("overwrite").parquet(f"{path}/postings")
     else:
-        merged.repartition("bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(f"{path}/postings")
+        merged.repartition("bucket").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(f"{path}/postings")
     if lens.isEmpty():
         lens.write.mode("overwrite").parquet(f"{path}/doclens")
     else:
         lens.repartition("dbucket").write.mode("overwrite").partitionBy(
             "dbucket"
         ).parquet(f"{path}/doclens")
-    from azuredatalakeindexer_spark.sources.text_index import _write_stats_from
+    from azuredatalakeindexer_spark.sources.text_index import (
+        _write_stats_from,
+        _write_terms_rollup,
+    )
 
     _write_stats_from(spark, path, lens, n_buckets)
+    # refresh the autocomplete rollup from the resolved live postings
+    # (already checkpointed): after compaction the rollup is exact again
+    # and segment-free suggest serves purely from it
+    _write_terms_rollup(
+        spark, path, merged.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
     fs, _ = _hadoop_fs(spark, path)
     p = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/segments")
     if fs.exists(p):

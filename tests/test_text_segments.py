@@ -616,3 +616,109 @@ def test_delete_shuffled_fallback_plan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _recount_terms(spark, path):
+    """Ground truth: (term, df) recounted from the LIVE postings."""
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.sources.text_segments import live_postings
+
+    segs = list_segments(spark, path)
+    if segs:
+        p = live_postings(spark, path, segs)
+    else:
+        p = spark.read.parquet(f"{path}/postings")
+    return {
+        (r["term"], r["df"])
+        for r in p.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+
+
+def test_terms_rollup_exact_through_mixed_lifecycle(spark, tmp_path):
+    """<path>/terms must equal a live-postings recount after EVERY
+    unsegmented-state mutation: build, in-place upsert (insert+replace),
+    in-place delete, and a segmented batch folded back by compaction.
+    The exact-delta discipline (added − victims) cannot drift."""
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+
+    def rollup():
+        return {
+            (r["term"], r["df"])
+            for r in spark.read.parquet(f"{path}/terms").collect()
+        }
+
+    build_text_index(docs, path, n_buckets=16)
+    assert rollup() == _recount_terms(spark, path)
+
+    delta = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit("rollup rollup stream").alias("text")
+    ).unionByName(
+        spark.createDataFrame([(100001, "rollup fresh")], "doc_id long, text string")
+    )
+    upsert_text_index(spark, path, delta, n_buckets=16)
+    assert rollup() == _recount_terms(spark, path)
+
+    dead = docs.select("doc_id").where(F.col("doc_id") % 7 == 0)
+    delete_from_text_index(spark, path, dead, n_buckets=16)
+    assert rollup() == _recount_terms(spark, path)
+
+    seg_delta = docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.lit("compacted later").alias("text")
+    )
+    upsert_text_index_segmented(spark, path, seg_delta, n_buckets=16)
+    compact_text_index(spark, path, n_buckets=16)
+    assert rollup() == _recount_terms(spark, path)
+
+
+def test_suggest_unsegmented_reads_only_terms_relation(spark, tmp_path):
+    """The steady-state autocomplete plan must touch ONLY the terms
+    rollup — no postings, doclens, or corpus files in its scan set."""
+    from azuredatalakeindexer_spark.sources.text_index import suggest_from_index
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    out = suggest_from_index(spark, path, "s", k=8)
+    files = out.inputFiles()
+    assert files, "expected a file-backed scan"
+    assert all("/terms/" in f for f in files), files
+
+
+def test_suggest_pre_rollup_index_falls_back_and_upgrades(spark, tmp_path):
+    """An index without <path>/terms (pre-rollup layout) still serves
+    suggestions via the postings recount, and any in-place maintenance op
+    creates the rollup (upgrade path)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.operators.search import suggest_terms
+    from azuredatalakeindexer_spark.sources.text_index import suggest_from_index
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    shutil.rmtree(f"{path}/terms")  # simulate a pre-r8 index
+
+    def rows(df):
+        return [(r["term"], r["df"]) for r in df.collect()]
+
+    assert rows(suggest_from_index(spark, path, "s", k=8)) == rows(
+        suggest_terms(docs, "s", k=8)
+    )
+    delta = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" suffix")).alias("text")
+    )
+    upsert_text_index(spark, path, delta, n_buckets=16)
+    logical = docs.join(delta.select("doc_id"), "doc_id", "left_anti").unionByName(delta)
+    assert spark.read.parquet(f"{path}/terms").count() > 0  # upgraded
+    assert {
+        (r["term"], r["df"]) for r in spark.read.parquet(f"{path}/terms").collect()
+    } == _recount_terms(spark, path)
+    assert rows(suggest_from_index(spark, path, "s", k=8)) == rows(
+        suggest_terms(logical, "s", k=8)
+    )
