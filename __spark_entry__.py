@@ -1527,6 +1527,50 @@ def q_text_index_phrase_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_near_topk(spark, sf):
+    """Ordered proximity served FROM the positional saved index
+    (`sources/text_index.py::query_near_index` — Lucene serves sloppy
+    PhraseQuery from the same positional postings as exact phrase):
+    bucket-pruned position lists, ordered pair count within slop=2,
+    BM25-virtual-term scoring.  Bit-identical to the scan-time
+    `search_near`, so the oracle is the same position-pair replay."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_near_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_txtnear_")
+    try:
+        build_text_index(_docs(spark, sf), root, n_buckets=64, positions=True)
+        out = query_near_index(
+            spark, root, "merge", "stream", slop=2, k=20, n_buckets=64
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_text_index_near_unordered(spark, sf):
+    """Unordered proximity (either direction within slop) served FROM the
+    positional saved index — `query_near_index(ordered=False)`, the
+    index-side SpanNearQuery.  Bit-identical to the scan-time
+    `search_near_unordered` (same oracle)."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_near_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_txtnearu_")
+    try:
+        build_text_index(_docs(spark, sf), root, n_buckets=64, positions=True)
+        out = query_near_index(
+            spark, root, "merge", "stream", slop=2, ordered=False, k=20, n_buckets=64
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_search_near_unordered(spark, sf):
     """Unordered proximity (`near_topk(ordered=False)` — Lucene's
     unordered SpanNearQuery): 'merge' and 'stream' co-occurring within
@@ -2417,74 +2461,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-#1): entries changed or added this round lead the window; the rest
     are ordered by the round of their newest green CORRECTNESS_r*.json row,
     oldest evidence first — so no registered query's newest driver row ever
-    ages past ~3 rounds (114 entries / 50 per window).  Every entry below
+    ages past ~3 rounds (125 entries / 50 per window).  Every entry below
     the boundary has a green row in a prior round's file and is replayed
     locally each round (tools/check_correctness.py + the env-gated
     tests/test_full_correctness.py).
     """
     return {
-        # -- changed this round (r7 index-maintenance fixes: clear-after-
-        # -- write ordering, doclens-emptiness gating, postings sentinel):
+        # -- changed/added this round (r8: terms rollup + term-sorted
+        # -- postings touch every text-index query; query_near_index is
+        # -- new; staged-commit maintenance touches the ANN lifecycle):
         # -- need fresh driver rows
+        "text_index_near_topk": q_text_index_near_topk,
+        "text_index_near_unordered": q_text_index_near_unordered,
+        "text_index_suggest": q_text_index_suggest,
         "text_index_lsm_topk": q_text_index_lsm_topk,
         "text_index_upsert_topk": q_text_index_upsert_topk,
         "text_index_delete_topk": q_text_index_delete_topk,
-        "ann_upsert_topk": q_ann_upsert_topk,
-        "ann_delete_topk": q_ann_delete_topk,
+        "text_index_phrase_topk": q_text_index_phrase_topk,
+        "text_index_topk": q_text_index_topk,
         "stream_text_index": q_stream_text_index,
         "stream_text_index_lsm": q_stream_text_index_lsm,
-        "search_phrase": q_search_phrase,
-        "search_near": q_search_near,
-        "search_near_unordered": q_search_near_unordered,
-        "text_index_phrase_topk": q_text_index_phrase_topk,
-        "text_index_suggest": q_text_index_suggest,
-        # -- oldest driver evidence first (r02/r03 cohort, VERDICT r6
-        # -- next-#4) ---------------------------------------------------
-        "oversize_filter": q_oversize_filter,
-        "batch_packing": q_batch_packing,
-        "batch_packing_greedy": q_batch_packing_greedy,
-        "rebuild_batches": q_rebuild_batches,
-        "run_metrics": q_run_metrics,
-        "doc_count": q_doc_count,
-        "watermark_filter_agg": q_watermark_filter_agg,
-        "directory_filter": q_directory_filter,
-        "index_ddl": q_index_ddl,
-        "dedup_exact": q_dedup_exact,
-        "dedup_simhash": q_dedup_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_topk": q_embedding_topk,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "doc_fingerprints": q_doc_fingerprints,
-        "cluster_canonical": q_cluster_canonical,
-        # -- r04-evidence cohort ----------------------------------------
-        "stream_exact_dedup": q_stream_exact_dedup,
-        "stream_curated_dedup": q_stream_curated_dedup,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_view_click_join": q_stream_view_click_join,
-        "stream_join_left_outer": q_stream_join_left_outer,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "dedup_clusters": q_dedup_clusters,
-        "train_corpus": q_train_corpus,
-        "decontam_report": q_decontam_report,
-        "asof_last_error": q_asof_last_error,
-        "zorder_values": q_zorder_values,
-        "fuzzy_decontam": q_fuzzy_decontam,
-        "stream_minhash_dedup": q_stream_minhash_dedup,
-        "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
-        "events_range_join": q_events_range_join,
-        # ---------------- 50-entry window boundary ---------------------
-        # (classifier_scores also slid below; it leads r08 with the rest)
-        # -- r04/r05-evidence remainder (classifier_scores, ann_index_
-        # -- topk, semantic_dedup, domain_quality_gate, and the search_
-        # -- bm25/facets/hybrid_rrf trio slid out as r7 additions took
-        # -- their slots; they lead r08) ---------------------------------
+        "saved_hybrid_search": q_saved_hybrid_search,
+        "ann_upsert_topk": q_ann_upsert_topk,
+        "ann_delete_topk": q_ann_delete_topk,
+        # -- r04/r05-evidence cohort that slid out of the r07 window
+        # -- (oldest driver evidence; VERDICT r7 next-#7) -------------
         "classifier_scores": q_classifier_scores,
         "ann_index_topk": q_ann_index_topk,
         "semantic_dedup": q_semantic_dedup,
@@ -2499,8 +2500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_chunks": q_rag_chunks,
         "search_simple_query": q_search_simple_query,
         "search_synonyms": q_search_synonyms,
-        "text_index_topk": q_text_index_topk,
-        "saved_hybrid_search": q_saved_hybrid_search,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "lm_scores": q_lm_scores,
@@ -2512,7 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge": q_upsert_merge,
         "indexer_run": q_indexer_run,
         "indexer_run_metrics": q_indexer_run_metrics,
-        # -- r06-evidence cohort (newest driver rows, unchanged) --------
+        # -- r06-evidence cohort head (next-oldest driver rows) -------
         "embedding_topk_np": q_embedding_topk_np,
         "bpe_pipeline": q_bpe_pipeline,
         "token_stats": q_token_stats,
@@ -2525,6 +2524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "shipping_priority": q_shipping_priority,
         "late_orders_exists": q_late_orders_exists,
+        # ---------------- 50-entry window boundary ---------------------
+        # -- r06-evidence remainder (they lead r09 with whatever is
+        # -- unchanged then) -------------------------------------------
         "events_gapfill": q_events_gapfill,
         "user_running_stats": q_user_running_stats,
         "distinct_users_daily": q_distinct_users_daily,
@@ -2559,6 +2561,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_last_writer": q_dedup_last_writer,
         "upsert_status_counts": q_upsert_status_counts,
         "deleted_anti_join": q_deleted_anti_join,
+        # -- r07-evidence cohort (newest driver rows, unchanged in r8) --
+        "search_phrase": q_search_phrase,
+        "search_near": q_search_near,
+        "search_near_unordered": q_search_near_unordered,
+        "oversize_filter": q_oversize_filter,
+        "batch_packing": q_batch_packing,
+        "batch_packing_greedy": q_batch_packing_greedy,
+        "rebuild_batches": q_rebuild_batches,
+        "run_metrics": q_run_metrics,
+        "doc_count": q_doc_count,
+        "watermark_filter_agg": q_watermark_filter_agg,
+        "directory_filter": q_directory_filter,
+        "index_ddl": q_index_ddl,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprints": q_doc_fingerprints,
+        "cluster_canonical": q_cluster_canonical,
+        "stream_exact_dedup": q_stream_exact_dedup,
+        "stream_curated_dedup": q_stream_curated_dedup,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_view_click_join": q_stream_view_click_join,
+        "stream_join_left_outer": q_stream_join_left_outer,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "dedup_clusters": q_dedup_clusters,
+        "train_corpus": q_train_corpus,
+        "decontam_report": q_decontam_report,
+        "asof_last_error": q_asof_last_error,
+        "zorder_values": q_zorder_values,
+        "fuzzy_decontam": q_fuzzy_decontam,
+        "stream_minhash_dedup": q_stream_minhash_dedup,
+        "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
+        "events_range_join": q_events_range_join,
     }
 
 
@@ -3663,6 +3707,10 @@ def oracle_sql() -> dict[str, str]:
     # the positional saved index answers the phrase query bit-identically
     # to the scan-time operator: same oracle
     sqls["text_index_phrase_topk"] = sqls["search_phrase"]
+    # index-served proximity is bit-identical to the scan-time near_topk
+    # (test-pinned through the full maintenance lifecycle): same oracles
+    sqls["text_index_near_topk"] = sqls["search_near"]
+    sqls["text_index_near_unordered"] = sqls["search_near_unordered"]
 
     # saved-index hybrid serving: text-index bm25 leg (== the scan replay)
     # + saved-IVF vector leg (query vec 0, self excluded) + RRF fusion

@@ -860,6 +860,124 @@ def query_phrase_index(
     )
 
 
+def query_near_index(
+    spark: SparkSession,
+    path: str,
+    term1: str,
+    term2: str,
+    *,
+    slop: int = 2,
+    ordered: bool = True,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Proximity (NEAR / sloppy-phrase) top-k served FROM a positional
+    index — the index-side counterpart of ``operators.search.near_topk``,
+    exactly as Lucene serves sloppy ``PhraseQuery``/``SpanNearQuery`` from
+    the same positional postings that power exact phrase.
+
+    Reads ONLY the two terms' bucket partitions (static PartitionFilter +
+    pushed ``term IN``, row groups pruned by the term-sorted files), pairs
+    the per-doc position lists — ordered ``p1 < p2 <= p1 + slop + 1``, or
+    either-direction ``0 < |p1 - p2| <= slop + 1`` — and ranks with the
+    same BM25-virtual-term formula.  Results are bit-identical to the
+    scan-time ``near_topk`` on the indexed corpus (test-pinned): corpus
+    stats come from the 1-row stats relation (exact same n/avgdl), df is
+    the candidate count, rounding and tie-breaks match.
+
+    Works on segmented (LSM) indexes: positional rows ride the standard
+    last-writer-wins resolution, so the virtual-term scoring sees exactly
+    the live corpus.  Per-query cost is |postings of the two terms| — the
+    whole point of serving proximity from the index instead of a corpus
+    scan (``near_topk`` reads every document per query).
+    """
+    t1, t2 = term1.lower(), term2.lower()
+    uniq = sorted({t1, t2})
+    _check_n_buckets(spark, path, n_buckets, "query_near_index")
+    buckets = sorted({_py_bucket(t, n_buckets) for t in uniq})
+    stats = spark.read.parquet(f"{path}/stats")
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        alive_docs,
+        list_segments,
+        live_postings,
+    )
+
+    segs = list_segments(spark, path)
+    if segs:
+        postings = live_postings(
+            spark, path, segs, id_col=id_col, buckets=buckets, terms=uniq
+        )
+        doclens = alive_docs(spark, path, segs, id_col).select(id_col, "dl")
+    else:
+        postings = (
+            spark.read.parquet(f"{path}/postings")
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+        )
+        doclens = spark.read.parquet(f"{path}/doclens").select(id_col, "dl")
+    if "pos" not in postings.columns:
+        raise ValueError(
+            "query_near_index needs a POSITIONAL index: rebuild with "
+            "build_text_index(..., positions=True)"
+        )
+    g = postings.groupBy(id_col).agg(
+        F.first(F.when(F.col("term") == t1, F.col("pos")), ignorenulls=True).alias("_p1"),
+        F.first(F.when(F.col("term") == t2, F.col("pos")), ignorenulls=True).alias("_p2"),
+    )
+    p1s, p2s = F.col("_p1"), F.col("_p2")
+    if ordered:
+        pair_count = F.aggregate(
+            p1s,
+            F.lit(0).cast("bigint"),
+            lambda acc, p1: acc
+            + F.size(F.filter(p2s, lambda p2: (p2 > p1) & (p2 <= p1 + slop + 1))),
+        )
+    else:
+        pair_count = F.aggregate(
+            p1s,
+            F.lit(0).cast("bigint"),
+            lambda acc, p1: acc
+            + F.size(
+                F.filter(
+                    p2s,
+                    lambda p2: (p2 != p1) & (F.abs(p2 - p1) <= slop + 1),
+                )
+            ),
+        )
+    have_both = p1s.isNotNull() & p2s.isNotNull()
+    cand = g.select(
+        F.col(id_col),
+        F.when(have_both, pair_count).otherwise(F.lit(0)).cast("bigint").alias(
+            "near_tf"
+        ),
+    ).where(F.col("near_tf") > 0)
+    dfr = cand.agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        cand.join(doclens, id_col)
+        .crossJoin(F.broadcast(dfr))
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
+    )
+    norm = F.when(
+        F.col("avgdl") > 0, F.lit(b) * F.col("dl") / F.col("avgdl")
+    ).otherwise(F.lit(0.0))
+    tf = F.col("near_tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    score = (idf * tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + norm)
+    )
+    return (
+        scored.select(F.col(id_col), "near_tf", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def suggest_from_index(
     spark: SparkSession,
     path: str,

@@ -89,6 +89,9 @@ HEADLINE = [
     "ann_upsert_topk",
     "saved_hybrid_search",
     "bpe_pipeline",
+    # r8: rollup-served autocomplete + index-served proximity
+    "text_index_suggest",
+    "text_index_near_topk",
 ]
 
 

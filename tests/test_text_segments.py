@@ -722,3 +722,67 @@ def test_suggest_pre_rollup_index_falls_back_and_upgrades(spark, tmp_path):
     assert rows(suggest_from_index(spark, path, "s", k=8)) == rows(
         suggest_terms(logical, "s", k=8)
     )
+
+
+def test_near_index_parity_through_full_lifecycle(spark, tmp_path):
+    """Index-served proximity (query_near_index, ordered AND unordered)
+    must be bit-identical to the scan-time near_topk over the logical
+    corpus through in-place upsert, LSM segments, and compaction — the
+    same positional postings that serve exact phrase serve NEAR."""
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.operators.search import near_topk
+    from azuredatalakeindexer_spark.sources.text_index import query_near_index
+
+    docs = _docs(spark)
+    base = docs.where(F.col("doc_id") >= 10)
+    path = str(tmp_path / "tin")
+    build_text_index(base, path, n_buckets=16, positions=True)
+
+    def idx_rows(ordered):
+        return [tuple(r) for r in query_near_index(
+            spark, path, "merge", "stream", slop=2, ordered=ordered,
+            k=15, n_buckets=16).collect()]
+
+    def scan_rows(logical, ordered):
+        return [tuple(r) for r in near_topk(
+            logical, "merge", "stream", slop=2, ordered=ordered, k=15).collect()]
+
+    for o in (True, False):
+        assert idx_rows(o) == scan_rows(base, o), o
+
+    d1 = docs.where(F.col("doc_id") < 5).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" merge x stream")).alias("text"))
+    upsert_text_index(spark, path, d1, n_buckets=16)
+    logical = base.unionByName(d1)
+    for o in (True, False):
+        assert idx_rows(o) == scan_rows(logical, o), o
+
+    d2 = docs.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
+        "doc_id", F.lit("stream merge stream merge").alias("text"))
+    upsert_text_index_segmented(spark, path, d2, n_buckets=16)
+    dead = logical.select("doc_id").where(F.col("doc_id") % 9 == 0)
+    delete_from_text_index_segmented(spark, path, dead)
+    logical = logical.unionByName(d2).join(dead, "doc_id", "left_anti")
+    for o in (True, False):
+        assert idx_rows(o) == scan_rows(logical, o), o
+
+    compact_text_index(spark, path, n_buckets=16)
+    for o in (True, False):
+        assert idx_rows(o) == scan_rows(logical, o), o
+
+    # same-term proximity degenerates gracefully (p2 != p1 guard)
+    same = [tuple(r) for r in query_near_index(
+        spark, path, "stream", "stream", slop=1, ordered=False,
+        k=15, n_buckets=16).collect()]
+    assert same == [tuple(r) for r in near_topk(
+        logical, "stream", "stream", slop=1, ordered=False, k=15).collect()]
+
+    # non-positional index refuses
+    import pytest as _pytest
+
+    from azuredatalakeindexer_spark.sources.text_index import query_near_index as qni
+    flat = str(tmp_path / "flat")
+    build_text_index(_docs(spark).limit(20), flat, n_buckets=16)
+    with _pytest.raises(ValueError, match="POSITIONAL"):
+        qni(spark, flat, "merge", "stream", n_buckets=16)
