@@ -16,9 +16,11 @@ from azuredatalakeindexer_spark.sources.ann_index import (
     query_ivf_index,
     upsert_ivf_index,
 )
+from azuredatalakeindexer_spark.sources.staging import recover_index
 from azuredatalakeindexer_spark.sources.text_index import (
     build_text_index,
     delete_from_text_index,
+    query_near_index,
     query_phrase_index,
     query_text_index,
     run_stream_text_index,
@@ -65,7 +67,9 @@ __all__ = [
     "delete_from_text_index",
     "query_text_index",
     "query_phrase_index",
+    "query_near_index",
     "suggest_from_index",
+    "recover_index",
     "run_stream_text_index",
     "upsert_text_index_segmented",
     "delete_from_text_index_segmented",

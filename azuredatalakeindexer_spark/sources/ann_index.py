@@ -92,9 +92,17 @@ def upsert_ivf_index(
       the index to turn this scan into an equi-join, as the docstring of
       the module notes for the metastore mapping;
     - rewrite: ONLY affected cells (delta's target cells ∪ victim cells)
-      are rewritten, via dynamic partition overwrite — untouched cell
-      directories are not read or written.
+      are rewritten — staged under ``<path>/.staging-*`` and promoted by
+      journaled renames (``sources/staging.py``), so a crash at any point
+      leaves the old index serving bit-identical results (test-pinned);
+      untouched cell directories are never read or written.
     """
+    from azuredatalakeindexer_spark.sources.staging import (
+        StagedCommit,
+        recover_staged,
+    )
+
+    recover_staged(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     dl = delta.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     assigned = assign_cells(dl, cents, id_col, vec_col, 1)
@@ -127,27 +135,30 @@ def upsert_ivf_index(
         .select(id_col, vec_col, "cell")
     )
     merged = keep.unionByName(assigned.select(id_col, vec_col, "cell")).localCheckpoint()
+    commit = StagedCommit(spark, path)
     if old_keys.isEmpty():
-        # delete-all left the 0-row unpartitioned sentinel: a dynamic write
-        # on top of it would mix root files with cell= directories and break
-        # partition discovery — replace it with a clean partitioned layout
-        merged.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(postings_path)
-        return statuses
-    # a victim cell whose rows were ALL replaced ids that moved to other
-    # cells survives with zero rows — dynamic overwrite would skip it and
-    # serve the stale vectors; clear such emptied cells explicitly
-    present = [r["cell"] for r in merged.select("cell").distinct().collect()]
-    with _dynamic_overwrite(spark):
-        merged.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-            postings_path
+        # delete-all left the 0-row unpartitioned sentinel: replace the
+        # whole layout with a clean partitioned one in a single swap
+        merged.repartition("cell").write.partitionBy("cell").parquet(
+            commit.stage("postings")
         )
-    # emptied ∩ present = ∅, so the dynamic overwrite above never touches the
-    # emptied directories — clearing them AFTER it succeeds is equivalent and
-    # avoids losing partitions with no replacement if the write fails midway
-    # (single-writer assumed; there is no cross-directory atomicity either way)
-    _clear_emptied_partitions(spark, postings_path, "cell", affected, present)
+        commit.swap("postings", "postings")
+        commit.promote()
+        return statuses
+    # stage ONLY the affected cells, then promote per-partition: present
+    # cells swap in, and a victim cell whose rows were ALL replaced ids
+    # that moved elsewhere (zero survivors) is removed — nothing live
+    # mutates until every Spark job has succeeded
+    present = [r["cell"] for r in merged.select("cell").distinct().collect()]
+    merged.repartition("cell").write.partitionBy("cell").parquet(
+        commit.stage("postings")
+    )
+    for cell in affected:
+        if cell in present:
+            commit.swap(f"postings/cell={cell}", f"postings/cell={cell}")
+        else:
+            commit.remove(f"postings/cell={cell}")
+    commit.promote()
     return statuses
 
 
@@ -175,6 +186,12 @@ def delete_from_ivf_index(
     bit-identical to a fresh build over them on the same centroids — which
     is what the DuckDB oracle replays.
     """
+    from azuredatalakeindexer_spark.sources.staging import (
+        StagedCommit,
+        recover_staged,
+    )
+
+    recover_staged(spark, path)
     ids = vec_ids.select(id_col).distinct().localCheckpoint()
     postings_path = f"{path}/postings"
     old = spark.read.parquet(postings_path)
@@ -189,16 +206,30 @@ def delete_from_ivf_index(
         .localCheckpoint()
     )
     present = [r["cell"] for r in keep.select("cell").distinct().collect()]
-    if present:
-        with _dynamic_overwrite(spark):
-            keep.repartition("cell").write.mode("overwrite").partitionBy(
-                "cell"
-            ).parquet(postings_path)
-    _clear_emptied_partitions(spark, postings_path, "cell", affected, present)
-    if not present and not _any_partition_dirs(spark, postings_path, "cell"):
-        # every cell emptied: write the typed 0-row sentinel so the layout
-        # stays readable
-        keep.write.mode("overwrite").parquet(postings_path)
+    commit = StagedCommit(spark, path)
+    survivors_elsewhere = bool(
+        set(_partition_dir_names(spark, postings_path, "cell"))
+        - {f"cell={c}" for c in affected}
+    )
+    if present or survivors_elsewhere:
+        # partition-level promotion: surviving affected cells swap in,
+        # fully-emptied ones are removed; untouched cells never move
+        if present:
+            keep.repartition("cell").write.partitionBy("cell").parquet(
+                commit.stage("postings")
+            )
+        for cell in affected:
+            if cell in present:
+                commit.swap(f"postings/cell={cell}", f"postings/cell={cell}")
+            else:
+                commit.remove(f"postings/cell={cell}")
+    else:
+        # every cell emptied: stage the typed 0-row sentinel so the layout
+        # stays readable (a partitioned dir with zero data files cannot be
+        # re-read); upsert routes back through the static write on it
+        keep.write.parquet(commit.stage("postings"))
+        commit.swap("postings", "postings")
+    commit.promote()
     return int(n_removed)
 
 
@@ -228,6 +259,23 @@ def _any_partition_dirs(spark: SparkSession, base_path: str, part_col: str) -> b
         if st.isDirectory() and st.getPath().getName().startswith(prefix):
             return True
     return False
+
+
+def _partition_dir_names(
+    spark: SparkSession, base_path: str, part_col: str
+) -> list[str]:
+    """Names of the ``part_col=`` child directories of ``base_path``
+    (e.g. ``["cell=3", "cell=7"]``) — one FS list call; used to decide
+    whether a staged delete leaves any live partition behind."""
+    fs, hpath = _hadoop_fs(spark, base_path)
+    if not fs.exists(hpath):
+        return []
+    prefix = f"{part_col}="
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
 
 
 def _clear_emptied_partitions(

@@ -79,7 +79,9 @@ def _postings_from(base: DataFrame, id_col: str, n_buckets: int, positions: bool
     )
 
 
-def _write_terms_rollup(spark: SparkSession, path: str, terms_df: DataFrame) -> None:
+def _write_terms_rollup(
+    spark: SparkSession, path: str, terms_df: DataFrame, target: str | None = None
+) -> None:
     """Write ``<path>/terms`` — the ``(term, df)`` rollup — range-partitioned
     and sorted by term, so a pushed ``startswith`` predicate prunes both
     whole files (range partitioner) and row groups (string min/max stats).
@@ -90,7 +92,7 @@ def _write_terms_rollup(spark: SparkSession, path: str, terms_df: DataFrame) -> 
         F.col("term"), F.col("df").cast("bigint").alias("df")
     ).repartitionByRange("term").sortWithinPartitions("term").write.mode(
         "overwrite"
-    ).parquet(f"{path}/terms")
+    ).parquet(target if target is not None else f"{path}/terms")
 
 
 def _rebuild_terms_rollup(spark: SparkSession, path: str, id_col: str) -> None:
@@ -109,16 +111,29 @@ def _advance_terms_rollup(
     added: DataFrame | None,
     removed: DataFrame | None,
     id_col: str,
+    target: str | None = None,
+    rebuild_from: DataFrame | None = None,
 ) -> None:
     """Advance ``<path>/terms`` by the exact per-term delta — the same
     discipline the 1-row stats use for ``sum_dl``.  ``added`` / ``removed``
     are ``(term, n)`` counts of inserted / vanished (term, doc) pairs
     (batch-sized: victims' old postings and the delta's new postings).
-    Falls back to a full rebuild for a pre-rollup index."""
+    ``target`` redirects the write (staged commits).  Falls back to a full
+    rebuild for a pre-rollup index — from ``rebuild_from`` (a
+    postings-shaped frame reflecting the POST-op state) when staging means
+    the live postings aren't promoted yet."""
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
     if not hadoop_path_exists(spark, f"{path}/terms"):
-        _rebuild_terms_rollup(spark, path, id_col)
+        if rebuild_from is not None:
+            _write_terms_rollup(
+                spark,
+                path,
+                rebuild_from.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
+                target=target,
+            )
+        else:
+            _rebuild_terms_rollup(spark, path, id_col)
         return
     old = spark.read.parquet(f"{path}/terms")
     net = None
@@ -141,7 +156,7 @@ def _advance_terms_rollup(
         # (vocabulary-sized; same pattern as the postings merges)
         .localCheckpoint()
     )
-    _write_terms_rollup(spark, path, merged)
+    _write_terms_rollup(spark, path, merged, target=target)
 
 
 def _dedupe_delta(delta: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -213,7 +228,11 @@ def build_text_index(
 
 
 def _write_stats_from(
-    spark: SparkSession, path: str, doclens_df: DataFrame, n_buckets: int
+    spark: SparkSession,
+    path: str,
+    doclens_df: DataFrame,
+    n_buckets: int,
+    target: str | None = None,
 ) -> None:
     """Write the 1-row ``stats`` relation ``(n_docs, avgdl, sum_dl,
     n_buckets)`` from the given doclens relation in ONE fused agg+write
@@ -229,7 +248,7 @@ def _write_stats_from(
         F.avg("dl").alias("avgdl"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
         F.lit(n_buckets).cast("int").alias("n_buckets"),
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    ).write.mode("overwrite").parquet(target if target is not None else f"{path}/stats")
 
 
 def _check_n_buckets(spark: SparkSession, path: str, n_buckets: int, op: str) -> None:
@@ -287,19 +306,22 @@ def upsert_text_index(
       hash anywhere).  At 100 TB keep a doc→buckets directory relation
       beside the index, as with the IVF key→cell map;
     - rewrite: ONLY affected postings buckets (new terms' ∪ victims') and
-      affected doclens id-buckets via dynamic partition overwrite;
+      affected doclens id-buckets — staged under ``<path>/.staging-*`` and
+      promoted by journaled renames (``sources/staging.py``), so a crash
+      at any point leaves the old index serving bit-identical results;
     - stats: recomputed from the post-merge doclens (a metadata-sized
-      aggregate) and rewritten — the 1-row relation every query broadcasts.
+      aggregate) and swapped in with the same commit.
 
     After the upsert, queries answer bit-identically to a fresh
     ``build_text_index`` over (base ∖ replaced) ∪ delta — test-pinned and
     replayed by the DuckDB oracle.
     """
-    from azuredatalakeindexer_spark.sources.ann_index import (
-        _clear_emptied_partitions,
-        _dynamic_overwrite,
+    from azuredatalakeindexer_spark.sources.staging import (
+        StagedCommit,
+        recover_staged,
     )
 
+    recover_staged(spark, path)
     _require_unsegmented(spark, path, "upsert_text_index")
     _check_n_buckets(spark, path, n_buckets, "upsert_text_index")
     toks = tokens(F.col(text_col))
@@ -349,29 +371,35 @@ def upsert_text_index(
     merged = keep.unionByName(
         new_postings.select(*vcols, "bucket")
     ).localCheckpoint()
+    # every relation's new version is STAGED under <path>/.staging-<id>
+    # and promoted by one journaled rename pass at the end — a crash at
+    # any earlier point leaves the live index byte-identical (the staged
+    # dir is invisible to readers and GC'd by the next maintenance op)
+    commit = StagedCommit(spark, path)
     base_empty = old_postings.isEmpty()  # delete-all left a 0-row sentinel layout
     if base_empty:
-        # static overwrite replaces the unpartitioned sentinel with a clean
-        # partitioned layout (a dynamic write on top of it would mix root
-        # files with bucket= directories and break partition discovery)
-        merged.repartition("bucket").sortWithinPartitions("term").write.mode("overwrite").partitionBy(
+        # whole-dir swap replaces the unpartitioned sentinel with a clean
+        # partitioned layout
+        merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
             "bucket"
-        ).parquet(postings_path)
+        ).parquet(commit.stage("postings"))
+        commit.swap("postings", "postings")
     else:
-        # a victim bucket whose postings ALL belonged to replaced docs whose
-        # new terms hash elsewhere ends up with zero surviving rows — dynamic
-        # overwrite would skip it and keep the stale postings on disk
+        # stage only the affected buckets; at promote time present buckets
+        # swap in and a victim bucket whose postings ALL belonged to
+        # replaced docs whose new terms hash elsewhere (zero survivors)
+        # is removed
         present = [r["bucket"] for r in merged.select("bucket").distinct().collect()]
-        with _dynamic_overwrite(spark):
-            merged.repartition("bucket").sortWithinPartitions("term").write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(postings_path)
-        # emptied ∩ present = ∅: the overwrite never touches emptied buckets,
-        # so clearing after it succeeds is equivalent and keeps stale-but-
-        # present data if the write fails (single-writer assumed)
-        _clear_emptied_partitions(spark, postings_path, "bucket", affected, present)
+        merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
+            "bucket"
+        ).parquet(commit.stage("postings"))
+        for b in affected:
+            if b in present:
+                commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
+            else:
+                commit.remove(f"postings/bucket={b}")
 
-    # doclens: same affected-partition rewrite keyed by the id-hash bucket
+    # doclens: same affected-partition staging keyed by the id-hash bucket
     doclens_path = f"{path}/doclens"
     new_lens = base.select(
         F.col(id_col),
@@ -388,29 +416,54 @@ def upsert_text_index(
     dmerged = dkeep.unionByName(new_lens).localCheckpoint()
     # gate on the DOCLENS relation's own emptiness, not the postings-derived
     # base_empty: a base whose surviving docs are all zero-token has empty
-    # postings but non-empty doclens, and a static overwrite here would drop
+    # postings but non-empty doclens, and a whole-dir swap here would drop
     # doclens rows in unaffected dbuckets
     doclens_empty = spark.read.parquet(doclens_path).isEmpty()
+    dmerged.repartition("dbucket").write.partitionBy("dbucket").parquet(
+        commit.stage("doclens")
+    )
     if doclens_empty:
-        dmerged.repartition("dbucket").write.mode("overwrite").partitionBy(
-            "dbucket"
-        ).parquet(doclens_path)
+        commit.swap("doclens", "doclens")
     else:
-        with _dynamic_overwrite(spark):
-            dmerged.repartition("dbucket").write.mode("overwrite").partitionBy(
-                "dbucket"
-            ).parquet(doclens_path)
+        # every daffected dbucket carries new_lens rows, so none empties
+        for b in daffected:
+            commit.swap(f"doclens/dbucket={b}", f"doclens/dbucket={b}")
 
-    _write_stats_from(spark, path, spark.read.parquet(doclens_path), n_buckets)
+    # stats from the POST-state doclens: unaffected live rows ∪ the staged
+    # merge (the live read happens pre-promote and those rows don't move)
+    stats_src = (
+        dmerged
+        if doclens_empty
+        else spark.read.parquet(doclens_path)
+        .where(~F.col("dbucket").isin(daffected))
+        .select(id_col, "dl", "dbucket")
+        .unionByName(dmerged)
+    )
+    _write_stats_from(spark, path, stats_src, n_buckets, target=commit.stage("stats"))
+    commit.swap("stats", "stats")
     # exact (term, df) delta: the delta's new pairs minus the victims' old
-    # pairs — both batch-sized frames already materialized above
+    # pairs — both batch-sized frames already materialized above.  The
+    # pre-rollup rebuild derives from the post-state postings (unaffected
+    # live buckets ∪ the staged merge)
+    rebuild_src = (
+        merged.select("term")
+        if base_empty
+        else spark.read.parquet(postings_path)
+        .where(~F.col("bucket").isin(affected))
+        .select("term")
+        .unionByName(merged.select("term"))
+    )
     _advance_terms_rollup(
         spark,
         path,
         added=new_postings.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
         removed=victims.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
         id_col=id_col,
+        target=commit.stage("terms"),
+        rebuild_from=rebuild_src,
     )
+    commit.swap("terms", "terms")
+    commit.promote()
     return statuses
 
 
@@ -616,26 +669,30 @@ def delete_from_text_index(
     documents actually removed.
 
     Same affected-partition shape as the upsert: victims are located via
-    the column-pruned (id, bucket) projection semi-joined against the
-    broadcast id set, only their buckets (postings AND doclens) are
-    rewritten with the victims anti-joined out — a bucket whose survivors
-    are empty is explicitly cleared (dynamic overwrite alone would skip
-    it) — and the 1-row stats refresh from the post-delete doclens.
-    Removal is counted from the doclens side (every doc has a doclens row;
-    a zero-token doc has no postings).  Deleting an absent id is a no-op
-    (idempotent — redelivered delete events are harmless).
+    the column-pruned (term, id, bucket) projection semi-joined against
+    the id set, only their buckets (postings AND doclens) are rewritten
+    with the victims anti-joined out, and the 1-row stats refresh from the
+    post-delete doclens.  All new directory versions are staged under
+    ``<path>/.staging-*`` and promoted by journaled renames
+    (``sources/staging.py``) — a crash at any point leaves the old index
+    serving bit-identical results; a bucket whose survivors are empty is
+    removed at promote time.  Removal is counted from the doclens side
+    (every doc has a doclens row; a zero-token doc has no postings).
+    Deleting an absent id is a no-op (idempotent — redelivered delete
+    events are harmless).
 
     ``broadcast_ids=True`` is the incremental default.  For bulk purges
     whose id set is not driver-broadcastable (~10⁷ ids for a 1% batch of a
     10⁹-doc corpus) pass ``False``: every victim lookup / anti-join becomes
     a shuffled join, mirroring ``merge_upsert(broadcast_batch_keys=False)``.
     """
-    from azuredatalakeindexer_spark.sources.ann_index import (
-        _any_partition_dirs,
-        _clear_emptied_partitions,
-        _dynamic_overwrite,
+    from azuredatalakeindexer_spark.sources.ann_index import _partition_dir_names
+    from azuredatalakeindexer_spark.sources.staging import (
+        StagedCommit,
+        recover_staged,
     )
 
+    recover_staged(spark, path)
     _require_unsegmented(spark, path, "delete_from_text_index")
     _check_n_buckets(spark, path, n_buckets, "delete_from_text_index")
     ids = doc_ids.select(id_col).distinct().localCheckpoint()
@@ -670,6 +727,7 @@ def delete_from_text_index(
     # build write when it sees the empty base
     index_emptied = _srow["n_docs"] == 0
 
+    commit = StagedCommit(spark, path)
     postings_path = f"{path}/postings"
     old_postings = spark.read.parquet(postings_path)
     vcols = _postings_cols(old_postings, id_col)  # carries pos on positional indexes
@@ -681,6 +739,7 @@ def delete_from_text_index(
         .localCheckpoint()
     )
     affected = [r["bucket"] for r in victims.select("bucket").distinct().collect()]
+    keep = None
     if affected:
         keep = (
             spark.read.parquet(postings_path)
@@ -690,29 +749,27 @@ def delete_from_text_index(
             .localCheckpoint()
         )
         present = [r["bucket"] for r in keep.select("bucket").distinct().collect()]
-        if index_emptied:
-            keep.write.mode("overwrite").parquet(postings_path)
-        elif present:
-            with _dynamic_overwrite(spark):
-                keep.repartition("bucket").sortWithinPartitions("term").write.mode("overwrite").partitionBy(
+        survivors_elsewhere = bool(
+            set(_partition_dir_names(spark, postings_path, "bucket"))
+            - {f"bucket={b}" for b in affected}
+        )
+        if index_emptied or (not present and not survivors_elsewhere):
+            # every doc deleted — or every token-bearing doc deleted while
+            # zero-token docs remain: the layout would lose its last data
+            # file, so stage the typed 0-row unpartitioned sentinel
+            # (upsert routes back through the static build write on it)
+            keep.write.parquet(commit.stage("postings"))
+            commit.swap("postings", "postings")
+        else:
+            if present:
+                keep.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
                     "bucket"
-                ).parquet(postings_path)
-        # present empty but other buckets survive: nothing to write, only the
-        # emptied victim dirs below need clearing.  The clear runs AFTER the
-        # write: emptied ∩ present = ∅ so the dynamic overwrite never touches
-        # those dirs, and the static sentinel write replaces the whole layout
-        # anyway — ordering this way keeps stale-but-present data if the
-        # write fails (single-writer assumed)
-        _clear_emptied_partitions(spark, postings_path, "bucket", affected, present)
-        if not index_emptied and not present and not _any_partition_dirs(
-            spark, postings_path, "bucket"
-        ):
-            # every token-bearing doc was deleted but zero-token docs remain:
-            # doclens keeps rows (so index_emptied stays False) while the
-            # postings layout just lost its LAST data file — a partitioned
-            # dir with zero files cannot be re-read, so drop to the same
-            # typed 0-row unpartitioned sentinel the delete-all path writes
-            keep.write.mode("overwrite").parquet(postings_path)
+                ).parquet(commit.stage("postings"))
+            for b in affected:
+                if b in present:
+                    commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
+                else:
+                    commit.remove(f"postings/bucket={b}")
 
     if daffected:
         dkeep = (
@@ -724,29 +781,46 @@ def delete_from_text_index(
         )
         dpresent = [r["dbucket"] for r in dkeep.select("dbucket").distinct().collect()]
         if index_emptied:
-            dkeep.write.mode("overwrite").parquet(doclens_path)
-        elif dpresent:
-            with _dynamic_overwrite(spark):
-                dkeep.repartition("dbucket").write.mode("overwrite").partitionBy(
-                    "dbucket"
-                ).parquet(doclens_path)
-        # clear emptied dirs after the write succeeds (same rationale as the
-        # postings clear above)
-        _clear_emptied_partitions(spark, doclens_path, "dbucket", daffected, dpresent)
+            dkeep.write.parquet(commit.stage("doclens"))
+            commit.swap("doclens", "doclens")
+        else:
+            if dpresent:
+                dkeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
+                    commit.stage("doclens")
+                )
+            for b in daffected:
+                if b in dpresent:
+                    commit.swap(f"doclens/dbucket={b}", f"doclens/dbucket={b}")
+                else:
+                    commit.remove(f"doclens/dbucket={b}")
 
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    stats.write.parquet(commit.stage("stats"))
+    commit.swap("stats", "stats")
     if index_emptied:
-        spark.createDataFrame([], "term string, df bigint").write.mode(
-            "overwrite"
-        ).parquet(f"{path}/terms")
+        spark.createDataFrame([], "term string, df bigint").write.parquet(
+            commit.stage("terms")
+        )
     else:
+        # post-state postings for the pre-rollup rebuild fallback:
+        # unaffected live buckets ∪ the staged survivors
+        rebuild_src = (
+            old_postings.where(~F.col("bucket").isin(affected)).select("term")
+            if not affected
+            else old_postings.where(~F.col("bucket").isin(affected))
+            .select("term")
+            .unionByName(keep.select("term"))
+        )
         _advance_terms_rollup(
             spark,
             path,
             added=None,
             removed=victims.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
             id_col=id_col,
+            target=commit.stage("terms"),
+            rebuild_from=rebuild_src,
         )
+    commit.swap("terms", "terms")
+    commit.promote()
     return int(n_removed)
 
 

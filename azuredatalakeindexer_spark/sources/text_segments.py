@@ -375,17 +375,23 @@ def _read_segstats(
 
 
 def _write_stats(
-    spark: SparkSession, path: str, n_docs: int, sum_dl: int, n_buckets: int | None
+    spark: SparkSession,
+    path: str,
+    n_docs: int,
+    sum_dl: int,
+    n_buckets: int | None,
+    target: str | None = None,
 ) -> None:
     """Advance the 1-row stats relation from the exact bigint running
     values, carrying the ``n_buckets`` layout pin forward.  avgdl =
     sum_dl/n_docs is the same long-sum/count division ``avg(dl)``
-    performs, so scores stay bit-identical to a fresh build."""
+    performs, so scores stay bit-identical to a fresh build.  ``target``
+    redirects the write into a staged commit."""
     avgdl = (sum_dl / n_docs) if n_docs else None
     spark.createDataFrame(
         [(n_docs, avgdl, sum_dl, n_buckets)],
         "n_docs bigint, avgdl double, sum_dl bigint, n_buckets int",
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    ).write.mode("overwrite").parquet(target if target is not None else f"{path}/stats")
 
 
 def upsert_text_index_segmented(
@@ -410,11 +416,16 @@ def upsert_text_index_segmented(
     scale an upsert is pure scheduling overhead, and at 100 TB the data
     cost is O(batch) either way.
     """
+    from azuredatalakeindexer_spark.sources.staging import (
+        StagedCommit,
+        recover_staged,
+    )
     from azuredatalakeindexer_spark.sources.text_index import (
         _check_n_buckets,
         _dedupe_delta,
     )
 
+    recover_staged(spark, path)
     _check_n_buckets(spark, path, n_buckets, "upsert_text_index_segmented")
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
@@ -445,19 +456,23 @@ def upsert_text_index_segmented(
         .alias("status"),
     )
 
-    seg_dir = _seg_dir(path, new_seg)
     from azuredatalakeindexer_spark.sources.text_index import _postings_from
 
+    # stage the WHOLE segment + the stats refresh, promote in one
+    # journaled rename pass: a crash mid-write leaves no partial seg=K
+    # directory for list_segments to pick up and no stats drift
+    commit = StagedCommit(spark, path)
     # a positional base gets positional segments (pos rides through the
     # LWW resolution and compaction unchanged)
     has_pos = "pos" in spark.read.parquet(f"{path}/postings").columns
     new_postings = _postings_from(base, id_col, n_buckets, positions=has_pos)
-    new_postings.repartition("bucket").sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{seg_dir}/postings")
-    enriched.select(id_col, "dl", "dbucket").repartition("dbucket").write.mode(
-        "overwrite"
-    ).partitionBy("dbucket").parquet(f"{seg_dir}/doclens")
+    new_postings.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
+        "bucket"
+    ).parquet(f"{commit.stage('seg')}/postings")
+    enriched.select(id_col, "dl", "dbucket").repartition("dbucket").write.partitionBy(
+        "dbucket"
+    ).parquet(f"{commit.stage('seg')}/doclens")
+    commit.swap("seg", f"segments/seg={new_seg}")
 
     # exact stats delta: replaced docs swap their dl, created docs add one
     n_docs, sum_dl, _pin = _read_segstats(spark, path, id_col)
@@ -472,7 +487,10 @@ def upsert_text_index_segmented(
         n_docs + int(agg["created"]),
         sum_dl + int(agg["added_dl"]) - int(agg["removed_dl"]),
         _pin if _pin is not None else n_buckets,
+        target=commit.stage("stats"),
     )
+    commit.swap("stats", "stats")
+    commit.promote()
     return statuses
 
 
@@ -496,6 +514,12 @@ def delete_from_text_index_segmented(
     a shuffled left-semi join (both sides hash-partition on the id), the
     same fallback ``merge_upsert(broadcast_batch_keys=False)`` provides.
     """
+    from azuredatalakeindexer_spark.sources.staging import (
+        StagedCommit,
+        recover_staged,
+    )
+
+    recover_staged(spark, path)
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
@@ -512,12 +536,22 @@ def delete_from_text_index_segmented(
     stats = victims.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).first()
     # tombstone only the ACTUAL victims: absent ids carry no information,
     # and dropping them keeps redelivered mixed batches from resurrecting
-    # nothing while still shrinking the tombstone relation to live hits
-    victims.select(id_col).write.mode("overwrite").parquet(
-        f"{_seg_dir(path, new_seg)}/tombstones"
-    )
+    # nothing while still shrinking the tombstone relation to live hits.
+    # Segment + stats are staged and promoted together (journaled renames)
+    commit = StagedCommit(spark, path)
+    victims.select(id_col).write.parquet(f"{commit.stage('seg')}/tombstones")
+    commit.swap("seg", f"segments/seg={new_seg}")
     n_docs, sum_dl, _pin = _read_segstats(spark, path, id_col)
-    _write_stats(spark, path, n_docs - n_removed, sum_dl - int(stats["s"]), _pin)
+    _write_stats(
+        spark,
+        path,
+        n_docs - n_removed,
+        sum_dl - int(stats["s"]),
+        _pin,
+        target=commit.stage("stats"),
+    )
+    commit.swap("stats", "stats")
+    commit.promote()
     return int(n_removed)
 
 
@@ -535,13 +569,17 @@ def compact_text_index(
     logical corpus (test-pinned) and queries take the segment-free fast
     path again.  Returns the number of segments folded.
 
-    The resolved relations are ``localCheckpoint``-materialized before the
-    overwrite because the base directories being rewritten are inputs of
-    the resolution (same pattern as the in-place upsert; at 100 TB stage
-    through a scratch prefix + rename instead).
+    The new base is written under ``<path>/.staging-*`` and promoted by
+    journaled renames (``sources/staging.py``), so the live directories
+    are never inputs of their own overwrite and a crash at any point
+    leaves the segmented index intact.  The resolved relations are still
+    ``localCheckpoint``-materialized so the LSM resolution runs once, not
+    once per staged relation write.
     """
+    from azuredatalakeindexer_spark.sources.staging import recover_staged
     from azuredatalakeindexer_spark.sources.text_index import _check_n_buckets
 
+    recover_staged(spark, path)
     _check_n_buckets(spark, path, n_buckets, "compact_text_index")
     segs = list_segments(spark, path)
     if not segs:
@@ -560,40 +598,52 @@ def compact_text_index(
         )
         .localCheckpoint()
     )
+    # Everything below is STAGED and promoted by one journaled rename pass
+    # (postings, doclens, stats, terms swap in; segments/ is removed) — a
+    # crash at any point leaves the segmented index serving bit-identical
+    # results and the next op rolls the journal forward.
+    #
     # A fully-tombstoned (or all-zero-token) corpus resolves to 0-row
-    # relations, and a partitioned overwrite of a 0-row frame leaves a
+    # relations, and a partitioned write of a 0-row frame leaves a
     # directory with zero data files that cannot be re-read (schema
     # inference fails on every later query/upsert).  Mirror the in-place
-    # delete path: write the typed 0-row UNPARTITIONED sentinel instead,
+    # delete path: stage the typed 0-row UNPARTITIONED sentinel instead,
     # which upsert recognizes (isEmpty) and replaces with a static build
     # write.  Checked per relation — postings can empty while doclens
     # keeps rows (surviving docs all zero-token).
-    if merged.isEmpty():
-        merged.write.mode("overwrite").parquet(f"{path}/postings")
-    else:
-        merged.repartition("bucket").sortWithinPartitions("term").write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(f"{path}/postings")
-    if lens.isEmpty():
-        lens.write.mode("overwrite").parquet(f"{path}/doclens")
-    else:
-        lens.repartition("dbucket").write.mode("overwrite").partitionBy(
-            "dbucket"
-        ).parquet(f"{path}/doclens")
+    from azuredatalakeindexer_spark.sources.staging import StagedCommit
     from azuredatalakeindexer_spark.sources.text_index import (
         _write_stats_from,
         _write_terms_rollup,
     )
 
-    _write_stats_from(spark, path, lens, n_buckets)
+    commit = StagedCommit(spark, path)
+    if merged.isEmpty():
+        merged.write.parquet(commit.stage("postings"))
+    else:
+        merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
+            "bucket"
+        ).parquet(commit.stage("postings"))
+    commit.swap("postings", "postings")
+    if lens.isEmpty():
+        lens.write.parquet(commit.stage("doclens"))
+    else:
+        lens.repartition("dbucket").write.partitionBy("dbucket").parquet(
+            commit.stage("doclens")
+        )
+    commit.swap("doclens", "doclens")
+    _write_stats_from(spark, path, lens, n_buckets, target=commit.stage("stats"))
+    commit.swap("stats", "stats")
     # refresh the autocomplete rollup from the resolved live postings
     # (already checkpointed): after compaction the rollup is exact again
     # and segment-free suggest serves purely from it
     _write_terms_rollup(
-        spark, path, merged.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        spark,
+        path,
+        merged.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
+        target=commit.stage("terms"),
     )
-    fs, _ = _hadoop_fs(spark, path)
-    p = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/segments")
-    if fs.exists(p):
-        fs.delete(p, True)
+    commit.swap("terms", "terms")
+    commit.remove("segments")
+    commit.promote()
     return len(segs)

@@ -1,0 +1,180 @@
+"""Staged-commit atomicity for persisted-index maintenance
+(sources/staging.py): an aborted maintenance op must leave the OLD index
+serving bit-identical results, and a crash mid-promotion must roll
+forward deterministically from the journal."""
+
+from __future__ import annotations
+
+import os
+from unittest.mock import patch
+
+import pyspark.sql.functions as F
+import pytest
+
+import azuredatalakeindexer_spark.sources.staging as staging
+from azuredatalakeindexer_spark.sources.fixtures import load_table
+from azuredatalakeindexer_spark.sources.staging import (
+    StagedCommit,
+    recover_staged,
+)
+from azuredatalakeindexer_spark.sources.text_index import (
+    build_text_index,
+    delete_from_text_index,
+    query_text_index,
+    suggest_from_index,
+    upsert_text_index,
+)
+from azuredatalakeindexer_spark.sources.text_segments import (
+    compact_text_index,
+    list_segments,
+    upsert_text_index_segmented,
+)
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["merge", "query", "stream"]
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def _snapshot(spark, path):
+    """Full observable state of a text index: BM25 answers + suggestions."""
+    q = [tuple(r) for r in
+         query_text_index(spark, path, TERMS, k=20, n_buckets=16).collect()]
+    s = [tuple(r) for r in suggest_from_index(spark, path, "s", k=10).collect()]
+    return q, s
+
+
+def _staging_dirs(path):
+    return [d for d in os.listdir(path) if d.startswith(staging.STAGING_PREFIX)]
+
+
+def test_aborted_maintenance_leaves_old_index_bit_identical(spark, tmp_path):
+    """Kill every maintenance op BEFORE its promote: the live index must
+    keep serving exactly the pre-op results, and the next (successful) op
+    garbage-collects the orphaned staging dir."""
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    before = _snapshot(spark, path)
+
+    delta = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit("crashed write lost").alias("text")
+    )
+    dead = docs.select("doc_id").where(F.col("doc_id") % 7 == 0)
+
+    boom = RuntimeError("simulated crash before promote")
+    with patch.object(StagedCommit, "promote", side_effect=boom):
+        with pytest.raises(RuntimeError):
+            upsert_text_index(spark, path, delta, n_buckets=16)
+        assert _snapshot(spark, path) == before
+        with pytest.raises(RuntimeError):
+            delete_from_text_index(spark, path, dead, n_buckets=16)
+        assert _snapshot(spark, path) == before
+        with pytest.raises(RuntimeError):
+            upsert_text_index_segmented(spark, path, delta, n_buckets=16)
+        assert _snapshot(spark, path) == before
+        assert list_segments(spark, path) == []  # no partial segment
+    assert _staging_dirs(path)  # orphans exist ...
+    # ... and the next successful op recovers (deletes) them, then applies
+    upsert_text_index(spark, path, delta, n_buckets=16)
+    assert not _staging_dirs(path)
+    after = _snapshot(spark, path)
+    assert after != before
+    logical = docs.join(delta.select("doc_id"), "doc_id", "left_anti").unionByName(delta)
+    from azuredatalakeindexer_spark.operators.search import bm25_topk
+
+    assert after[0] == [tuple(r) for r in bm25_topk(logical, TERMS, k=20).collect()]
+
+
+def test_aborted_compaction_keeps_segmented_index_serving(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs.where(F.col("doc_id") >= 10), path, n_buckets=16)
+    upsert_text_index_segmented(
+        spark, path, docs.where(F.col("doc_id") < 10), n_buckets=16
+    )
+    before = _snapshot(spark, path)
+    with patch.object(StagedCommit, "promote", side_effect=RuntimeError("boom")):
+        with pytest.raises(RuntimeError):
+            compact_text_index(spark, path, n_buckets=16)
+    assert list_segments(spark, path) == [1]  # still segmented
+    assert _snapshot(spark, path) == before
+    # real compaction still works and answers identically
+    assert compact_text_index(spark, path, n_buckets=16) == 1
+    assert _snapshot(spark, path) == before
+    assert not _staging_dirs(path)
+
+
+def test_mid_promote_crash_rolls_forward_from_journal(spark, tmp_path):
+    """Crash AFTER the journal is written and only SOME swaps executed:
+    recover_staged completes the promotion exactly (the post-op state),
+    never a mix."""
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+
+    delta = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.lit("rolled forward fine").alias("text")
+    )
+    # expected post-state: run the same op on a clean copy
+    path2 = str(tmp_path / "expected")
+    build_text_index(docs, path2, n_buckets=16)
+    upsert_text_index(spark, path2, delta, n_buckets=16)
+    expected = _snapshot(spark, path2)
+
+    def partial_exec(spk, root, stage_dir, plan):
+        # execute only the first half of the swaps, then "crash" —
+        # PLAN.json is already durable on disk at this point, and the
+        # staging dir (journal + remaining staged data) stays behind
+        staging._apply_swaps(
+            spk, root, stage_dir,
+            plan["swaps"][: max(1, len(plan["swaps"]) // 2)],
+        )
+        raise RuntimeError("simulated crash mid-promotion")
+
+    with patch.object(staging, "_execute_plan", side_effect=partial_exec):
+        with pytest.raises(RuntimeError, match="mid-promotion"):
+            upsert_text_index(spark, path, delta, n_buckets=16)
+    assert _staging_dirs(path)
+    assert recover_staged(spark, path) == 1
+    assert not _staging_dirs(path)
+    assert _snapshot(spark, path) == expected
+
+
+def test_ivf_maintenance_abort_and_rollforward(spark, tmp_path):
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        query_ivf_index,
+        upsert_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+
+    def snap():
+        return [tuple(r) for r in
+                query_ivf_index(spark, path, q, k=5, n_probe=2).collect()]
+
+    before = snap()
+    ids = spark.range(5, 25).withColumnRenamed("id", "vec_id")
+    with patch.object(StagedCommit, "promote", side_effect=RuntimeError("boom")):
+        with pytest.raises(RuntimeError):
+            delete_from_ivf_index(spark, path, ids)
+        assert snap() == before
+        delta = emb.where(F.col("vec_id") < 5).select(
+            "vec_id", F.col("embedding")
+        )
+        with pytest.raises(RuntimeError):
+            upsert_ivf_index(spark, path, delta)
+        assert snap() == before
+    # successful delete applies and cleans the orphans
+    n = delete_from_ivf_index(spark, path, ids)
+    assert n == 20
+    assert not _staging_dirs(path)
+    after = snap()
+    assert all(r[1] not in range(5, 25) for r in after)
