@@ -322,6 +322,97 @@ def index_lifecycle_metrics(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def sustained_lsm_metrics(
+    spark, sf_dir: str, n_batches: int = 16, compact_every: int = 8
+) -> dict:
+    """Sustained segmented ingestion (VERDICT r7 next-#6): stream the
+    documents table into the LSM text index as ``n_batches`` micro-batches
+    (batch 0 builds, each later batch is an O(batch) segment upsert),
+    compacting whenever ``compact_every`` segments have accumulated — the
+    steady-state shape of continuous text ingestion at 100 TB.
+
+    Reports the full amortization curve, not one point: per-batch upsert
+    seconds (should stay flat — segment writes are O(batch), independent
+    of index size), query seconds AS A FUNCTION OF live segment count
+    (the LSM read tax), and each compaction's cost plus the query time
+    right after it (the reclaim).  Enabled via
+    ``SPARK_GRAFT_SUSTAINED_BATCHES=N`` (kept out of the per-round driver
+    bench — it is a scale study, not a headline query).
+    """
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        compact_text_index,
+        list_segments,
+        upsert_text_index_segmented,
+    )
+
+    out: dict = {
+        "n_batches": n_batches,
+        "compact_every": compact_every,
+        "upsert_sec": [],
+        "query_sec_by_segments": [],  # [live segment count, seconds]
+        "compactions": [],  # {"at_batch", "n_segments", "compact_sec", "query_after_sec"}
+    }
+    tmp = tempfile.mkdtemp(prefix="bench_sustained_")
+    path = f"{tmp}/ti"
+    terms = ["merge", "query", "stream"]
+
+    def timed(fn) -> float:
+        _release_session_state(spark)
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 3)
+
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        batch = F.pmod(F.hash("doc_id"), F.lit(n_batches))
+        build_text_index(docs.where(batch == 0), path, n_buckets=64)
+        for i in range(1, n_batches):
+            delta = docs.where(batch == i)
+            out["upsert_sec"].append(
+                timed(
+                    lambda d=delta: upsert_text_index_segmented(
+                        spark, path, d, n_buckets=64
+                    ).count()
+                )
+            )
+            nseg = len(list_segments(spark, path))
+            out["query_sec_by_segments"].append(
+                [
+                    nseg,
+                    timed(
+                        lambda: query_text_index(
+                            spark, path, terms, k=20, n_buckets=64
+                        ).count()
+                    ),
+                ]
+            )
+            if nseg >= compact_every:
+                c = timed(lambda: compact_text_index(spark, path, n_buckets=64))
+                q = timed(
+                    lambda: query_text_index(
+                        spark, path, terms, k=20, n_buckets=64
+                    ).count()
+                )
+                out["compactions"].append(
+                    {
+                        "at_batch": i,
+                        "n_segments": nseg,
+                        "compact_sec": c,
+                        "query_after_sec": q,
+                    }
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _release_session_state(spark) -> None:
     """Drop block-manager state a finished query left behind.
 
@@ -386,6 +477,17 @@ def main() -> None:
 
     recall = ann_recall_metrics(spark, sf_dir)
     lifecycle = index_lifecycle_metrics(spark, sf_dir)
+    n_sustained = int(os.environ.get("SPARK_GRAFT_SUSTAINED_BATCHES", "0") or 0)
+    sustained = (
+        sustained_lsm_metrics(
+            spark,
+            sf_dir,
+            n_batches=n_sustained,
+            compact_every=int(os.environ.get("SPARK_GRAFT_COMPACT_EVERY", "8")),
+        )
+        if n_sustained
+        else None
+    )
 
     # SPARK_GRAFT_SKIP_DUCKDB=1 skips the oracle timing pass — for large
     # scaled-SF runs where DuckDB's ngram/train_corpus oracles run for
@@ -398,7 +500,7 @@ def main() -> None:
     duck_total = round(sum(duck.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    detail_path = os.path.join(
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
     )
     detail = {
@@ -409,6 +511,7 @@ def main() -> None:
         "duckdb": duck,
         "ann_recall": recall,
         "index_lifecycle": lifecycle,
+        **({"sustained_lsm": sustained} if sustained else {}),
         "notes": {
             "indexer_run": "Spark side materializes a real JSON lake "
             "(one file per doc) and runs S3/S4 file reads end-to-end; "
@@ -454,6 +557,7 @@ def main() -> None:
                 "spark_vs_duckdb": round(total / duck_total, 3) if duck_total else None,
                 "ann_recall": recall,
                 "index_lifecycle": lifecycle,
+                **({"sustained_lsm": sustained} if sustained else {}),
                 "detail": "BENCH_detail.json",
                 "sf": sf,
             }

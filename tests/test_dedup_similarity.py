@@ -680,3 +680,30 @@ def test_filtered_ivf_prefilter_guarantees_k_from_filtered_set(spark):
     ).collect()
     assert len(filtered) == 5
     assert all(r["neighbor_id"] >= 20 for r in filtered)       # every match from the filtered set
+
+
+def test_learned_quantizer_holdout_recall_floor(spark):
+    """The honest quantizer comparison (VERDICT r7, accepted): on queries
+    DISJOINT from both quantizers' centroid sources, the learned (maxmin-
+    seeded k-means) coarse quantizer must stay within 0.05 recall@10 of
+    the first-k seed quantizer — pinned so the fair comparison cannot
+    silently regress (in-sample queries flatter the seed quantizer by
+    construction: each sits at the center of its own Voronoi cell)."""
+    from azuredatalakeindexer_spark.operators.similarity import (
+        ann_recall,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    q_ho = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    bf = brute_force_topk(emb, q_ho, k=10).cache()
+    bf.count()
+    learned = kmeans_centroids(emb, k=32, iters=8)
+    seed_rec = ann_recall(bf, ivf_topk(emb, q_ho, k=10, n_centroids=32, n_probe=4))
+    learned_rec = ann_recall(
+        bf, ivf_topk(emb, q_ho, k=10, n_centroids=32, n_probe=4, centroids=learned)
+    )
+    assert learned_rec >= seed_rec - 0.05, (learned_rec, seed_rec)
+    bf.unpersist()
+    emb.unpersist()

@@ -54,6 +54,8 @@ SKIP = {
     "text_index_delete_topk",
     "text_index_lsm_topk",
     "text_index_phrase_topk",
+    "text_index_near_topk",      # builds the temp positional index at plan-build time
+    "text_index_near_unordered",
     "text_index_suggest",
     "saved_hybrid_search",
     "ann_upsert_topk",

@@ -50,6 +50,60 @@ AUDIT = [
 ]
 
 
+def _suggest_df(spark, sf):
+    """Steady-state index-served autocomplete: the scan set must be ONLY
+    the vocabulary-sized <index>/terms rollup (term-range-partitioned and
+    sorted, so the pushed StartsWith prunes files + row groups) — no
+    postings, doclens, or corpus files."""
+    import tempfile
+
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        suggest_from_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="audit_sugg_")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    build_text_index(docs, root, n_buckets=64)
+    return suggest_from_index(spark, root, "s", k=10)
+
+
+def _near_index_df(spark, sf):
+    """Index-served NEAR: static bucket PartitionFilters + pushed term IN
+    on the positional postings; pair count is a per-doc array aggregate;
+    stats/df are 1-row broadcasts; top-k is TakeOrderedAndProject."""
+    import tempfile
+
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_near_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="audit_near_")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    build_text_index(docs, root, n_buckets=64, positions=True)
+    return query_near_index(spark, root, "merge", "stream", slop=2, k=20, n_buckets=64)
+
+
+#: plan audits that need a persisted index built first (the registered
+#: queries() wrappers return a _persisted read whose plan is just the
+#: result scan; these audit the SERVING plan itself)
+CUSTOM = [
+    (
+        "text_index_suggest (serving plan)",
+        "autocomplete from the persisted terms rollup — scan set is ONLY <index>/terms",
+        _suggest_df,
+    ),
+    (
+        "text_index_near_topk (serving plan)",
+        "index-served NEAR: bucket-pruned positional postings, 1-row stats broadcasts",
+        _near_index_df,
+    ),
+]
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
@@ -62,8 +116,10 @@ def main() -> None:
         "join strategies and exchanges Catalyst chose, then the formatted plan.",
         "",
     ]
-    for name, note in AUDIT:
-        df = qs[name](spark, sf)
+    audits = [(n, note, lambda s, d, _n=n: qs[_n](s, d)) for n, note in AUDIT]
+    audits += [(n, note, fn) for n, note, fn in CUSTOM]
+    for name, note, make_df in audits:
+        df = make_df(spark, sf)
         qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString()
         joins = sorted(set(re.findall(
@@ -79,6 +135,17 @@ def main() -> None:
         out.append(f"- joins: {joins or 'none'}; shuffles: {exch}")
         if pushed:
             out.append(f"- {pushed[0]}…")
+        if "(serving plan)" in name:
+            # which index relations does the scan set actually touch?
+            rels = sorted(
+                {
+                    m.group(1)
+                    for f in df.inputFiles()
+                    for m in [re.search(r"audit_[a-z]+_[^/]+/([a-z]+)", f)]
+                    if m
+                }
+            )
+            out.append(f"- scanned index relations: {rels}")
         out.append("")
         out.append("```")
         formatted = qe.explainString(
