@@ -68,6 +68,7 @@ def upsert_ivf_index(
     delta: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_ids: bool = True,
 ) -> DataFrame:
     """MergeOrUpload into a saved IVF index: new ids are inserted, existing
     ids replaced (last write wins) — the reference's batch-upsert contract
@@ -96,6 +97,10 @@ def upsert_ivf_index(
       journaled renames (``sources/staging.py``), so a crash at any point
       leaves the old index serving bit-identical results (test-pinned);
       untouched cell directories are never read or written.
+
+    ``broadcast_ids=False`` switches every delta-id lookup to a shuffled
+    join for rebuild-sized batches whose id set is not
+    driver-broadcastable (mirrors ``merge_upsert(broadcast_batch_keys=False)``).
     """
     from azuredatalakeindexer_spark.sources.staging import (
         StagedCommit,
@@ -110,8 +115,9 @@ def upsert_ivf_index(
     postings_path = f"{path}/postings"
     old_keys = spark.read.parquet(postings_path).select(id_col, "cell")
     delta_ids = dl.select(id_col)
+    dkeys = F.broadcast(delta_ids) if broadcast_ids else delta_ids
     # stale versions of replaced ids (their cell may differ from the new one)
-    victims = old_keys.join(F.broadcast(delta_ids), id_col, "left_semi")
+    victims = old_keys.join(dkeys, id_col, "left_semi")
     affected = [
         r["cell"]
         for r in assigned.select("cell")
@@ -119,8 +125,9 @@ def upsert_ivf_index(
         .distinct()
         .collect()
     ]
+    vkeys = victims.select(id_col).distinct().withColumn("_old", F.lit(1))
     statuses = dl.select(id_col).join(
-        F.broadcast(victims.select(id_col).distinct().withColumn("_old", F.lit(1))),
+        F.broadcast(vkeys) if broadcast_ids else vkeys,
         id_col,
         "left",
     ).select(
@@ -131,7 +138,7 @@ def upsert_ivf_index(
     keep = (
         spark.read.parquet(postings_path)
         .where(F.col("cell").isin(affected))
-        .join(F.broadcast(delta_ids), id_col, "left_anti")
+        .join(dkeys, id_col, "left_anti")
         .select(id_col, vec_col, "cell")
     )
     merged = keep.unionByName(assigned.select(id_col, vec_col, "cell")).localCheckpoint()
@@ -167,12 +174,15 @@ def delete_from_ivf_index(
     path: str,
     vec_ids: DataFrame,
     id_col: str = "vec_id",
+    broadcast_ids: bool = True,
 ) -> int:
     """Remove vectors from the saved IVF index — the reference's
     deleted-blob handling (J2, `PathIndexerFunc.cs` BlobDeleted path)
     applied to the vector index, completing the MergeOrUpload/Delete pair
     `upsert_ivf_index` started.  Returns the number of vectors removed;
     deleting an absent id is a no-op (idempotent on redelivered events).
+    ``broadcast_ids=False``: shuffled-join fallback for bulk purges (same
+    contract as the text-index deletes).
 
     Same cell-bounded shape as the upsert: victims are located via the
     column-pruned (id, cell) projection semi-joined against the broadcast
@@ -193,16 +203,17 @@ def delete_from_ivf_index(
 
     recover_staged(spark, path)
     ids = vec_ids.select(id_col).distinct().localCheckpoint()
+    keys = F.broadcast(ids) if broadcast_ids else ids
     postings_path = f"{path}/postings"
     old = spark.read.parquet(postings_path)
-    victims = old.select(id_col, "cell").join(F.broadcast(ids), id_col, "left_semi")
+    victims = old.select(id_col, "cell").join(keys, id_col, "left_semi")
     affected = [r["cell"] for r in victims.select("cell").distinct().collect()]
     n_removed = victims.select(id_col).distinct().count()
     if not affected:
         return 0
     keep = (
         old.where(F.col("cell").isin(affected))
-        .join(F.broadcast(ids), id_col, "left_anti")
+        .join(keys, id_col, "left_anti")
         .localCheckpoint()
     )
     present = [r["cell"] for r in keep.select("cell").distinct().collect()]

@@ -353,8 +353,28 @@ def upsert_text_index(
         .distinct()
         .collect()
     ]
+    # statuses are judged from the DOCLENS side, not the postings victims:
+    # every existing doc has a doclens row, but a zero-token doc has no
+    # postings and a postings-side lookup would misreport its replacement
+    # as 201-created (the segmented path already judges from doclens —
+    # same contract, test-pinned equal).  dbucket-pruned like its alive
+    # lookup: only the batch's id-hash partitions can collide.
+    delta_dbuckets = [
+        r["b"]
+        for r in base.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    existing_ids = (
+        spark.read.parquet(f"{path}/doclens")
+        .where(F.col("dbucket").isin(delta_dbuckets))
+        .select(id_col)
+        .join(F.broadcast(delta_ids), id_col, "left_semi")
+    )
     statuses = delta_ids.join(
-        F.broadcast(victims.select(id_col).distinct().withColumn("_old", F.lit(1))),
+        F.broadcast(existing_ids.withColumn("_old", F.lit(1))),
         id_col,
         "left",
     ).select(

@@ -481,3 +481,48 @@ def test_delete_from_ivf_index_matches_fresh_rebuild(spark, tmp_path):
     st = {r["status"] for r in upsert_ivf_index(spark, path, emb.limit(20)).collect()}
     assert st == {201}
     assert query_ivf_index(spark, path, q, k=5, n_probe=2).count() > 0
+
+
+def test_ivf_maintenance_shuffled_fallback(spark, tmp_path):
+    """broadcast_ids=False on the IVF upsert/delete: no broadcast hint
+    anywhere on the id-lookup path (bulk-purge fallback), results
+    unchanged."""
+    from unittest.mock import patch
+
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        query_ivf_index,
+        upsert_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.where(F.col("vec_id") >= 10), path, n_centroids=8)
+
+    calls = []
+    orig = F.broadcast
+
+    def spy(df):
+        calls.append(df)
+        return orig(df)
+
+    delta = emb.where(F.col("vec_id") < 10)
+    with patch.object(F, "broadcast", side_effect=spy):
+        st = upsert_ivf_index(spark, path, delta, broadcast_ids=False)
+        assert {r["status"] for r in st.collect()} == {201}
+        assert (
+            delete_from_ivf_index(
+                spark, path, delta.select("vec_id"), broadcast_ids=False
+            )
+            == 10
+        )
+    # assign_cells broadcasts the model-sized centroids (always fine);
+    # no BATCH-ID frame may be broadcast on the fallback path
+    for df in calls:
+        assert "cvec" in df.columns or "cid" in df.columns, df.columns
+    q = emb.where(F.col("vec_id") < 3)
+    out = query_ivf_index(spark, path, q, k=5, n_probe=2)
+    assert out.count() > 0

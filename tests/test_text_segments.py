@@ -786,3 +786,29 @@ def test_near_index_parity_through_full_lifecycle(spark, tmp_path):
     build_text_index(_docs(spark).limit(20), flat, n_buckets=16)
     with _pytest.raises(ValueError, match="POSITIONAL"):
         qni(spark, flat, "merge", "stream", n_buckets=16)
+
+
+def test_zero_token_doc_replacement_reports_200_on_both_paths(spark, tmp_path):
+    """Statuses are judged from the doclens side: replacing an existing
+    ZERO-TOKEN doc (doclens row, no postings) must report 200-modified on
+    both maintenance paths — a postings-side victim lookup would
+    misreport it as 201-created."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "gamma")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(2, "revived words"), (4, "brand new")], "doc_id long, text string"
+    )
+    for mode in ("inplace", "segmented"):
+        path = str(tmp_path / mode)
+        build_text_index(docs, path, n_buckets=16)
+        if mode == "inplace":
+            st = upsert_text_index(spark, path, delta, n_buckets=16)
+        else:
+            st = upsert_text_index_segmented(spark, path, delta, n_buckets=16)
+        got = {r["doc_id"]: r["status"] for r in st.collect()}
+        assert got == {2: 200, 4: 201}, (mode, got)
+        # and the merged index answers over the logical corpus
+        logical = docs.join(delta.select("doc_id"), "doc_id", "left_anti").unionByName(delta)
+        assert _rows(query_text_index(spark, path, ["revived", "alpha"], k=10, n_buckets=16)) == \
+            _rows(bm25_topk(logical, ["revived", "alpha"], k=10))
