@@ -178,3 +178,63 @@ def test_ivf_maintenance_abort_and_rollforward(spark, tmp_path):
     assert not _staging_dirs(path)
     after = snap()
     assert all(r[1] not in range(5, 25) for r in after)
+
+
+def test_crash_at_every_swap_index_rolls_forward_exactly(spark, tmp_path):
+    """Exhaustive crash-point sweep: for EVERY prefix length k of the
+    promotion journal (0 = crash right after the journal is durable,
+    n = crash just before cleanup), executing k swaps, 'crashing', and
+    recovering must land on exactly the post-op state — never a mix.
+    Uses a small in-place upsert (postings partition swaps + doclens +
+    stats + terms whole-dir swaps — every swap kind)."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 3} beta") for i in range(12)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(3, "gamma delta"), (99, "alpha gamma")], "doc_id long, text string"
+    )
+
+    # expected post-state snapshot from a clean run
+    clean = str(tmp_path / "clean")
+    build_text_index(docs, clean, n_buckets=8)
+    upsert_text_index(spark, clean, delta, n_buckets=8)
+    expected = _snapshot_b8(spark, clean)
+
+    # count the journal's swaps once
+    lens = []
+    real_exec = staging._execute_plan
+
+    def count_exec(spk, root, stage_dir, plan):
+        lens.append(len(plan["swaps"]))
+        return real_exec(spk, root, stage_dir, plan)
+
+    probe = str(tmp_path / "probe")
+    build_text_index(docs, probe, n_buckets=8)
+    with patch.object(staging, "_execute_plan", side_effect=count_exec):
+        upsert_text_index(spark, probe, delta, n_buckets=8)
+    n_swaps = lens[0]
+    assert n_swaps >= 4  # partitions + doclens + stats + terms at minimum
+    assert _snapshot_b8(spark, probe) == expected
+
+    for k in range(n_swaps + 1):
+        path = str(tmp_path / f"k{k}")
+        build_text_index(docs, path, n_buckets=8)
+
+        def partial(spk, root, stage_dir, plan, _k=k):
+            staging._apply_swaps(spk, root, stage_dir, plan["swaps"][:_k])
+            raise RuntimeError("crash")
+
+        with patch.object(staging, "_execute_plan", side_effect=partial):
+            with pytest.raises(RuntimeError, match="crash"):
+                upsert_text_index(spark, path, delta, n_buckets=8)
+        assert recover_staged(spark, path) == 1
+        assert not _staging_dirs(path)
+        assert _snapshot_b8(spark, path) == expected, f"crash at swap {k}"
+
+
+def _snapshot_b8(spark, path):
+    q = [tuple(r) for r in
+         query_text_index(spark, path, ["alpha", "gamma"], k=20, n_buckets=8).collect()]
+    s = [tuple(r) for r in suggest_from_index(spark, path, "w", k=10).collect()]
+    st = spark.read.parquet(f"{path}/stats").first()
+    return q, s, (st["n_docs"], st["sum_dl"])
