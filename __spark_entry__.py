@@ -1367,6 +1367,57 @@ def q_search_suggest(spark, sf):
     return suggest_terms(_docs(spark, sf), "s", k=10)
 
 
+#: fuzzy-search probe: two misspelled terms (quary→query dist 1,
+#: stroam→stream dist 1) — the engine must rank as if spelled right
+FUZZY_TERMS = ["quary", "stroam"]
+
+
+def q_search_fuzzy_terms(spark, sf):
+    """Fuzzy term matching (Azure Search ``term~`` / Lucene FuzzyQuery
+    enumeration, `operators/search.py::fuzzy_match_terms`): vocabulary
+    terms within 2 edits of the misspelling 'quary' (shared 1-char
+    prefix), closest first — the spell-correction relation."""
+    from azuredatalakeindexer_spark.operators.search import fuzzy_match_terms
+
+    return fuzzy_match_terms(_docs(spark, sf), "quary", max_edits=2, prefix_len=1, k=50)
+
+
+def q_search_fuzzy(spark, sf):
+    """Fuzzy full-text search (`operators/search.py::fuzzy_topk`):
+    Lucene's two-phase FuzzyQuery — enumerate concrete expansion terms
+    from the vocabulary (dist asc / df desc, capped 50 per query term),
+    then score the expanded set with the unchanged BM25 machinery.  The
+    misspelled ['quary', 'stroam'] ranks like ['query', 'stream']; the
+    oracle recomputes the expansion AND the ranking in SQL, folding
+    per-term contributions in term-sorted order for bit parity."""
+    from azuredatalakeindexer_spark.operators.search import fuzzy_topk
+
+    return fuzzy_topk(_docs(spark, sf), FUZZY_TERMS, max_edits=2, prefix_len=1, k=20)
+
+
+def q_text_index_fuzzy(spark, sf):
+    """Fuzzy search served FROM the persisted index
+    (`sources/text_index.py::query_fuzzy_index`): expansion from the
+    vocabulary-sized (term, df) rollup, scoring from bucket-pruned
+    postings — corpus text untouched in either phase; bit-identical to
+    the scan-time fuzzy_topk (same oracle), test-pinned across the
+    rollup-served, LSM-recount, and post-compaction states."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_fuzzy_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_txtfuzz_")
+    try:
+        build_text_index(_docs(spark, sf), root, n_buckets=64)
+        return _persisted(
+            spark,
+            query_fuzzy_index(spark, root, FUZZY_TERMS, max_edits=2, prefix_len=1, k=20),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_index_suggest(spark, sf):
     """Autocomplete served FROM the persisted (term, df) rollup
     (`sources/text_index.py::suggest_from_index`): the steady-state plan
@@ -2500,6 +2551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- postings touch every text-index query; query_near_index is
         # -- new; staged-commit maintenance touches the ANN lifecycle):
         # -- need fresh driver rows
+        "search_fuzzy_terms": q_search_fuzzy_terms,
+        "search_fuzzy": q_search_fuzzy,
+        "text_index_fuzzy": q_text_index_fuzzy,
         "text_index_near_topk": q_text_index_near_topk,
         "text_index_near_unordered": q_text_index_near_unordered,
         "text_index_suggest": q_text_index_suggest,
@@ -2550,12 +2604,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        # ---------------- 50-entry window boundary ---------------------
+        # (the three fuzzy-search entries took the slots of
+        # events_hourly / region_revenue / shipping_priority, which —
+        # with late_orders_exists, displaced earlier by
+        # text_index_suggest_maint — lead r09 with the r06 cohort)
         "events_hourly": q_events_hourly,
         "region_revenue": q_region_revenue,
         "shipping_priority": q_shipping_priority,
-        # ---------------- 50-entry window boundary ---------------------
-        # (late_orders_exists slid out when text_index_suggest_maint took
-        # its slot; it leads r09 with the rest of the r06 cohort)
         "late_orders_exists": q_late_orders_exists,
         # -- r06-evidence remainder (they lead r09 with whatever is
         # -- unchanged then) -------------------------------------------
@@ -3940,6 +3996,67 @@ def oracle_sql() -> dict[str, str]:
     # the maintenance variant's mutations net to the same logical corpus,
     # so the rollup-delta gate reuses the identical df-ranked replay
     sqls["text_index_suggest_maint"] = sqls["search_suggest"]
+
+    # fuzzy term enumeration: vocabulary terms within 2 edits of 'quary'
+    # (length band + shared first char are the pushed pre-filters, exactly
+    # the fuzzy_candidates guard), closest first
+    sqls["search_fuzzy_terms"] = f"""
+      WITH vocab AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM (
+          SELECT doc_id, unnest({_WORDS}) AS term FROM documents) GROUP BY term)
+      SELECT term, df, levenshtein(term, 'quary')::BIGINT AS dist
+      FROM vocab
+      WHERE length(term) BETWEEN 3 AND 7 AND term LIKE 'q%'
+        AND levenshtein(term, 'quary') <= 2
+      ORDER BY dist, df DESC, term LIMIT 50
+    """
+
+    # two-phase fuzzy BM25: per-query-term expansion (dist asc / df desc /
+    # term asc, cap 50 — rank_fuzzy_expansions), then relational BM25 over
+    # the expanded set.  Per-doc contributions are folded in TERM-SORTED
+    # order (list(c ORDER BY term) + list_reduce) — the same association
+    # order as bm25_topk's per-term-column left-assoc sum, whose zero-tf
+    # contributions are exact +0.0 and so drop out of every partial sum.
+    sqls["search_fuzzy"] = f"""
+      WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+      vocab AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM (
+          SELECT doc_id, unnest(words) AS term FROM toks) GROUP BY term),
+      cand AS (
+        SELECT term FROM (
+          SELECT term, row_number() OVER (
+            ORDER BY levenshtein(term, 'quary'), df DESC, term) AS rn
+          FROM vocab
+          WHERE length(term) BETWEEN 3 AND 7 AND term LIKE 'q%'
+            AND levenshtein(term, 'quary') <= 2) WHERE rn <= 50
+        UNION
+        SELECT term FROM (
+          SELECT term, row_number() OVER (
+            ORDER BY levenshtein(term, 'stroam'), df DESC, term) AS rn
+          FROM vocab
+          WHERE length(term) BETWEEN 4 AND 8 AND term LIKE 's%'
+            AND levenshtein(term, 'stroam') <= 2) WHERE rn <= 50),
+      per AS (SELECT doc_id, len(words) AS dl FROM toks),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM per),
+      tf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(words) AS term FROM toks) t
+        JOIN cand USING (term) GROUP BY t.doc_id, t.term),
+      dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      contrib AS (
+        SELECT tf.doc_id,
+               tf.term,
+               ln(1.0 + (n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * per.dl / avgdl)) AS c
+        FROM tf JOIN dfs USING (term) JOIN per ON per.doc_id = tf.doc_id, stats)
+      SELECT doc_id, bm25 FROM (
+        SELECT doc_id,
+               round(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 6) AS bm25
+        FROM contrib GROUP BY doc_id) t
+      WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+    # index-served fuzzy search is bit-identical to the scan-time path
+    sqls["text_index_fuzzy"] = sqls["search_fuzzy"]
 
     sqls["search_highlight"] = """
       SELECT doc_id,

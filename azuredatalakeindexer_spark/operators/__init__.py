@@ -34,6 +34,8 @@ from azuredatalakeindexer_spark.operators.similarity import (
 from azuredatalakeindexer_spark.operators.search import (
     bm25_topk,
     facet_counts,
+    fuzzy_match_terms,
+    fuzzy_topk,
     keyword_snippets,
     rrf_fuse,
 )
@@ -108,6 +110,8 @@ __all__ = [
     "observe_reads",
     "run_metrics",
     "bm25_topk",
+    "fuzzy_match_terms",
+    "fuzzy_topk",
     "facet_counts",
     "keyword_snippets",
     "rrf_fuse",

@@ -678,3 +678,208 @@ def near_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def corpus_vocabulary(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus's ``(term, df)`` vocabulary relation under the standard
+    analyzer (functions.text.tokens) — df is the document frequency.
+
+    Scale: one corpus tokenization, one vocabulary-keyed aggregate with
+    map-side combine (the per-partition distinct term set is vocabulary-
+    bounded, so the shuffle carries ~|vocab| rows per partition, not the
+    token stream).  This is the same relation the persisted text index
+    materializes as ``<index>/terms`` — use that rollup instead when an
+    index exists (sources.text_index.fuzzy_from_index).
+    """
+    docs = ensure_parallelism(docs)
+    return (
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+
+
+def fuzzy_candidates(
+    vocab: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    max_edits: int = 2,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Per-query-term fuzzy neighborhoods over a ``(term, df)`` vocabulary:
+    rows ``(qi, term, df, dist)`` where ``dist = levenshtein(term,
+    query_terms[qi]) <= max_edits`` and the first ``prefix_len`` characters
+    match exactly (Lucene ``FuzzyQuery``'s prefixLength — the standard lever
+    that keeps the candidate set a vocabulary *slice*).
+
+    The O(|t|·|q|) levenshtein only runs on terms that survive the cheap
+    length-band + prefix guard (``| |t| - |q| | <= max_edits`` is a
+    necessary condition for edit distance).  The per-term work is a narrow
+    projection over the vocabulary relation — corpus size never appears.
+    """
+    qts = [t.lower() for t in query_terms]
+    if not qts:
+        raise ValueError("fuzzy_candidates needs at least one query term")
+    if max_edits < 0:
+        raise ValueError("max_edits must be >= 0")
+    tlen = F.length(F.col("term"))
+    branches = []
+    for i, q in enumerate(qts):
+        cond = (tlen >= len(q) - max_edits) & (tlen <= len(q) + max_edits)
+        if prefix_len > 0:
+            cond = cond & F.col("term").startswith(q[:prefix_len])
+        branches.append(
+            F.struct(
+                F.lit(i).alias("qi"),
+                F.when(
+                    cond, F.levenshtein(F.col("term"), F.lit(q)).cast("long")
+                ).alias("dist"),
+            )
+        )
+    return (
+        vocab.select(
+            "term", "df", F.explode(F.array(*branches)).alias("_m")
+        )
+        .where(F.col("_m.dist") <= max_edits)
+        .select(F.col("_m.qi").alias("qi"), "term", "df", F.col("_m.dist").alias("dist"))
+    )
+
+
+def fuzzy_match_terms(
+    docs: DataFrame,
+    term: str,
+    *,
+    max_edits: int = 2,
+    prefix_len: int = 1,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy term matching (Azure Search's ``term~`` / Lucene FuzzyQuery
+    enumeration, re-expressed as a relation): the corpus vocabulary terms
+    within ``max_edits`` Levenshtein edits of ``term``, closest first
+    (``dist`` asc, then ``df`` desc, then term asc).  Output
+    ``(term, df, dist)`` — also the spell-correction primitive ("did you
+    mean"): row 1 is the suggested correction.
+
+    The reference's search service resolves fuzzy queries index-side
+    (`AzureSearchIndexer/PathIndexClient.cs:49-92` delegates query parsing
+    to the service, whose full-Lucene mode enables ``~``); this is the
+    scan-time equivalent — :func:`sources.text_index.fuzzy_from_index`
+    serves the same relation from the persisted ``(term, df)`` rollup.
+    """
+    cands = fuzzy_candidates(
+        corpus_vocabulary(docs, text_col=text_col, id_col=id_col),
+        [term],
+        max_edits=max_edits,
+        prefix_len=prefix_len,
+    )
+    return (
+        cands.select("term", "df", "dist")
+        .orderBy("dist", F.col("df").desc(), "term")
+        .limit(k)
+    )
+
+
+def rank_fuzzy_expansions(cands: DataFrame, max_expansions: int) -> list[str]:
+    """Shared expansion-selection step for scan-time and index-served fuzzy
+    search: per query term keep the ``max_expansions`` closest candidates
+    (dist asc, df desc, term asc — Lucene caps FuzzyQuery rewrites the same
+    way, default 50), then return the deduped sorted union.
+
+    The collect is model traffic: at most ``max_expansions × |query
+    terms|`` rows (the same legitimacy argument as
+    :func:`expand_query_terms`'s synonym collect) — Lucene's fuzzy rewrite
+    is likewise a planner-side term enumeration.
+    """
+    w = Window.partitionBy("qi").orderBy("dist", F.col("df").desc(), "term")
+    top = (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_expansions)
+        .select("term")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["term"] for r in top)
+
+
+def fuzzy_expand_terms(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    max_edits: int = 2,
+    prefix_len: int = 1,
+    max_expansions: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[str]:
+    """Expand a fuzzy query's terms to the concrete vocabulary terms they
+    match (sorted, deduped) — the rewrite phase of Lucene's FuzzyQuery.
+    Feed the result to :func:`bm25_topk` (which :func:`fuzzy_topk` does).
+    """
+    return rank_fuzzy_expansions(
+        fuzzy_candidates(
+            corpus_vocabulary(docs, text_col=text_col, id_col=id_col),
+            query_terms,
+            max_edits=max_edits,
+            prefix_len=prefix_len,
+        ),
+        max_expansions,
+    )
+
+
+def fuzzy_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    max_edits: int = 2,
+    prefix_len: int = 1,
+    max_expansions: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Fuzzy full-text search: BM25 top-``k`` where each query term matches
+    any vocabulary term within ``max_edits`` edits (shared ``prefix_len``
+    prefix).  Exactly Lucene's two-phase execution: (1) enumerate concrete
+    expansion terms from the vocabulary (:func:`fuzzy_expand_terms` — one
+    vocabulary-sized job), (2) score the expanded term set with the
+    unchanged :func:`bm25_topk` machinery (idf per expanded term, unweighted
+    union — the distance-boost variant Lucene's legacy scoring used is
+    deliberately omitted; documented engine semantics, like the service's
+    BM25-without-proximity default).  Misspelled queries therefore still
+    rank: ``["quary", "stroam"]`` scores like ``["query", "stream"]``.
+
+    Scale: phase 1 is vocabulary-bounded (see :func:`fuzzy_candidates`);
+    phase 2 is the proven one-scan BM25 shape.  With a persisted index use
+    :func:`sources.text_index.query_fuzzy_index`, which serves phase 1 from
+    the ``(term, df)`` rollup and phase 2 from bucket-pruned postings.
+    """
+    expanded = fuzzy_expand_terms(
+        docs,
+        query_terms,
+        max_edits=max_edits,
+        prefix_len=prefix_len,
+        max_expansions=max_expansions,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    if not expanded:
+        return docs.select(F.col(id_col)).limit(0).withColumn(
+            "bm25", F.lit(0.0)
+        )
+    return bm25_topk(
+        docs,
+        expanded,
+        text_col=text_col,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+        k=k,
+    )

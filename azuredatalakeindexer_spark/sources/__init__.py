@@ -20,6 +20,8 @@ from azuredatalakeindexer_spark.sources.staging import recover_index
 from azuredatalakeindexer_spark.sources.text_index import (
     build_text_index,
     delete_from_text_index,
+    fuzzy_from_index,
+    query_fuzzy_index,
     query_near_index,
     query_phrase_index,
     query_text_index,
@@ -67,6 +69,8 @@ __all__ = [
     "delete_from_text_index",
     "query_text_index",
     "query_phrase_index",
+    "fuzzy_from_index",
+    "query_fuzzy_index",
     "query_near_index",
     "suggest_from_index",
     "recover_index",

@@ -1133,3 +1133,168 @@ def suggest_from_index(
         .orderBy(F.col("df").desc(), F.col("term"))
         .limit(k)
     )
+
+
+def _fuzzy_vocab(
+    spark: SparkSession,
+    path: str,
+    query_terms,
+    *,
+    max_edits: int,
+    prefix_len: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Live ``(term, df)`` vocabulary slice under the fuzzy length-band (+
+    shared prefix) of ``query_terms`` — the index-served phase-1 relation
+    for fuzzy matching.
+
+    - **Unsegmented index**: served straight from the persisted
+      ``<path>/terms`` rollup — vocabulary-sized, term-sorted, so a
+      ``prefix_len > 0`` band prunes files/row groups; no postings touch.
+    - **Segmented (LSM) index**: the rollup is stale by the segments'
+      mutations, so df is recounted exactly from LIVE postings with the
+      band pushed into every slice scan
+      (:func:`text_segments.live_term_slice`).
+    - Pre-rollup indexes fall back to the base-postings recount.
+    """
+    qts = [t.lower() for t in query_terms]
+    if not qts:
+        raise ValueError("_fuzzy_vocab needs at least one query term")
+
+    def band(term):
+        conds = None
+        for q in qts:
+            c = (F.length(term) >= len(q) - max_edits) & (
+                F.length(term) <= len(q) + max_edits
+            )
+            if prefix_len > 0:
+                c = c & term.startswith(q[:prefix_len])
+            conds = c if conds is None else (conds | c)
+        return conds
+
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        list_segments,
+        live_term_slice,
+    )
+
+    segs = list_segments(spark, path)
+    if not segs and hadoop_path_exists(spark, f"{path}/terms"):
+        return spark.read.parquet(f"{path}/terms").where(band(F.col("term")))
+    if segs:
+        pairs = live_term_slice(spark, path, segs, band, id_col=id_col)
+    else:
+        pairs = (
+            spark.read.parquet(f"{path}/postings")
+            .where(band(F.col("term")))
+            .select("term", id_col)
+        )
+    return pairs.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+
+
+def fuzzy_from_index(
+    spark: SparkSession,
+    path: str,
+    term: str,
+    *,
+    max_edits: int = 2,
+    prefix_len: int = 1,
+    k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy term matching served FROM the persisted index — identical
+    output contract to the scan-time ``operators.search.fuzzy_match_terms``
+    (``(term, df, dist)``, dist asc / df desc / term asc), but phase 1 runs
+    over the vocabulary-sized ``terms`` rollup (or the live-recounted slice
+    while LSM segments are pending), never the corpus text.  This is the
+    service-side resolution of Azure Search's ``term~`` fuzzy operator and
+    the "did you mean" spell-correction primitive.
+    """
+    from azuredatalakeindexer_spark.operators.search import fuzzy_candidates
+
+    cands = fuzzy_candidates(
+        _fuzzy_vocab(
+            spark,
+            path,
+            [term],
+            max_edits=max_edits,
+            prefix_len=prefix_len,
+            id_col=id_col,
+        ),
+        [term],
+        max_edits=max_edits,
+        prefix_len=prefix_len,
+    )
+    return (
+        cands.select("term", "df", "dist")
+        .orderBy("dist", F.col("df").desc(), "term")
+        .limit(k)
+    )
+
+
+def query_fuzzy_index(
+    spark: SparkSession,
+    path: str,
+    query_terms,
+    *,
+    max_edits: int = 2,
+    prefix_len: int = 1,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Fuzzy BM25 search served from the persisted index: expansion terms
+    come from the ``terms`` rollup (phase 1, vocabulary-sized —
+    :func:`_fuzzy_vocab` + the SAME ranking the scan-time path uses), then
+    the concrete expanded terms are scored by :func:`query_text_index`
+    (phase 2, bucket-pruned postings).  Bit-identical to
+    ``operators.search.fuzzy_topk`` on the indexed corpus (test-pinned):
+    both phases share their selection/scoring code with the scan-time
+    operators, so only the *source relations* differ.
+
+    Scale: neither phase touches corpus text — phase 1 is |vocabulary
+    slice under the band|, phase 2 is |postings of ≤ max_expansions·|q|
+    terms| after static bucket pruning; the expansion collect is the same
+    model-sized planner traffic as Lucene's FuzzyQuery rewrite.
+    """
+    from azuredatalakeindexer_spark.operators.search import (
+        fuzzy_candidates,
+        rank_fuzzy_expansions,
+    )
+
+    expanded = rank_fuzzy_expansions(
+        fuzzy_candidates(
+            _fuzzy_vocab(
+                spark,
+                path,
+                query_terms,
+                max_edits=max_edits,
+                prefix_len=prefix_len,
+                id_col=id_col,
+            ),
+            query_terms,
+            max_edits=max_edits,
+            prefix_len=prefix_len,
+        ),
+        max_expansions,
+    )
+    if not expanded:
+        return (
+            spark.read.parquet(f"{path}/doclens")
+            .select(F.col(id_col))
+            .limit(0)
+            .withColumn("bm25", F.lit(0.0))
+        )
+    return query_text_index(
+        spark,
+        path,
+        expanded,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+        k=k,
+        n_buckets=n_buckets,
+    )

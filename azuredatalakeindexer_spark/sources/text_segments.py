@@ -307,9 +307,37 @@ def live_prefix_slice(
     buckets, so the string min/max row-group stats actually prune — and
     the last-writer-wins liveness aggregate then runs only over the docs
     that carry a matching term (candidate-sized, not corpus-sized)."""
+    return live_term_slice(
+        spark,
+        path,
+        segs,
+        lambda term: term.startswith(prefix),
+        id_col=id_col,
+    )
+
+
+def live_term_slice(
+    spark: SparkSession,
+    path: str,
+    segs: list[int],
+    term_pred,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(term, id_col)`` pairs of LIVE postings whose term satisfies
+    ``term_pred`` (a ``Column -> Column`` factory applied to the term
+    column) — the segmented-state vocabulary slice behind both the prefix
+    suggester (:func:`live_prefix_slice`) and the fuzzy length-band
+    expansion (``text_index.fuzzy_from_index``).
+
+    The predicate is applied INSIDE every slice scan (base + each segment)
+    so sargable conjuncts (prefix ranges, ``length`` bands via the column
+    stats of term-sorted files) push to the parquet readers; the
+    last-writer-wins liveness aggregate then runs only over the docs that
+    carry a matching term (candidate-sized, not corpus-sized)."""
     def slice_(df: DataFrame, seg: int) -> DataFrame:
         return (
-            df.where(F.col("term").startswith(prefix))
+            df.where(term_pred(F.col("term")))
             .select("term", id_col)
             .withColumn("seg", F.lit(seg))
         )

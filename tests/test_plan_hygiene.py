@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",     # crossJoin of the SINGLE-ROW corpus-size N frame
     "temperature_mix",     # crossJoin of the SINGLE-ROW weight-sum frame
     "search_bm25",         # crossJoin of the SINGLE-ROW corpus-stats frame
+    "search_fuzzy",        # same bm25 SINGLE-ROW stats frame (expansion is
+                           # an equi-shaped vocabulary job at plan-build)
     "search_phrase",       # same SINGLE-ROW corpus-stats frame
     "search_near",         # same SINGLE-ROW corpus-stats frame
     "search_near_unordered",  # same SINGLE-ROW corpus-stats frame
@@ -57,6 +59,8 @@ SKIP = {
     "text_index_near_topk",      # builds the temp positional index at plan-build time
     "text_index_near_unordered",
     "text_index_suggest",
+    "text_index_suggest_maint",
+    "text_index_fuzzy",      # builds the temp index at plan-build time
     "saved_hybrid_search",
     "ann_upsert_topk",
     "ann_delete_topk",

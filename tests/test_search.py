@@ -366,3 +366,95 @@ def test_near_topk_unordered_counts_both_directions(spark):
          near_topk(docs, "big", "data", slop=1, ordered=True, k=10).collect()}
     assert o == {1: 1, 4: 1}
     assert all(uo.get(d, 0) >= tf for d, tf in o.items())
+
+
+# ---------------------------------------------------------------- fuzzy
+
+
+@pytest.fixture(scope="module")
+def fuzzy_docs(spark):
+    rows = [
+        (0, "spark query engine"),
+        (1, "quest for speed"),          # quest: dist('query','quest') = 2
+        (2, "stream query stream"),
+        (3, "quarry rocks"),             # quarry: dist('query','quarry') = 2
+        (4, "the small dog"),
+        (5, "query quest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_fuzzy_match_terms_neighborhood_and_order(fuzzy_docs):
+    from azuredatalakeindexer_spark.operators.search import fuzzy_match_terms
+
+    out = [tuple(r) for r in fuzzy_match_terms(fuzzy_docs, "query").collect()]
+    # dists: query=0, quest=2, quarry=2; ranked dist asc, df desc, term asc
+    # dfs: query in docs 0,2,5 -> 3; quest in 1,5 -> 2; quarry in 3 -> 1
+    assert out == [("query", 3, 0), ("quest", 2, 2), ("quarry", 1, 2)]
+    # max_edits=1 keeps only the exact term
+    out1 = [
+        tuple(r)
+        for r in fuzzy_match_terms(fuzzy_docs, "query", max_edits=1).collect()
+    ]
+    assert out1 == [("query", 3, 0)]
+    # k caps the enumeration after ranking
+    assert fuzzy_match_terms(fuzzy_docs, "query", k=2).count() == 2
+
+
+def test_fuzzy_match_prefix_len_gates_candidates(fuzzy_docs):
+    from azuredatalakeindexer_spark.operators.search import fuzzy_match_terms
+
+    # 'puery' shares no first char with 'query' -> empty under prefix_len=1
+    assert fuzzy_match_terms(fuzzy_docs, "puery", max_edits=1).count() == 0
+    # prefix_len=0 lifts the gate and finds the substitution neighbor
+    out = [
+        tuple(r)
+        for r in fuzzy_match_terms(
+            fuzzy_docs, "puery", max_edits=1, prefix_len=0
+        ).collect()
+    ]
+    assert out == [("query", 3, 1)]
+
+
+def test_fuzzy_expand_caps_per_query_term(fuzzy_docs):
+    from azuredatalakeindexer_spark.operators.search import fuzzy_expand_terms
+
+    full = fuzzy_expand_terms(fuzzy_docs, ["query"])
+    assert full == ["quarry", "query", "quest"]
+    # cap 2 keeps the two closest (dist asc, df desc): query, then the
+    # dist-2 tie breaks df desc -> quest
+    capped = fuzzy_expand_terms(fuzzy_docs, ["query"], max_expansions=2)
+    assert capped == ["query", "quest"]
+    # two query terms expand independently, union deduped + sorted
+    both = fuzzy_expand_terms(fuzzy_docs, ["query", "stroam"])
+    assert both == ["quarry", "query", "quest", "stream"]
+
+
+def test_fuzzy_topk_equals_bm25_of_expansion(fuzzy_docs):
+    from azuredatalakeindexer_spark.operators.search import fuzzy_topk
+
+    fz = [tuple(r) for r in fuzzy_topk(fuzzy_docs, ["quary", "stroam"]).collect()]
+    ex = [
+        tuple(r)
+        for r in bm25_topk(fuzzy_docs, ["query", "quarry", "stream"], k=20).collect()
+    ]
+    # quary -> query(1), quarry(2); stroam -> stream(1)
+    assert fz == ex and len(fz) > 0
+
+
+def test_fuzzy_topk_empty_expansion_is_empty_frame(fuzzy_docs):
+    from azuredatalakeindexer_spark.operators.search import fuzzy_topk
+
+    out = fuzzy_topk(fuzzy_docs, ["zzzzzz"], max_edits=1)
+    assert out.columns == ["doc_id", "bm25"]
+    assert out.count() == 0
+
+
+def test_fuzzy_validation(fuzzy_docs):
+    from azuredatalakeindexer_spark.operators.search import fuzzy_candidates
+
+    with pytest.raises(ValueError):
+        fuzzy_candidates(fuzzy_docs.limit(0), [])

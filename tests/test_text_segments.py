@@ -812,3 +812,65 @@ def test_zero_token_doc_replacement_reports_200_on_both_paths(spark, tmp_path):
         logical = docs.join(delta.select("doc_id"), "doc_id", "left_anti").unionByName(delta)
         assert _rows(query_text_index(spark, path, ["revived", "alpha"], k=10, n_buckets=16)) == \
             _rows(bm25_topk(logical, ["revived", "alpha"], k=10))
+
+
+def test_fuzzy_from_index_matches_scan_time_through_lifecycle(spark, tmp_path):
+    """Index-served fuzzy term matching and fuzzy BM25 equal the scan-time
+    operators bit-for-bit across the three index states: rollup-served
+    (fresh build), LSM-recount (live segments), and post-compaction
+    (rollup again)."""
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.operators.search import (
+        fuzzy_match_terms,
+        fuzzy_topk,
+    )
+    from azuredatalakeindexer_spark.sources.text_index import (
+        fuzzy_from_index,
+        query_fuzzy_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    def check(logical):
+        assert rows(fuzzy_from_index(spark, path, "quary")) == rows(
+            fuzzy_match_terms(logical, "quary")
+        )
+        assert rows(
+            query_fuzzy_index(spark, path, ["quary", "stroam"], n_buckets=16)
+        ) == rows(fuzzy_topk(logical, ["quary", "stroam"]))
+
+    check(docs)
+    # mutate via segments: replacements introduce a new near-miss term
+    # ('quarx', dist 1 from 'quary'), deletes shrink dfs
+    delta = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit("quarx stream merge").alias("text"))
+    upsert_text_index_segmented(spark, path, delta, n_buckets=16)
+    dead = docs.select("doc_id").where(F.col("doc_id") % 7 == 0)
+    delete_from_text_index_segmented(spark, path, dead)
+    logical = (docs.join(delta.select("doc_id"), "doc_id", "left_anti")
+               .unionByName(delta).join(dead, "doc_id", "left_anti"))
+    check(logical)
+    # compaction folds the segments back into the base + fresh rollup
+    compact_text_index(spark, path, n_buckets=16)
+    assert not list_segments(spark, path)
+    check(logical)
+
+
+def test_fuzzy_expansion_unsegmented_reads_only_terms_relation(spark, tmp_path):
+    """Steady-state fuzzy enumeration must touch ONLY the vocabulary-sized
+    terms rollup — no postings, doclens, or corpus files."""
+    from azuredatalakeindexer_spark.sources.text_index import fuzzy_from_index
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    out = fuzzy_from_index(spark, path, "quary")
+    files = out.inputFiles()
+    assert files, "expected a file-backed scan"
+    assert all("/terms/" in f for f in files), files
