@@ -14,6 +14,7 @@ from azuredatalakeindexer_spark.sources.ann_index import (
     build_ivf_index,
     delete_from_ivf_index,
     query_ivf_index,
+    run_stream_ann_index,
     upsert_ivf_index,
 )
 from azuredatalakeindexer_spark.sources.staging import recover_index
@@ -64,6 +65,7 @@ __all__ = [
     "upsert_ivf_index",
     "delete_from_ivf_index",
     "query_ivf_index",
+    "run_stream_ann_index",
     "build_text_index",
     "upsert_text_index",
     "delete_from_text_index",

@@ -369,3 +369,76 @@ def query_ivf_index(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def run_stream_ann_index(
+    spark: SparkSession,
+    vecs_dir: str,
+    schema,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    max_files_per_trigger: int = 1,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Continuously maintain the saved IVF index from a vector-arrival
+    stream — the reference's watch-lake→upsert-index loop (§3.1 + T1)
+    applied to the vector index this engine serves, completing the
+    streaming-maintenance symmetry with ``run_stream_text_index``.
+
+    ``availableNow`` drains the backlog and terminates (T7); the first
+    micro-batch builds the layout, every later batch is a MergeOrUpload
+    delta (``upsert_ivf_index`` — affected cells only, the measured
+    13.6×-under-rebuild maintenance path of BENCH_sf10_r07.json).
+
+    **Quantizer discipline**: pass ``centroids`` (trained offline — the
+    standard production IVF shape: the coarse quantizer is fit on a
+    sample, then frozen while the stream assigns into its cells).  With a
+    frozen quantizer the drain is batch-split-invariant: LWW per id +
+    assignment that depends only on (vector, centroids) makes 1 or N
+    micro-batches yield a bit-identical index to one build over the whole
+    corpus (test-pinned; the oracle replays the full-corpus IVF).  With
+    ``centroids=None`` the first batch's deterministic seed quantizer is
+    used instead — fine for a one-shot drain, but then the cell layout
+    depends on how files split into batches (documented caveat, same
+    reason ``upsert_ivf_index`` never retrains).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(vecs_dir)
+    )
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        # Hadoop FS probe, not os.path — the index may live on abfss/s3/hdfs
+        if not hadoop_path_exists(batch.sparkSession, f"{index_dir}/centroids"):
+            build_ivf_index(
+                batch,
+                index_dir,
+                n_centroids=n_centroids,
+                vec_col=vec_col,
+                id_col=id_col,
+                centroids=centroids,
+            )
+        else:
+            # the status relation is lazy; count() forces the maintenance
+            # write inside this micro-batch (same discipline as the text
+            # stream's upsert)
+            upsert_ivf_index(
+                batch.sparkSession,
+                index_dir,
+                batch,
+                vec_col=vec_col,
+                id_col=id_col,
+            ).count()
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -526,3 +526,42 @@ def test_ivf_maintenance_shuffled_fallback(spark, tmp_path):
     q = emb.where(F.col("vec_id") < 3)
     out = query_ivf_index(spark, path, q, k=5, n_probe=2)
     assert out.count() > 0
+
+
+def test_stream_ann_index_is_batch_split_invariant(spark, tmp_path):
+    """Draining the vector stream in 4 micro-batches with a frozen
+    (offline-trained) quantizer must leave the SAME index as one build
+    over the whole corpus — bit-identical query rows, and every id
+    present exactly once (LWW per id, affected-cell rewrites only)."""
+    from azuredatalakeindexer_spark.operators.similarity import seed_centroids
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        query_ivf_index,
+        run_stream_ann_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    vecs_dir = str(tmp_path / "vecs")
+    emb.repartition(4).write.parquet(vecs_dir)
+    schema = spark.read.parquet(vecs_dir).schema
+
+    idx = str(tmp_path / "ivf_stream")
+    run_stream_ann_index(
+        spark, vecs_dir, schema, idx, str(tmp_path / "ckpt"),
+        n_centroids=16, max_files_per_trigger=1,
+        centroids=seed_centroids(emb, 16),
+    )
+    built = str(tmp_path / "ivf_built")
+    build_ivf_index(emb, built, n_centroids=16)
+
+    q = emb.where(F.col("vec_id") < 5)
+    streamed = query_ivf_index(spark, idx, q, k=5, n_probe=2)
+    direct = query_ivf_index(spark, built, q, k=5, n_probe=2)
+    assert [tuple(r) for r in streamed.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    # the streamed postings hold each id exactly once, in the same cell
+    # layout as the one-shot build
+    sp = spark.read.parquet(f"{idx}/postings").select("vec_id", "cell")
+    bp = spark.read.parquet(f"{built}/postings").select("vec_id", "cell")
+    assert sp.groupBy("vec_id").count().where(F.col("count") > 1).count() == 0
+    assert sorted(map(tuple, sp.collect())) == sorted(map(tuple, bp.collect()))

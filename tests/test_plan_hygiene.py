@@ -64,6 +64,7 @@ SKIP = {
     "saved_hybrid_search",
     "ann_upsert_topk",
     "ann_delete_topk",
+    "stream_ann_index",
     "bpe_train",          # iterative: runs vocabulary jobs while building
     "bpe_encode",         # collects the learned merges at plan-build time
     "stream_sessionize",
