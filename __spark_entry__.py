@@ -1458,6 +1458,39 @@ def q_text_index_fuzzy(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_search_wildcard(spark, sf):
+    """Wildcard full-text search (`operators/search.py::wildcard_topk`):
+    expand the Lucene patterns ['st*am', 'qu?ry'] to their concrete
+    vocabulary matches (df desc, capped 50 — the scoring-boolean rewrite),
+    then BM25 over the expanded set; same two-phase shape and float-parity
+    discipline as search_fuzzy."""
+    from azuredatalakeindexer_spark.operators.search import wildcard_topk
+
+    return wildcard_topk(_docs(spark, sf), ["st*am", "qu?ry"], k=20)
+
+
+def q_text_index_wildcard(spark, sf):
+    """Wildcard search served FROM the persisted index
+    (`sources/text_index.py::query_wildcard_index`): pattern expansion
+    over the term-sorted (term, df) rollup — a literal-prefix pattern
+    plans as a pushable StartsWith — scoring from bucket-pruned postings;
+    bit-identical to the scan-time wildcard_topk (same oracle)."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_wildcard_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_txtwild_")
+    try:
+        build_text_index(_docs(spark, sf), root, n_buckets=64)
+        return _persisted(
+            spark,
+            query_wildcard_index(spark, root, ["st*am", "qu?ry"], k=20),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_index_suggest(spark, sf):
     """Autocomplete served FROM the persisted (term, df) rollup
     (`sources/text_index.py::suggest_from_index`): the steady-state plan
@@ -2594,6 +2627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy_terms": q_search_fuzzy_terms,
         "search_fuzzy": q_search_fuzzy,
         "text_index_fuzzy": q_text_index_fuzzy,
+        "search_wildcard": q_search_wildcard,
+        "text_index_wildcard": q_text_index_wildcard,
         "text_index_near_topk": q_text_index_near_topk,
         "text_index_near_unordered": q_text_index_near_unordered,
         "text_index_suggest": q_text_index_suggest,
@@ -2642,14 +2677,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "orders_cube": q_orders_cube,
         "region_rollup": q_region_rollup,
+        # ---------------- 50-entry window boundary ---------------------
+        # (the six new r8 entries — fuzzy trio, wildcard pair,
+        # stream_ann_index — took the slots of events_pivot /
+        # pricing_summary / top_customers / events_hourly /
+        # region_revenue / shipping_priority, which — with
+        # late_orders_exists, displaced earlier by
+        # text_index_suggest_maint — lead r09 with the r06 cohort)
         "events_pivot": q_events_pivot,
         "pricing_summary": q_pricing_summary,
-        # ---------------- 50-entry window boundary ---------------------
-        # (the three fuzzy-search entries + stream_ann_index took the
-        # slots of top_customers / events_hourly / region_revenue /
-        # shipping_priority, which — with late_orders_exists, displaced
-        # earlier by text_index_suggest_maint — lead r09 with the r06
-        # cohort)
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "region_revenue": q_region_revenue,
@@ -4102,6 +4138,44 @@ def oracle_sql() -> dict[str, str]:
     """
     # index-served fuzzy search is bit-identical to the scan-time path
     sqls["text_index_fuzzy"] = sqls["search_fuzzy"]
+
+    # wildcard expansion ('st*am' -> LIKE 'st%am', 'qu?ry' -> LIKE
+    # 'qu_ry', ranked df desc / term asc, cap 50), then the same
+    # relational BM25 with the term-sorted contribution fold
+    sqls["search_wildcard"] = f"""
+      WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+      vocab AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM (
+          SELECT doc_id, unnest(words) AS term FROM toks) GROUP BY term),
+      cand AS (
+        SELECT term FROM (
+          SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+          FROM vocab WHERE term LIKE 'st%am') WHERE rn <= 50
+        UNION
+        SELECT term FROM (
+          SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+          FROM vocab WHERE term LIKE 'qu_ry') WHERE rn <= 50),
+      per AS (SELECT doc_id, len(words) AS dl FROM toks),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM per),
+      tf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(words) AS term FROM toks) t
+        JOIN cand USING (term) GROUP BY t.doc_id, t.term),
+      dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      contrib AS (
+        SELECT tf.doc_id,
+               tf.term,
+               ln(1.0 + (n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * per.dl / avgdl)) AS c
+        FROM tf JOIN dfs USING (term) JOIN per ON per.doc_id = tf.doc_id, stats)
+      SELECT doc_id, bm25 FROM (
+        SELECT doc_id,
+               round(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 6) AS bm25
+        FROM contrib GROUP BY doc_id) t
+      WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+    # index-served wildcard search is bit-identical to the scan-time path
+    sqls["text_index_wildcard"] = sqls["search_wildcard"]
 
     sqls["search_highlight"] = """
       SELECT doc_id,

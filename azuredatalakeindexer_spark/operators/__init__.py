@@ -37,6 +37,8 @@ from azuredatalakeindexer_spark.operators.search import (
     fuzzy_match_terms,
     fuzzy_topk,
     keyword_snippets,
+    wildcard_match_terms,
+    wildcard_topk,
     rrf_fuse,
 )
 from azuredatalakeindexer_spark.operators.textops import (
@@ -112,6 +114,8 @@ __all__ = [
     "bm25_topk",
     "fuzzy_match_terms",
     "fuzzy_topk",
+    "wildcard_match_terms",
+    "wildcard_topk",
     "facet_counts",
     "keyword_snippets",
     "rrf_fuse",

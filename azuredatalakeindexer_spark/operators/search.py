@@ -883,3 +883,108 @@ def fuzzy_topk(
         b=b,
         k=k,
     )
+
+
+def wildcard_like(pattern: str) -> str:
+    """Translate a Lucene wildcard pattern (``*`` = any run, ``?`` = one
+    char) to a SQL LIKE pattern, escaping LIKE's own metacharacters in the
+    literal parts (the same discipline as the path prefix predicate's
+    escaping, operators/paths.py P8)."""
+    out = []
+    for ch in pattern.lower():
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def wildcard_candidates(
+    vocab: DataFrame, patterns: Sequence[str]
+) -> DataFrame:
+    """Per-pattern wildcard matches over a ``(term, df)`` vocabulary:
+    rows ``(qi, term, df, dist)`` (dist is a constant 0 — wildcard matching
+    has no edit-distance notion; the column exists so the expansion ranking
+    is shared with :func:`fuzzy_candidates` → df desc, term asc).
+
+    A pattern with a literal prefix (``str*``) plans as a pushable
+    ``StartsWith`` over the vocabulary relation — against the persisted
+    term-sorted ``terms`` rollup that prunes files/row groups, the
+    Lucene-style constraint that leading wildcards are the expensive case.
+    """
+    pats = [p.lower() for p in patterns]
+    if not pats:
+        raise ValueError("wildcard_candidates needs at least one pattern")
+    branches = [
+        F.struct(
+            F.lit(i).alias("qi"),
+            F.when(F.col("term").like(wildcard_like(p)), F.lit(0).cast("long")).alias(
+                "dist"
+            ),
+        )
+        for i, p in enumerate(pats)
+    ]
+    return (
+        vocab.select("term", "df", F.explode(F.array(*branches)).alias("_m"))
+        .where(F.col("_m.dist").isNotNull())
+        .select(
+            F.col("_m.qi").alias("qi"), "term", "df", F.col("_m.dist").alias("dist")
+        )
+    )
+
+
+def wildcard_match_terms(
+    docs: DataFrame,
+    pattern: str,
+    *,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Wildcard term enumeration (Azure Search simple-syntax ``*`` suffix /
+    full-Lucene WildcardQuery): corpus vocabulary terms matching
+    ``pattern``, ranked df desc then term asc.  Output ``(term, df)``."""
+    cands = wildcard_candidates(
+        corpus_vocabulary(docs, text_col=text_col, id_col=id_col), [pattern]
+    )
+    return (
+        cands.select("term", "df")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(k)
+    )
+
+
+def wildcard_topk(
+    docs: DataFrame,
+    patterns: Sequence[str],
+    *,
+    max_expansions: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Wildcard full-text search: expand each pattern to its concrete
+    vocabulary matches (df desc, capped ``max_expansions`` — Lucene's
+    scoring-boolean rewrite cap), then score the expanded set with the
+    unchanged :func:`bm25_topk`.  Same two-phase shape as
+    :func:`fuzzy_topk`; with a persisted index use
+    :func:`sources.text_index.query_wildcard_index`."""
+    expanded = rank_fuzzy_expansions(
+        wildcard_candidates(
+            corpus_vocabulary(docs, text_col=text_col, id_col=id_col), patterns
+        ),
+        max_expansions,
+    )
+    if not expanded:
+        return docs.select(F.col(id_col)).limit(0).withColumn(
+            "bm25", F.lit(0.0)
+        )
+    return bm25_topk(
+        docs, expanded, text_col=text_col, id_col=id_col, k1=k1, b=b, k=k
+    )

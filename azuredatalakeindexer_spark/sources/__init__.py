@@ -25,6 +25,8 @@ from azuredatalakeindexer_spark.sources.text_index import (
     query_fuzzy_index,
     query_near_index,
     query_phrase_index,
+    query_wildcard_index,
+    wildcard_from_index,
     query_text_index,
     run_stream_text_index,
     suggest_from_index,
@@ -74,7 +76,9 @@ __all__ = [
     "fuzzy_from_index",
     "query_fuzzy_index",
     "query_near_index",
+    "query_wildcard_index",
     "suggest_from_index",
+    "wildcard_from_index",
     "recover_index",
     "run_stream_text_index",
     "upsert_text_index_segmented",

@@ -1298,3 +1298,117 @@ def query_fuzzy_index(
         k=k,
         n_buckets=n_buckets,
     )
+
+
+def _pattern_vocab(
+    spark: SparkSession,
+    path: str,
+    patterns,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Live ``(term, df)`` vocabulary slice matching ANY of the wildcard
+    ``patterns`` — the index-served phase-1 relation for wildcard search.
+    Same three-state serving discipline as :func:`_fuzzy_vocab`: terms
+    rollup when unsegmented (a literal-prefix pattern plans as a pushable
+    StartsWith over the term-sorted files), exact live recount while LSM
+    segments are pending, base-postings fallback for pre-rollup indexes.
+    """
+    from azuredatalakeindexer_spark.operators.search import wildcard_like
+
+    likes = [wildcard_like(p) for p in patterns]
+    if not likes:
+        raise ValueError("_pattern_vocab needs at least one pattern")
+
+    def match(term):
+        conds = None
+        for lk in likes:
+            c = term.like(lk)
+            conds = c if conds is None else (conds | c)
+        return conds
+
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        list_segments,
+        live_term_slice,
+    )
+
+    segs = list_segments(spark, path)
+    if not segs and hadoop_path_exists(spark, f"{path}/terms"):
+        return spark.read.parquet(f"{path}/terms").where(match(F.col("term")))
+    if segs:
+        pairs = live_term_slice(spark, path, segs, match, id_col=id_col)
+    else:
+        pairs = (
+            spark.read.parquet(f"{path}/postings")
+            .where(match(F.col("term")))
+            .select("term", id_col)
+        )
+    return pairs.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+
+
+def wildcard_from_index(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    *,
+    k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Wildcard term enumeration served FROM the persisted index —
+    identical output contract to the scan-time
+    ``operators.search.wildcard_match_terms`` (``(term, df)``, df desc /
+    term asc), phase 1 over the vocabulary-sized rollup."""
+    return (
+        _pattern_vocab(spark, path, [pattern], id_col=id_col)
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(k)
+    )
+
+
+def query_wildcard_index(
+    spark: SparkSession,
+    path: str,
+    patterns,
+    *,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Wildcard BM25 search served from the persisted index: pattern
+    expansion from the ``terms`` rollup (SAME ranking as the scan-time
+    path), scoring from bucket-pruned postings — bit-identical to
+    ``operators.search.wildcard_topk`` on the indexed corpus
+    (test-pinned), corpus text untouched in either phase."""
+    from azuredatalakeindexer_spark.operators.search import (
+        rank_fuzzy_expansions,
+        wildcard_candidates,
+    )
+
+    expanded = rank_fuzzy_expansions(
+        wildcard_candidates(
+            _pattern_vocab(spark, path, patterns, id_col=id_col), patterns
+        ),
+        max_expansions,
+    )
+    if not expanded:
+        return (
+            spark.read.parquet(f"{path}/doclens")
+            .select(F.col(id_col))
+            .limit(0)
+            .withColumn("bm25", F.lit(0.0))
+        )
+    return query_text_index(
+        spark,
+        path,
+        expanded,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+        k=k,
+        n_buckets=n_buckets,
+    )

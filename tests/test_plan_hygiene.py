@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "search_bm25",         # crossJoin of the SINGLE-ROW corpus-stats frame
     "search_fuzzy",        # same bm25 SINGLE-ROW stats frame (expansion is
                            # an equi-shaped vocabulary job at plan-build)
+    "search_wildcard",     # same bm25 SINGLE-ROW stats frame + expansion job
     "search_phrase",       # same SINGLE-ROW corpus-stats frame
     "search_near",         # same SINGLE-ROW corpus-stats frame
     "search_near_unordered",  # same SINGLE-ROW corpus-stats frame
@@ -61,6 +62,7 @@ SKIP = {
     "text_index_suggest",
     "text_index_suggest_maint",
     "text_index_fuzzy",      # builds the temp index at plan-build time
+    "text_index_wildcard",   # builds the temp index at plan-build time
     "saved_hybrid_search",
     "ann_upsert_topk",
     "ann_delete_topk",

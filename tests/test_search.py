@@ -458,3 +458,48 @@ def test_fuzzy_validation(fuzzy_docs):
 
     with pytest.raises(ValueError):
         fuzzy_candidates(fuzzy_docs.limit(0), [])
+
+
+# ------------------------------------------------------------- wildcard
+
+
+def test_wildcard_match_terms_and_like_translation(fuzzy_docs):
+    from azuredatalakeindexer_spark.operators.search import (
+        wildcard_like,
+        wildcard_match_terms,
+    )
+
+    assert wildcard_like("st*am") == "st%am"
+    assert wildcard_like("qu?ry") == "qu_ry"
+    assert wildcard_like("a%b_c\\d*") == "a\\%b\\_c\\\\d%"
+    # qu* matches query(3), quest(2), quarry(1) -> df desc, term asc
+    out = [tuple(r) for r in wildcard_match_terms(fuzzy_docs, "qu*").collect()]
+    assert out == [("query", 3), ("quest", 2), ("quarry", 1)]
+    # ? is exactly one char: qu?st matches quest, not query/quarry
+    out = [tuple(r) for r in wildcard_match_terms(fuzzy_docs, "qu?st").collect()]
+    assert out == [("quest", 2)]
+    # literal metachars never act as LIKE wildcards
+    assert wildcard_match_terms(fuzzy_docs, "qu%").count() == 0
+
+
+def test_wildcard_topk_equals_bm25_of_expansion(fuzzy_docs):
+    from azuredatalakeindexer_spark.operators.search import wildcard_topk
+
+    wc = [tuple(r) for r in wildcard_topk(fuzzy_docs, ["qu*", "str?am"]).collect()]
+    ex = [
+        tuple(r)
+        for r in bm25_topk(
+            fuzzy_docs, ["quarry", "query", "quest", "stream"], k=20
+        ).collect()
+    ]
+    assert wc == ex and len(wc) > 0
+    # max_expansions caps per pattern by df: qu* keeps query, quest
+    capped = [
+        tuple(r)
+        for r in wildcard_topk(fuzzy_docs, ["qu*"], max_expansions=2).collect()
+    ]
+    ex2 = [tuple(r) for r in bm25_topk(fuzzy_docs, ["query", "quest"], k=20).collect()]
+    assert capped == ex2
+    # no match -> empty typed frame
+    empty = wildcard_topk(fuzzy_docs, ["zz*"])
+    assert empty.columns == ["doc_id", "bm25"] and empty.count() == 0

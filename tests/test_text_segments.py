@@ -874,3 +874,46 @@ def test_fuzzy_expansion_unsegmented_reads_only_terms_relation(spark, tmp_path):
     files = out.inputFiles()
     assert files, "expected a file-backed scan"
     assert all("/terms/" in f for f in files), files
+
+
+def test_wildcard_from_index_matches_scan_time_through_lifecycle(spark, tmp_path):
+    """Index-served wildcard enumeration and wildcard BM25 equal the
+    scan-time operators bit-for-bit across rollup-served, LSM-recount,
+    and post-compaction states."""
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.operators.search import (
+        wildcard_match_terms,
+        wildcard_topk,
+    )
+    from azuredatalakeindexer_spark.sources.text_index import (
+        query_wildcard_index,
+        wildcard_from_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    def check(logical):
+        assert rows(wildcard_from_index(spark, path, "s*am")) == rows(
+            wildcard_match_terms(logical, "s*am")
+        )
+        assert rows(
+            query_wildcard_index(spark, path, ["s*am", "qu?ry"], n_buckets=16)
+        ) == rows(wildcard_topk(logical, ["s*am", "qu?ry"]))
+
+    check(docs)
+    delta = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit("steam quary merge").alias("text"))
+    upsert_text_index_segmented(spark, path, delta, n_buckets=16)
+    dead = docs.select("doc_id").where(F.col("doc_id") % 7 == 0)
+    delete_from_text_index_segmented(spark, path, dead)
+    logical = (docs.join(delta.select("doc_id"), "doc_id", "left_anti")
+               .unionByName(delta).join(dead, "doc_id", "left_anti"))
+    check(logical)
+    compact_text_index(spark, path, n_buckets=16)
+    check(logical)
