@@ -92,6 +92,9 @@ HEADLINE = [
     # r8: rollup-served autocomplete + index-served proximity
     "text_index_suggest",
     "text_index_near_topk",
+    # r8: fuzzy + wildcard query surface (one scan-time, one index-served)
+    "search_fuzzy",
+    "text_index_wildcard",
 ]
 
 

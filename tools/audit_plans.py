@@ -47,6 +47,8 @@ AUDIT = [
     ("ann_index_topk", "saved IVF index: statically partition-pruned cell probe"),
     ("search_phrase", "exact phrase: slice-equality count, pure array expr, 1-row stats broadcast"),
     ("search_near", "ordered proximity: nested HOF pair count, no explode/positional shuffle"),
+    ("search_fuzzy", "fuzzy BM25: concrete expansion resolved at plan-build, then the standard 1-row-stats bm25 scan"),
+    ("search_wildcard", "wildcard BM25: LIKE-expanded concrete terms, same bm25 scan shape"),
 ]
 
 
@@ -87,6 +89,25 @@ def _near_index_df(spark, sf):
     return query_near_index(spark, root, "merge", "stream", slop=2, k=20, n_buckets=64)
 
 
+def _fuzzy_expansion_df(spark, sf):
+    """Steady-state fuzzy term enumeration: like the suggester, the scan
+    set must be ONLY the vocabulary-sized <index>/terms rollup — the
+    length-band + prefix guard and the levenshtein filter are narrow
+    projections over it; postings and corpus never appear."""
+    import tempfile
+
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        fuzzy_from_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="audit_fuzz_")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    build_text_index(docs, root, n_buckets=64)
+    return fuzzy_from_index(spark, root, "quary", max_edits=2, prefix_len=1)
+
+
 #: plan audits that need a persisted index built first (the registered
 #: queries() wrappers return a _persisted read whose plan is just the
 #: result scan; these audit the SERVING plan itself)
@@ -100,6 +121,11 @@ CUSTOM = [
         "text_index_near_topk (serving plan)",
         "index-served NEAR: bucket-pruned positional postings, 1-row stats broadcasts",
         _near_index_df,
+    ),
+    (
+        "text_index_fuzzy (expansion plan)",
+        "fuzzy enumeration from the persisted terms rollup — scan set is ONLY <index>/terms",
+        _fuzzy_expansion_df,
     ),
 ]
 
