@@ -1262,6 +1262,21 @@ def q_ann_upsert_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_ann_pq_topk(spark, sf):
+    """Product-quantization ANN (`operators/similarity.py::pq_topk`,
+    Jégou et al. 2011): 64-dim vectors quantized to 4 subspace codes
+    (16-64× working-set compression — the billion-vector memory path),
+    ADC approximate cosine from the codes alone via a broadcast
+    (sub, code) equi-join, top-50 shortlist, exact rescore of only the
+    shortlist.  Deterministic seed codebooks + rounded rankings let the
+    oracle replay the ENTIRE pipeline (codes, ADC, shortlist, rescore)."""
+    from azuredatalakeindexer_spark.operators.similarity import pq_topk
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 5)
+    return pq_topk(emb, q, k=5, m=4, k_pq=16, shortlist=50)
+
+
 def q_stream_ann_index(spark, sf):
     """Continuously-maintained IVF vector index
     (`sources/ann_index.py::run_stream_ann_index`): drain vector arrivals
@@ -2644,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_upsert_topk": q_ann_upsert_topk,
         "ann_delete_topk": q_ann_delete_topk,
         "stream_ann_index": q_stream_ann_index,
+        "ann_pq_topk": q_ann_pq_topk,
         # -- r04/r05-evidence cohort that slid out of the r07 window
         # -- (oldest driver evidence; VERDICT r7 next-#7) -------------
         "classifier_scores": q_classifier_scores,
@@ -2676,14 +2692,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pipeline": q_bpe_pipeline,
         "token_stats": q_token_stats,
         "orders_cube": q_orders_cube,
-        "region_rollup": q_region_rollup,
         # ---------------- 50-entry window boundary ---------------------
-        # (the six new r8 entries — fuzzy trio, wildcard pair,
-        # stream_ann_index — took the slots of events_pivot /
-        # pricing_summary / top_customers / events_hourly /
-        # region_revenue / shipping_priority, which — with
-        # late_orders_exists, displaced earlier by
+        # (the seven new r8 entries — fuzzy trio, wildcard pair,
+        # stream_ann_index, ann_pq_topk — took the slots of
+        # region_rollup / events_pivot / pricing_summary / top_customers
+        # / events_hourly / region_revenue / shipping_priority, which —
+        # with late_orders_exists, displaced earlier by
         # text_index_suggest_maint — lead r09 with the r06 cohort)
+        "region_rollup": q_region_rollup,
         "events_pivot": q_events_pivot,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -3393,6 +3409,60 @@ def oracle_sql() -> dict[str, str]:
     # saved-index MergeOrUpload: the upserted index answers identically to
     # a fresh IVF over (base \\ replaced) UNION delta on BASE's frozen seed
     # quantizer (first 16 base ids) — replay that merged corpus
+    # product quantization end to end: seed codebooks (subvectors of the
+    # first 16 corpus vectors), per-subspace nearest-codeword codes
+    # (rounded squared-L2, code-asc ties), ADC approximate cosine from
+    # codes alone (per-(query,vec) contributions folded in SUBSPACE order
+    # — the same association as the per-sub-column left-assoc sum), top-50
+    # shortlist by (rounded approx, id), exact-cosine rescore of the
+    # shortlist only
+    sqls["ann_pq_topk"] = f"""
+      WITH craw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      subs AS (SELECT unnest(range(4)) AS sub),
+      cb AS (
+        SELECT subs.sub, seeds.code,
+               list_slice(seeds.v, subs.sub*16+1, subs.sub*16+16) AS cvec
+        FROM (SELECT vec_id AS code, v FROM craw ORDER BY vec_id LIMIT 16) seeds, subs),
+      codes AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT c.vec_id, cb.sub, cb.code,
+            row_number() OVER (PARTITION BY c.vec_id, cb.sub ORDER BY
+              round(list_sum(list_transform(range(1, 17),
+                i -> (c.v[CAST(cb.sub*16 + i AS INT)] - cb.cvec[CAST(i AS INT)])
+                   * (c.v[CAST(cb.sub*16 + i AS INT)] - cb.cvec[CAST(i AS INT)]))), 6) ASC,
+              cb.code) AS r
+          FROM craw c, cb) t WHERE r = 1),
+      pqq AS (SELECT vec_id AS query_id, v AS qv,
+                   sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS qn
+            FROM craw WHERE vec_id < 5),
+      lut AS (
+        SELECT pqq.query_id, cb.sub, cb.code, pqq.qn,
+               list_sum(list_transform(range(1, 17),
+                 i -> pqq.qv[CAST(cb.sub*16 + i AS INT)] * cb.cvec[CAST(i AS INT)])) AS dq,
+               list_sum(list_transform(range(1, 17),
+                 i -> cb.cvec[CAST(i AS INT)] * cb.cvec[CAST(i AS INT)])) AS nn
+        FROM pqq, cb),
+      approx AS (
+        SELECT lut.query_id, codes.vec_id,
+               round(list_reduce(list(dq ORDER BY codes.sub), (a, b) -> a + b)
+                     / (any_value(qn)
+                        * sqrt(list_reduce(list(nn ORDER BY codes.sub), (a, b) -> a + b))), 6) AS acos
+        FROM codes JOIN lut USING (sub, code)
+        GROUP BY lut.query_id, codes.vec_id),
+      short AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS rs
+          FROM approx WHERE vec_id != query_id) t WHERE rs <= 50),
+      rescored AS (
+        SELECT s.query_id, c.vec_id AS neighbor_id, {_cos('pqq.qv', 'c.v')} AS cosine
+        FROM short s JOIN craw c ON c.vec_id = s.vec_id
+        JOIN pqq ON pqq.query_id = s.query_id)
+      SELECT query_id, neighbor_id, cosine,
+             (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+      FROM rescored QUALIFY rank <= 5
+    """
+
     sqls["ann_upsert_topk"] = f"""
       WITH craw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       base AS (SELECT vec_id, v FROM craw WHERE vec_id >= 10),

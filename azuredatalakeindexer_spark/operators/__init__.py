@@ -29,6 +29,9 @@ from azuredatalakeindexer_spark.operators.similarity import (
     brute_force_topk,
     cosine_expr,
     lsh_bucketed_topk,
+    pq_encode,
+    pq_topk,
+    seed_pq_codebooks,
     sign_bucket,
 )
 from azuredatalakeindexer_spark.operators.search import (
@@ -83,6 +86,9 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dup_pairs",
     "brute_force_topk",
+    "pq_encode",
+    "pq_topk",
+    "seed_pq_codebooks",
     "lsh_bucketed_topk",
     "cosine_expr",
     "sign_bucket",

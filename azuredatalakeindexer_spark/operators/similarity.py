@@ -16,6 +16,8 @@ All arithmetic is double-precision Catalyst expressions (``zip_with`` +
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -681,4 +683,203 @@ def dequantize_embeddings(
         F.transform(
             F.col(qvec_col), lambda q: (q * F.col(scale_col) / qmax).cast("double")
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the ANN memory-compression path.  IVF prunes
+# WHICH vectors a query scores; PQ shrinks WHAT is stored/scanned per
+# vector — m uint8-sized codes instead of d floats (64 dims → 4 codes here,
+# a 16-64× working-set reduction), the standard composition for
+# billion-vector serving (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011).
+
+
+def seed_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k_pq: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Per-subspace PQ codebooks as a ``(sub, code, cvec)`` relation: the
+    vector space is split into ``m`` contiguous subspaces and each gets
+    ``k_pq`` codewords.  The caller's learned codebooks pass through;
+    the default is the deterministic seed (subvectors of the first
+    ``k_pq`` corpus vectors by id — the same replayable-seed discipline
+    as :func:`seed_centroids`, code = source vector id).  Model-sized by
+    construction: m × k_pq rows."""
+    if codebooks is not None:
+        return codebooks.select("sub", "code", "cvec")
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    seeds = corpus.select(
+        F.col(id_col).alias("code"), F.col(vec_col).alias("_v")
+    ).orderBy("code").limit(k_pq)
+    subs = [
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.transform(
+                F.slice(F.col("_v"), s * d_sub + 1, d_sub),
+                lambda x: x.cast("double"),
+            ).alias("cvec"),
+        )
+        for s in range(m)
+    ]
+    return seeds.select(
+        "code", F.explode(F.array(*subs)).alias("_s")
+    ).select(F.col("_s.sub").alias("sub"), "code", F.col("_s.cvec").alias("cvec"))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize each vector to its per-subspace nearest codeword (squared
+    L2 over the subvector, ROUNDED before ranking for cross-engine
+    stability, ties to the smallest code): output ``(id_col, sub, code)``
+    — the PQ "codes" relation, the thing a 100 TB deployment persists
+    instead of raw vectors for the ADC scan.  Same corpus × broadcast
+    model shape as :func:`assign_cells`; this is the index-BUILD pass, so
+    its |corpus|·m·k_pq narrow expansion is the amortized-away cost."""
+    d_sub_col = F.size(F.col("cvec"))
+    sub_start = F.col("sub") * d_sub_col + 1
+    subvec = F.slice(F.col(vec_col), sub_start, d_sub_col)
+    diff2 = F.zip_with(
+        subvec,
+        F.col("cvec"),
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    dist = F.round(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v), 6)
+    scored = corpus.crossJoin(F.broadcast(codebooks)).select(
+        F.col(id_col), "sub", "code", dist.alias("_d2")
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.col("_d2").asc(), F.col("code"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    m: int = 4,
+    k_pq: int = 16,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC) + exact rescore:
+
+    1. quantize the corpus (:func:`pq_encode` — persisted offline at
+       scale);
+    2. per query, precompute the ADC lookup table driver-side (dot of the
+       query subvector with every codeword, plus codeword norms —
+       m × k_pq × |queries| rows of model traffic, the PQ analogue of the
+       centroid collect);
+    3. approximate cosine per (query, vector) from the codes ALONE via a
+       broadcast equi-join on (sub, code) — the corpus's raw vectors are
+       never touched in this phase, which is the entire point: the scan is
+       m small ints per vector;
+    4. take the top-``shortlist`` by (rounded approx desc, id), then
+       rescore ONLY those against the raw vectors (id equi-join) with
+       exact cosine — final top-``k`` by (cosine desc, id).
+
+    Deterministic end to end (seed codebooks, rounded rankings, id
+    tiebreaks), so the DuckDB oracle replays the full pipeline — codes,
+    ADC, shortlist, rescore — not just the answer."""
+    cb = seed_pq_codebooks(
+        corpus, m, k_pq, vec_col, id_col, codebooks=codebooks
+    )
+    codes = pq_encode(corpus, cb, m, vec_col, id_col)
+
+    cb_rows = cb.collect()
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).collect()
+
+    def fold(vals):
+        acc = 0.0
+        for v in vals:
+            acc = acc + v
+        return acc
+
+    lut = []
+    for qr in q_rows:
+        qv = [float(x) for x in qr["_qv"]]
+        qn = math.sqrt(fold([x * x for x in qv]))
+        d_sub = len(qv) // m
+        for cr in cb_rows:
+            s, cvec = cr["sub"], cr["cvec"]
+            qs = qv[s * d_sub : (s + 1) * d_sub]
+            dq = fold([a * b for a, b in zip(qs, cvec)])
+            nn = fold([c * c for c in cvec])
+            lut.append((qr["query_id"], s, cr["code"], dq, nn, qn))
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(
+        lut, "query_id long, sub int, code long, dq double, nn double, qn double"
+    )
+
+    joined = codes.join(F.broadcast(lut_df), ["sub", "code"])
+    per = joined.groupBy("query_id", id_col).agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("sub") == s, F.col("dq"))), F.lit(0.0)).alias(f"_d{s}")
+            for s in range(m)
+        ],
+        *[
+            F.coalesce(F.sum(F.when(F.col("sub") == s, F.col("nn"))), F.lit(0.0)).alias(f"_n{s}")
+            for s in range(m)
+        ],
+        F.first("qn").alias("_qn"),
+    )
+    dsum = None
+    nsum = None
+    for s in range(m):
+        d, n = F.col(f"_d{s}"), F.col(f"_n{s}")
+        dsum = d if dsum is None else dsum + d
+        nsum = n if nsum is None else nsum + n
+    approx = F.round(dsum / (F.col("_qn") * F.sqrt(nsum)), 6)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("_approx").desc(), F.col(id_col).asc()
+    )
+    short = (
+        per.select("query_id", id_col, approx.alias("_approx"))
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("_rs", F.row_number().over(ws))
+        .where(F.col("_rs") <= shortlist)
+        .select("query_id", id_col)
+    )
+
+    qraw = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    rescored = (
+        corpus.join(F.broadcast(short), id_col)
+        .join(F.broadcast(qraw), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -707,3 +707,78 @@ def test_learned_quantizer_holdout_recall_floor(spark):
     assert learned_rec >= seed_rec - 0.05, (learned_rec, seed_rec)
     bf.unpersist()
     emb.unpersist()
+
+
+# ------------------------------------------------------------ PQ (ADC)
+
+
+def test_pq_encode_deterministic_and_exact_on_codewords(spark):
+    """A vector that IS a codeword source must encode to its own codes
+    (squared-L2 0 per subspace), and encoding is deterministic."""
+    from azuredatalakeindexer_spark.operators.similarity import (
+        pq_encode,
+        seed_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cb = seed_pq_codebooks(emb, m=4, k_pq=16)
+    assert cb.count() == 64  # 4 subspaces x 16 codewords
+    codes = pq_encode(emb, cb, m=4)
+    # every vector gets exactly m codes
+    bad = codes.groupBy("vec_id").count().where(F.col("count") != 4)
+    assert bad.count() == 0
+    # seed vectors (ids 0..15) reconstruct exactly: code == own id per sub
+    own = codes.where(F.col("vec_id") < 16)
+    assert own.where(F.col("code") != F.col("vec_id")).count() == 0
+
+
+def test_pq_topk_rescore_is_exact_and_recall_reasonable(spark):
+    """The ADC shortlist is approximate, but the returned cosines must be
+    EXACT (identical to brute force for the same (query, neighbor)
+    pairs), ranks consistent, and recall@5 vs brute force above a floor
+    appropriate to 16-codeword seed codebooks."""
+    from azuredatalakeindexer_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 5)
+    pq = pq_topk(emb, q, k=5, m=4, k_pq=16, shortlist=50)
+    rows = pq.collect()
+    assert len(rows) == 25  # 5 queries x k
+    bf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in brute_force_topk(emb, q, k=50).collect()}
+    hits = 0
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            hits += 1
+            assert bf[key] == r["cosine"], key  # rescore is exact cosine
+    top5 = {(r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, q, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(top5 & got) / len(top5)
+    assert recall >= 0.5, recall
+    # shortlist large enough that k survivors always exist per query
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_pq_shortlist_full_corpus_degenerates_to_brute_force(spark):
+    """With shortlist >= |corpus|, the rescore set is every vector, so
+    pq_topk must equal brute force exactly — the ADC phase then only
+    orders the shortlist, never drops a true neighbor."""
+    from azuredatalakeindexer_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 3)
+    n = emb.count()
+    pq = [tuple(r) for r in pq_topk(emb, q, k=5, shortlist=n).collect()]
+    bf = [tuple(r) for r in brute_force_topk(emb, q, k=5).collect()]
+    assert pq == bf

@@ -22,6 +22,8 @@ BNLJ_ALLOWED = {
     "embedding_near_dup",  # bucket equi-join + id< predicate can plan BNLJ on tiny fixture
     "ann_lsh_topk",        # bucket join with explode on broadcast side
     "ann_ivf_topk",        # broadcast 16-row centroid table (documented crossJoin)
+    "ann_pq_topk",         # broadcast 64-row codebook table (pq_encode build
+                           # pass); ADC + rescore are equi-joins
     "ann_filtered_topk",   # same assign_cells crossJoin on the filtered corpus
     "semantic_dedup",      # broadcast 32-row centroid table (same assign_cells crossJoin)
     "run_metrics",         # crossJoin of three SINGLE-ROW aggregate frames
