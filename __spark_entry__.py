@@ -1506,6 +1506,37 @@ def q_text_index_wildcard(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_fuzzy_lsm(spark, sf):
+    """Fuzzy search through the segmented (LSM) recount path: build the
+    index on doc_id>=10, stack an O(batch) segment inserting docs 0-9 —
+    segments now pending, so `query_fuzzy_index`'s expansion must recount
+    df exactly from LIVE postings with the length-band pushed into every
+    segment scan (`live_term_slice`) instead of reading the stale rollup.
+    The mutations net to the full corpus, so the oracle is the same fuzzy
+    replay as `search_fuzzy` — any liveness/df drift hash-mismatches."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_fuzzy_index,
+    )
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        upsert_text_index_segmented,
+    )
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="adls_txtfzl_")
+    try:
+        build_text_index(docs.where(F.col("doc_id") >= 10), root, n_buckets=64)
+        upsert_text_index_segmented(
+            spark, root, docs.where(F.col("doc_id") < 10), n_buckets=64
+        )
+        return _persisted(
+            spark,
+            query_fuzzy_index(spark, root, FUZZY_TERMS, max_edits=2, prefix_len=1, k=20),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_index_suggest(spark, sf):
     """Autocomplete served FROM the persisted (term, df) rollup
     (`sources/text_index.py::suggest_from_index`): the steady-state plan
@@ -2644,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_fuzzy": q_text_index_fuzzy,
         "search_wildcard": q_search_wildcard,
         "text_index_wildcard": q_text_index_wildcard,
+        "text_index_fuzzy_lsm": q_text_index_fuzzy_lsm,
         "text_index_near_topk": q_text_index_near_topk,
         "text_index_near_unordered": q_text_index_near_unordered,
         "text_index_suggest": q_text_index_suggest,
@@ -2691,14 +2723,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_np": q_embedding_topk_np,
         "bpe_pipeline": q_bpe_pipeline,
         "token_stats": q_token_stats,
-        "orders_cube": q_orders_cube,
         # ---------------- 50-entry window boundary ---------------------
-        # (the seven new r8 entries — fuzzy trio, wildcard pair,
-        # stream_ann_index, ann_pq_topk — took the slots of
-        # region_rollup / events_pivot / pricing_summary / top_customers
-        # / events_hourly / region_revenue / shipping_priority, which —
-        # with late_orders_exists, displaced earlier by
-        # text_index_suggest_maint — lead r09 with the r06 cohort)
+        # (the eight new r8 entries — fuzzy trio + LSM variant, wildcard
+        # pair, stream_ann_index, ann_pq_topk — took the slots of
+        # orders_cube / region_rollup / events_pivot / pricing_summary /
+        # top_customers / events_hourly / region_revenue /
+        # shipping_priority, which — with late_orders_exists, displaced
+        # earlier by text_index_suggest_maint — lead r09 with the r06
+        # cohort)
+        "orders_cube": q_orders_cube,
         "region_rollup": q_region_rollup,
         "events_pivot": q_events_pivot,
         "pricing_summary": q_pricing_summary,
@@ -4206,8 +4239,10 @@ def oracle_sql() -> dict[str, str]:
         FROM contrib GROUP BY doc_id) t
       WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 20
     """
-    # index-served fuzzy search is bit-identical to the scan-time path
+    # index-served fuzzy search is bit-identical to the scan-time path,
+    # and the LSM variant's mutations net to the same logical corpus
     sqls["text_index_fuzzy"] = sqls["search_fuzzy"]
+    sqls["text_index_fuzzy_lsm"] = sqls["search_fuzzy"]
 
     # wildcard expansion ('st*am' -> LIKE 'st%am', 'qu?ry' -> LIKE
     # 'qu_ry', ranked df desc / term asc, cap 50), then the same

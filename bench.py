@@ -95,6 +95,8 @@ HEADLINE = [
     # r8: fuzzy + wildcard query surface (one scan-time, one index-served)
     "search_fuzzy",
     "text_index_wildcard",
+    # r8: PQ/ADC — the ANN memory-compression path
+    "ann_pq_topk",
 ]
 
 
@@ -132,6 +134,7 @@ def ann_recall_metrics(spark, sf_dir: str) -> dict[str, float]:
         kmeans_centroids,
         lsh_bucketed_topk,
         lsh_multitable_topk,
+        pq_topk,
     )
     from azuredatalakeindexer_spark.sources.fixtures import load_table
 
@@ -201,6 +204,21 @@ def ann_recall_metrics(spark, sf_dir: str) -> dict[str, float]:
         "ivf_learned_c32_p4_holdout": ann_recall(
             bf_ho,
             ivf_topk(emb, q_ho, k=10, n_centroids=32, n_probe=4, centroids=learned),
+        ),
+        # PQ/ADC with a corpus-proportional shortlist (2%, floor 100):
+        # recall is governed by the shortlist ratio, not |corpus|, and the
+        # rescored cosines are exact — shortlist >= corpus degenerates to
+        # brute force (test-pinned)
+        "pq_m4_k16_s2pct": ann_recall(
+            bf,
+            pq_topk(
+                emb,
+                q,
+                k=10,
+                m=4,
+                k_pq=16,
+                shortlist=max(100, emb.count() // 50),
+            ),
         ),
     }
     bf_ho.unpersist()

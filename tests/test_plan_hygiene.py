@@ -65,6 +65,7 @@ SKIP = {
     "text_index_suggest_maint",
     "text_index_fuzzy",      # builds the temp index at plan-build time
     "text_index_wildcard",   # builds the temp index at plan-build time
+    "text_index_fuzzy_lsm",  # builds the temp index at plan-build time
     "saved_hybrid_search",
     "ann_upsert_topk",
     "ann_delete_topk",
