@@ -1277,6 +1277,30 @@ def q_ann_pq_topk(spark, sf):
     return pq_topk(emb, q, k=5, m=4, k_pq=16, shortlist=50)
 
 
+def q_ann_pq_index_topk(spark, sf):
+    """Persisted IVF-PQ index (`sources/ann_index.py::build_pq_index` /
+    `query_pq_index`) — the composed billion-vector layout: IVF cells
+    prune WHICH partitions a query reads (static PartitionFilters on both
+    the codes and postings scans), PQ codes shrink WHAT the ADC phase
+    costs inside them (m ints per vector); exact rescore touches only the
+    per-query shortlist.  probe-all degenerates to the in-memory pq_topk
+    (test-pinned); the oracle replays the full composed pipeline."""
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        query_pq_index,
+    )
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="adls_pqidx_")
+    try:
+        build_pq_index(emb, root, n_centroids=16, m=4, k_pq=16)
+        out = query_pq_index(spark, root, q, k=5, n_probe=2, shortlist=50)
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_ann_index(spark, sf):
     """Continuously-maintained IVF vector index
     (`sources/ann_index.py::run_stream_ann_index`): drain vector arrivals
@@ -2692,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_delete_topk": q_ann_delete_topk,
         "stream_ann_index": q_stream_ann_index,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_index_topk": q_ann_pq_index_topk,
         # -- r04/r05-evidence cohort that slid out of the r07 window
         # -- (oldest driver evidence; VERDICT r7 next-#7) -------------
         "classifier_scores": q_classifier_scores,
@@ -2722,15 +2747,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r06-evidence cohort head (next-oldest driver rows) -------
         "embedding_topk_np": q_embedding_topk_np,
         "bpe_pipeline": q_bpe_pipeline,
-        "token_stats": q_token_stats,
         # ---------------- 50-entry window boundary ---------------------
-        # (the eight new r8 entries — fuzzy trio + LSM variant, wildcard
-        # pair, stream_ann_index, ann_pq_topk — took the slots of
-        # orders_cube / region_rollup / events_pivot / pricing_summary /
-        # top_customers / events_hourly / region_revenue /
-        # shipping_priority, which — with late_orders_exists, displaced
-        # earlier by text_index_suggest_maint — lead r09 with the r06
-        # cohort)
+        # (the nine new r8 entries — fuzzy trio + LSM variant, wildcard
+        # pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk — took
+        # the slots of token_stats / orders_cube / region_rollup /
+        # events_pivot / pricing_summary / top_customers / events_hourly
+        # / region_revenue / shipping_priority, which — with
+        # late_orders_exists, displaced earlier by
+        # text_index_suggest_maint — lead r09 with the r06 cohort)
+        "token_stats": q_token_stats,
         "orders_cube": q_orders_cube,
         "region_rollup": q_region_rollup,
         "events_pivot": q_events_pivot,
@@ -3481,6 +3506,73 @@ def oracle_sql() -> dict[str, str]:
                      / (any_value(qn)
                         * sqrt(list_reduce(list(nn ORDER BY codes.sub), (a, b) -> a + b))), 6) AS acos
         FROM codes JOIN lut USING (sub, code)
+        GROUP BY lut.query_id, codes.vec_id),
+      short AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS rs
+          FROM approx WHERE vec_id != query_id) t WHERE rs <= 50),
+      rescored AS (
+        SELECT s.query_id, c.vec_id AS neighbor_id, {_cos('pqq.qv', 'c.v')} AS cosine
+        FROM short s JOIN craw c ON c.vec_id = s.vec_id
+        JOIN pqq ON pqq.query_id = s.query_id)
+      SELECT query_id, neighbor_id, cosine,
+             (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+      FROM rescored QUALIFY rank <= 5
+    """
+
+    # the composed IVF-PQ layout: the PQ pipeline above restricted to the
+    # query's probed cells (codes join assigned-cell join probes), exactly
+    # what the cell-partitioned codes scan + static pruning computes
+    sqls["ann_pq_index_topk"] = f"""
+      WITH craw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, v AS cvec FROM craw ORDER BY vec_id LIMIT 16),
+      assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT c.vec_id, cents.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_cos('c.v', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM craw c, cents) t WHERE r = 1),
+      subs AS (SELECT unnest(range(4)) AS sub),
+      cb AS (
+        SELECT subs.sub, seeds.code,
+               list_slice(seeds.v, subs.sub*16+1, subs.sub*16+16) AS cvec
+        FROM (SELECT vec_id AS code, v FROM craw ORDER BY vec_id LIMIT 16) seeds, subs),
+      codes AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT c.vec_id, cb.sub, cb.code,
+            row_number() OVER (PARTITION BY c.vec_id, cb.sub ORDER BY
+              round(list_sum(list_transform(range(1, 17),
+                i -> (c.v[CAST(cb.sub*16 + i AS INT)] - cb.cvec[CAST(i AS INT)])
+                   * (c.v[CAST(cb.sub*16 + i AS INT)] - cb.cvec[CAST(i AS INT)]))), 6) ASC,
+              cb.code) AS r
+          FROM craw c, cb) t WHERE r = 1),
+      pqq AS (SELECT vec_id AS query_id, v AS qv,
+                   sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS qn
+            FROM craw WHERE vec_id < 5),
+      probes AS (
+        SELECT query_id, cid AS cell FROM (
+          SELECT pqq.query_id, cents.cid,
+                 row_number() OVER (PARTITION BY pqq.query_id
+                   ORDER BY {_cos('pqq.qv', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM pqq, cents) t WHERE r <= 2),
+      lut AS (
+        SELECT pqq.query_id, cb.sub, cb.code, pqq.qn,
+               list_sum(list_transform(range(1, 17),
+                 i -> pqq.qv[CAST(cb.sub*16 + i AS INT)] * cb.cvec[CAST(i AS INT)])) AS dq,
+               list_sum(list_transform(range(1, 17),
+                 i -> cb.cvec[CAST(i AS INT)] * cb.cvec[CAST(i AS INT)])) AS nn
+        FROM pqq, cb),
+      approx AS (
+        SELECT lut.query_id, codes.vec_id,
+               round(list_reduce(list(dq ORDER BY codes.sub), (a, b) -> a + b)
+                     / (any_value(qn)
+                        * sqrt(list_reduce(list(nn ORDER BY codes.sub), (a, b) -> a + b))), 6) AS acos
+        FROM codes
+        JOIN assigned USING (vec_id)
+        JOIN probes USING (cell)
+        JOIN lut ON lut.query_id = probes.query_id
+                AND lut.sub = codes.sub AND lut.code = codes.code
         GROUP BY lut.query_id, codes.vec_id),
       short AS (
         SELECT query_id, vec_id FROM (

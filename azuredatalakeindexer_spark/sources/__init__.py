@@ -12,8 +12,10 @@ from azuredatalakeindexer_spark.sources.ddl import create_index_table, index_fie
 from azuredatalakeindexer_spark.sources.synthetic import generate_paths, write_lake
 from azuredatalakeindexer_spark.sources.ann_index import (
     build_ivf_index,
+    build_pq_index,
     delete_from_ivf_index,
     query_ivf_index,
+    query_pq_index,
     run_stream_ann_index,
     upsert_ivf_index,
 )
@@ -64,9 +66,11 @@ __all__ = [
     "read_csv_corpus",
     "split_corrupt",
     "build_ivf_index",
+    "build_pq_index",
     "upsert_ivf_index",
     "delete_from_ivf_index",
     "query_ivf_index",
+    "query_pq_index",
     "run_stream_ann_index",
     "build_text_index",
     "upsert_text_index",

@@ -442,3 +442,176 @@ def run_stream_ann_index(
         .start()
     )
     q.awaitTermination()
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    m: int = 4,
+    k_pq: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> None:
+    """Write the composed IVF-PQ layout — the standard billion-vector
+    serving structure (IVF prunes WHICH cells a query reads, PQ shrinks
+    WHAT each vector costs inside them):
+
+    - ``centroids``: the coarse quantizer (frozen; seed or learned);
+    - ``codebooks``: the m × k_pq per-subspace PQ codewords;
+    - ``codes``: ``(id, sub, code)`` partitioned BY CELL — the relation
+      the ADC phase scans; m small ints per vector instead of d floats,
+      so a probed cell's working set is 16-64× smaller than its raw
+      vectors;
+    - ``postings``: the raw vectors partitioned by cell — the rescore
+      tier, touched only for the per-query shortlist (and the layout
+      ``query_ivf_index`` serves uncompressed queries from).
+
+    One corpus scan feeds both the cell assignment and the encoding; the
+    writes shuffle by cell once each.
+    """
+    from azuredatalakeindexer_spark.operators.similarity import (
+        pq_encode,
+        seed_pq_codebooks,
+    )
+
+    cents = seed_centroids(corpus, n_centroids, vec_col, id_col, centroids)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb = seed_pq_codebooks(
+        corpus, m, k_pq, vec_col, id_col, codebooks=codebooks
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    inverted = assign_cells(corpus, cents, id_col, vec_col, 1)
+    inverted.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/postings")
+    codes = pq_encode(corpus, cb, m, vec_col, id_col).join(
+        inverted.select(id_col, "cell"), id_col
+    )
+    codes.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+
+
+def query_pq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over the saved IVF-PQ layout: probe ``n_probe`` cells
+    (STATIC partition pruning of both the codes and postings scans —
+    literal IN-lists from the model-sized probe collect), approximate
+    cosine via ADC over the probed cells' CODES alone (broadcast
+    per-query lookup tables, subspace-ordered contribution fold), then
+    exact-rescore only the per-query top-``shortlist`` against the probed
+    cells' raw postings.  With ``n_probe >= n_centroids`` this equals the
+    in-memory :func:`operators.similarity.pq_topk` exactly (test-pinned);
+    the oracle replays the full composed pipeline.
+
+    Per-query cost: |probed cells| × m ints for ADC + ``shortlist`` raw
+    vectors for rescore — the two knobs (n_probe, shortlist) trade recall
+    for work with the corpus size out of the equation.
+    """
+    import math as _math
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    probes = assign_cells(q, cents, "query_id", "_qvec", n_probe)
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(cells))
+
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    q_rows = q.collect()
+
+    def fold(vals):
+        acc = 0.0
+        for v in vals:
+            acc = acc + v
+        return acc
+
+    lut = []
+    for qr in q_rows:
+        qv = [float(x) for x in qr["_qvec"]]
+        qn = _math.sqrt(fold([x * x for x in qv]))
+        d_sub = len(qv) // m
+        for cr in cb_rows:
+            s, cvec = cr["sub"], cr["cvec"]
+            qs = qv[s * d_sub : (s + 1) * d_sub]
+            lut.append(
+                (
+                    qr["query_id"],
+                    s,
+                    cr["code"],
+                    fold([a * b for a, b in zip(qs, cvec)]),
+                    fold([c * c for c in cvec]),
+                    qn,
+                )
+            )
+    lut_df = spark.createDataFrame(
+        lut, "query_id long, sub int, code long, dq double, nn double, qn double"
+    )
+
+    # a vector participates for a query iff its cell is among the query's
+    # probes: the (cell) equi-join IS the IVF pruning, applied to codes
+    pairs = codes.join(F.broadcast(probes.select("query_id", "cell")), "cell").join(
+        F.broadcast(lut_df), ["query_id", "sub", "code"]
+    )
+    per = pairs.groupBy("query_id", id_col).agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("sub") == s, F.col("dq"))), F.lit(0.0)).alias(f"_d{s}")
+            for s in range(m)
+        ],
+        *[
+            F.coalesce(F.sum(F.when(F.col("sub") == s, F.col("nn"))), F.lit(0.0)).alias(f"_n{s}")
+            for s in range(m)
+        ],
+        F.first("qn").alias("_qn"),
+    )
+    dsum = None
+    nsum = None
+    for s in range(m):
+        d, n = F.col(f"_d{s}"), F.col(f"_n{s}")
+        dsum = d if dsum is None else dsum + d
+        nsum = n if nsum is None else nsum + n
+    approx = F.round(dsum / (F.col("_qn") * F.sqrt(nsum)), 6)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("_approx").desc(), F.col(id_col).asc()
+    )
+    short = (
+        per.select("query_id", id_col, approx.alias("_approx"))
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("_rs", F.row_number().over(ws))
+        .where(F.col("_rs") <= shortlist)
+        .select("query_id", id_col)
+    )
+
+    raw = spark.read.parquet(f"{path}/postings").where(F.col("cell").isin(cells))
+    rescored = (
+        raw.join(F.broadcast(short), id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -565,3 +565,55 @@ def test_stream_ann_index_is_batch_split_invariant(spark, tmp_path):
     bp = spark.read.parquet(f"{built}/postings").select("vec_id", "cell")
     assert sp.groupBy("vec_id").count().where(F.col("count") > 1).count() == 0
     assert sorted(map(tuple, sp.collect())) == sorted(map(tuple, bp.collect()))
+
+
+def test_pq_index_probe_all_degenerates_to_in_memory(spark, tmp_path):
+    """query_pq_index with n_probe >= n_centroids sees every cell, so the
+    IVF restriction is vacuous and the saved-layout answer must equal the
+    in-memory pq_topk exactly (same codebooks, same shortlist)."""
+    from azuredatalakeindexer_spark.operators.similarity import pq_topk
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        query_pq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "pq")
+    build_pq_index(emb, path, n_centroids=16, m=4, k_pq=16)
+    q = emb.where(F.col("vec_id") < 3)
+    saved = [
+        tuple(r)
+        for r in query_pq_index(
+            spark, path, q, k=5, n_probe=16, shortlist=50
+        ).collect()
+    ]
+    mem = [
+        tuple(r) for r in pq_topk(emb, q, k=5, m=4, k_pq=16, shortlist=50).collect()
+    ]
+    assert saved == mem and len(saved) == 15
+
+
+def test_pq_index_prunes_unprobed_cells_on_both_scans(spark, tmp_path):
+    """With n_probe=1 both the CODES scan (ADC) and the POSTINGS scan
+    (rescore) must carry the probed cell as a STATIC partition filter —
+    the compressed tier and the rescore tier each read only probed
+    partitions."""
+    import re
+
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        query_pq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "pq")
+    build_pq_index(emb, path, n_centroids=16, m=4, k_pq=16)
+    n_cells = len(
+        [d for d in os.listdir(f"{path}/codes") if d.startswith("cell=")]
+    )
+    assert n_cells > 4
+    q = emb.where(F.col("vec_id") == 3)
+    out = query_pq_index(spark, path, q, k=3, n_probe=1, shortlist=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pruned = re.findall(r"PartitionFilters: \[[^]]*\(cell#\d+L? (?:=|IN)", plan)
+    assert len(pruned) >= 2, plan  # codes scan AND postings scan

@@ -70,6 +70,7 @@ SKIP = {
     "ann_upsert_topk",
     "ann_delete_topk",
     "stream_ann_index",
+    "ann_pq_index_topk",     # builds the temp IVF-PQ index at plan-build time
     "bpe_train",          # iterative: runs vocabulary jobs while building
     "bpe_encode",         # collects the learned merges at plan-build time
     "stream_sessionize",
