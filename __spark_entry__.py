@@ -1301,6 +1301,69 @@ def q_ann_pq_index_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_ann_pq_upsert_topk(spark, sf):
+    """MergeOrUpload into the saved IVF-PQ layout
+    (`sources/ann_index.py::upsert_pq_index`): build on vec_id>=10,
+    upsert 10 inserts + 5 negated replacements — BOTH tiers (raw postings
+    rescore tier and PQ codes ADC tier) rewritten cell-bounded under one
+    promotion journal so they can never diverge — then answer top-k from
+    the upserted layout.  Coarse centroids AND codebooks are frozen at
+    build time, so the oracle replays the full composed IVF-PQ pipeline
+    over (base ∖ replaced) ∪ delta on base's seed models."""
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        query_pq_index,
+        upsert_pq_index,
+    )
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") >= 10)
+    neg = F.transform(F.col("embedding"), lambda x: -x).alias("embedding")
+    delta = emb.where(F.col("vec_id") < 10).unionByName(
+        emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+            F.col("vec_id"), neg
+        )
+    )
+    q = emb.where(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="adls_pqups_")
+    try:
+        build_pq_index(base, root, n_centroids=16, m=4, k_pq=16)
+        upsert_pq_index(spark, root, delta)
+        out = query_pq_index(spark, root, q, k=5, n_probe=2, shortlist=50)
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_ann_pq_delete_topk(spark, sf):
+    """Delete from the saved IVF-PQ layout
+    (`sources/ann_index.py::delete_from_pq_index`, the deleted-blob
+    contract of `DatalakePathIndexerFunc/PathIndexerFunc.cs:39` on the
+    compressed index): victims anti-joined out of both tiers cell by
+    cell, then top-k over the survivors.  Frozen models mean the oracle
+    replays the composed pipeline over the survivor set with the
+    build-time (full-corpus) seeds."""
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        delete_from_pq_index,
+        query_pq_index,
+    )
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="adls_pqdel_")
+    try:
+        build_pq_index(emb, root, n_centroids=16, m=4, k_pq=16)
+        doomed = emb.where(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") < 15)
+        ).select("vec_id")
+        delete_from_pq_index(spark, root, doomed)
+        out = query_pq_index(spark, root, q, k=5, n_probe=2, shortlist=50)
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_ann_index(spark, sf):
     """Continuously-maintained IVF vector index
     (`sources/ann_index.py::run_stream_ann_index`): drain vector arrivals
@@ -2717,6 +2780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ann_index": q_stream_ann_index,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_index_topk": q_ann_pq_index_topk,
+        "ann_pq_upsert_topk": q_ann_pq_upsert_topk,
+        "ann_pq_delete_topk": q_ann_pq_delete_topk,
         # -- r04/r05-evidence cohort that slid out of the r07 window
         # -- (oldest driver evidence; VERDICT r7 next-#7) -------------
         "classifier_scores": q_classifier_scores,
@@ -2744,17 +2809,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge": q_upsert_merge,
         "indexer_run": q_indexer_run,
         "indexer_run_metrics": q_indexer_run_metrics,
+        # ---------------- 50-entry window boundary ---------------------
+        # (the eleven new r8 entries — fuzzy trio + LSM variant, wildcard
+        # pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk, and the
+        # PQ maintenance pair ann_pq_upsert_topk / ann_pq_delete_topk —
+        # took the slots of token_stats / orders_cube / region_rollup /
+        # events_pivot / pricing_summary / top_customers / events_hourly
+        # / region_revenue / shipping_priority / embedding_topk_np /
+        # bpe_pipeline, which — with late_orders_exists, displaced
+        # earlier by text_index_suggest_maint — lead r09 with the r06
+        # cohort)
         # -- r06-evidence cohort head (next-oldest driver rows) -------
         "embedding_topk_np": q_embedding_topk_np,
         "bpe_pipeline": q_bpe_pipeline,
-        # ---------------- 50-entry window boundary ---------------------
-        # (the nine new r8 entries — fuzzy trio + LSM variant, wildcard
-        # pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk — took
-        # the slots of token_stats / orders_cube / region_rollup /
-        # events_pivot / pricing_summary / top_customers / events_hourly
-        # / region_revenue / shipping_priority, which — with
-        # late_orders_exists, displaced earlier by
-        # text_index_suggest_maint — lead r09 with the r06 cohort)
         "token_stats": q_token_stats,
         "orders_cube": q_orders_cube,
         "region_rollup": q_region_rollup,
@@ -3582,6 +3649,149 @@ def oracle_sql() -> dict[str, str]:
       rescored AS (
         SELECT s.query_id, c.vec_id AS neighbor_id, {_cos('pqq.qv', 'c.v')} AS cosine
         FROM short s JOIN craw c ON c.vec_id = s.vec_id
+        JOIN pqq ON pqq.query_id = s.query_id)
+      SELECT query_id, neighbor_id, cosine,
+             (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+      FROM rescored QUALIFY rank <= 5
+    """
+
+    # PQ maintenance pair: the composed IVF-PQ pipeline above replayed
+    # over the post-maintenance corpus with the BUILD corpus's frozen
+    # seeds (coarse centroids AND codebooks) — exactly what the frozen-
+    # model upsert/delete guarantee
+    sqls["ann_pq_upsert_topk"] = f"""
+      WITH craw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      base AS (SELECT vec_id, v FROM craw WHERE vec_id >= 10),
+      delta AS (
+        SELECT vec_id, v FROM craw WHERE vec_id < 10
+        UNION ALL
+        SELECT vec_id, list_transform(v, x -> -x) AS v
+        FROM craw WHERE vec_id >= 10 AND vec_id < 15),
+      c AS (
+        SELECT vec_id, v FROM base
+        WHERE vec_id NOT IN (SELECT vec_id FROM delta)
+        UNION ALL SELECT vec_id, v FROM delta),
+      cents AS (SELECT vec_id AS cid, v AS cvec FROM base ORDER BY vec_id LIMIT 16),
+      assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT c.vec_id, cents.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_cos('c.v', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM c, cents) t WHERE r = 1),
+      subs AS (SELECT unnest(range(4)) AS sub),
+      cb AS (
+        SELECT subs.sub, seeds.code,
+               list_slice(seeds.v, subs.sub*16+1, subs.sub*16+16) AS cvec
+        FROM (SELECT vec_id AS code, v FROM base ORDER BY vec_id LIMIT 16) seeds, subs),
+      codes AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT c.vec_id, cb.sub, cb.code,
+            row_number() OVER (PARTITION BY c.vec_id, cb.sub ORDER BY
+              round(list_sum(list_transform(range(1, 17),
+                i -> (c.v[CAST(cb.sub*16 + i AS INT)] - cb.cvec[CAST(i AS INT)])
+                   * (c.v[CAST(cb.sub*16 + i AS INT)] - cb.cvec[CAST(i AS INT)]))), 6) ASC,
+              cb.code) AS r
+          FROM c, cb) t WHERE r = 1),
+      pqq AS (SELECT vec_id AS query_id, v AS qv,
+                   sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS qn
+            FROM craw WHERE vec_id < 5),
+      probes AS (
+        SELECT query_id, cid AS cell FROM (
+          SELECT pqq.query_id, cents.cid,
+                 row_number() OVER (PARTITION BY pqq.query_id
+                   ORDER BY {_cos('pqq.qv', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM pqq, cents) t WHERE r <= 2),
+      lut AS (
+        SELECT pqq.query_id, cb.sub, cb.code, pqq.qn,
+               list_sum(list_transform(range(1, 17),
+                 i -> pqq.qv[CAST(cb.sub*16 + i AS INT)] * cb.cvec[CAST(i AS INT)])) AS dq,
+               list_sum(list_transform(range(1, 17),
+                 i -> cb.cvec[CAST(i AS INT)] * cb.cvec[CAST(i AS INT)])) AS nn
+        FROM pqq, cb),
+      approx AS (
+        SELECT lut.query_id, codes.vec_id,
+               round(list_reduce(list(dq ORDER BY codes.sub), (a, b) -> a + b)
+                     / (any_value(qn)
+                        * sqrt(list_reduce(list(nn ORDER BY codes.sub), (a, b) -> a + b))), 6) AS acos
+        FROM codes
+        JOIN assigned USING (vec_id)
+        JOIN probes USING (cell)
+        JOIN lut ON lut.query_id = probes.query_id
+                AND lut.sub = codes.sub AND lut.code = codes.code
+        GROUP BY lut.query_id, codes.vec_id),
+      short AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS rs
+          FROM approx WHERE vec_id != query_id) t WHERE rs <= 50),
+      rescored AS (
+        SELECT s.query_id, c.vec_id AS neighbor_id, {_cos('pqq.qv', 'c.v')} AS cosine
+        FROM short s JOIN c ON c.vec_id = s.vec_id
+        JOIN pqq ON pqq.query_id = s.query_id)
+      SELECT query_id, neighbor_id, cosine,
+             (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+      FROM rescored QUALIFY rank <= 5
+    """
+
+    sqls["ann_pq_delete_topk"] = f"""
+      WITH craw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id, v FROM craw WHERE vec_id < 5 OR vec_id >= 15),
+      cents AS (SELECT vec_id AS cid, v AS cvec FROM craw ORDER BY vec_id LIMIT 16),
+      assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT c.vec_id, cents.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_cos('c.v', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM c, cents) t WHERE r = 1),
+      subs AS (SELECT unnest(range(4)) AS sub),
+      cb AS (
+        SELECT subs.sub, seeds.code,
+               list_slice(seeds.v, subs.sub*16+1, subs.sub*16+16) AS cvec
+        FROM (SELECT vec_id AS code, v FROM craw ORDER BY vec_id LIMIT 16) seeds, subs),
+      codes AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT c.vec_id, cb.sub, cb.code,
+            row_number() OVER (PARTITION BY c.vec_id, cb.sub ORDER BY
+              round(list_sum(list_transform(range(1, 17),
+                i -> (c.v[CAST(cb.sub*16 + i AS INT)] - cb.cvec[CAST(i AS INT)])
+                   * (c.v[CAST(cb.sub*16 + i AS INT)] - cb.cvec[CAST(i AS INT)]))), 6) ASC,
+              cb.code) AS r
+          FROM c, cb) t WHERE r = 1),
+      pqq AS (SELECT vec_id AS query_id, v AS qv,
+                   sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS qn
+            FROM craw WHERE vec_id < 5),
+      probes AS (
+        SELECT query_id, cid AS cell FROM (
+          SELECT pqq.query_id, cents.cid,
+                 row_number() OVER (PARTITION BY pqq.query_id
+                   ORDER BY {_cos('pqq.qv', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM pqq, cents) t WHERE r <= 2),
+      lut AS (
+        SELECT pqq.query_id, cb.sub, cb.code, pqq.qn,
+               list_sum(list_transform(range(1, 17),
+                 i -> pqq.qv[CAST(cb.sub*16 + i AS INT)] * cb.cvec[CAST(i AS INT)])) AS dq,
+               list_sum(list_transform(range(1, 17),
+                 i -> cb.cvec[CAST(i AS INT)] * cb.cvec[CAST(i AS INT)])) AS nn
+        FROM pqq, cb),
+      approx AS (
+        SELECT lut.query_id, codes.vec_id,
+               round(list_reduce(list(dq ORDER BY codes.sub), (a, b) -> a + b)
+                     / (any_value(qn)
+                        * sqrt(list_reduce(list(nn ORDER BY codes.sub), (a, b) -> a + b))), 6) AS acos
+        FROM codes
+        JOIN assigned USING (vec_id)
+        JOIN probes USING (cell)
+        JOIN lut ON lut.query_id = probes.query_id
+                AND lut.sub = codes.sub AND lut.code = codes.code
+        GROUP BY lut.query_id, codes.vec_id),
+      short AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS rs
+          FROM approx WHERE vec_id != query_id) t WHERE rs <= 50),
+      rescored AS (
+        SELECT s.query_id, c.vec_id AS neighbor_id, {_cos('pqq.qv', 'c.v')} AS cosine
+        FROM short s JOIN c ON c.vec_id = s.vec_id
         JOIN pqq ON pqq.query_id = s.query_id)
       SELECT query_id, neighbor_id, cosine,
              (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank

@@ -615,3 +615,208 @@ def query_pq_index(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def upsert_pq_index(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    broadcast_ids: bool = True,
+) -> DataFrame:
+    """MergeOrUpload into the saved IVF-PQ layout — `upsert_ivf_index`'s
+    contract (the reference's batch upsert,
+    `AzureSearchIndexer/BatchingUploader.cs:34`) applied to BOTH tiers the
+    composed index maintains: the raw-vector ``postings`` (rescore tier)
+    and the ``codes`` relation (ADC tier), which must stay row-for-row in
+    sync or approximate scores silently drift from the vectors they stand
+    for.  Returns the per-id 201/200 status relation.
+
+    Both quantizers are frozen (coarse centroids AND PQ codebooks — the
+    standard maintenance regime: retrain offline after enough churn), so
+    the upserted index answers `query_pq_index` bit-identically to a
+    fresh `build_pq_index` over (base ∖ replaced) ∪ delta on the same
+    models — which is what the DuckDB oracle replays.
+
+    Cost shape mirrors the IVF upsert: the delta is assigned and encoded
+    against broadcast models (batch-sized work), victims are located via
+    the column-pruned (id, cell) postings projection, and ONLY the
+    affected cells of EACH tier are rewritten.  Every staged partition of
+    both relations promotes through ONE journal (`sources/staging.py`),
+    so a crash anywhere leaves the two tiers consistent — either both old
+    or both new — never a codes/postings mismatch.
+    ``broadcast_ids=False``: shuffled-join fallback for rebuild-sized
+    deltas (same contract as `merge_upsert(broadcast_batch_keys=False)`).
+    """
+    from azuredatalakeindexer_spark.operators.similarity import pq_encode
+    from azuredatalakeindexer_spark.sources.staging import (
+        StagedCommit,
+        recover_staged,
+    )
+
+    recover_staged(spark, path)
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    dl = delta.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    assigned = assign_cells(dl, cents, id_col, vec_col, 1)
+    new_codes = pq_encode(dl, cb, vec_col=vec_col, id_col=id_col).join(
+        assigned.select(id_col, "cell"), id_col
+    )
+
+    postings_path = f"{path}/postings"
+    codes_path = f"{path}/codes"
+    old_keys = spark.read.parquet(postings_path).select(id_col, "cell")
+    delta_ids = dl.select(id_col)
+    dkeys = F.broadcast(delta_ids) if broadcast_ids else delta_ids
+    # stale versions of replaced ids (their cell may differ from the new one)
+    victims = old_keys.join(dkeys, id_col, "left_semi")
+    affected = [
+        r["cell"]
+        for r in assigned.select("cell")
+        .union(victims.select("cell"))
+        .distinct()
+        .collect()
+    ]
+    vkeys = victims.select(id_col).distinct().withColumn("_old", F.lit(1))
+    statuses = dl.select(id_col).join(
+        F.broadcast(vkeys) if broadcast_ids else vkeys,
+        id_col,
+        "left",
+    ).select(
+        id_col,
+        F.when(F.col("_old").isNotNull(), F.lit(200)).otherwise(F.lit(201)).alias("status"),
+    ).localCheckpoint()
+
+    keep_post = (
+        spark.read.parquet(postings_path)
+        .where(F.col("cell").isin(affected))
+        .join(dkeys, id_col, "left_anti")
+        .select(id_col, vec_col, "cell")
+    )
+    merged_post = keep_post.unionByName(
+        assigned.select(id_col, vec_col, "cell")
+    ).localCheckpoint()
+    keep_codes = (
+        spark.read.parquet(codes_path)
+        .where(F.col("cell").isin(affected))
+        .join(dkeys, id_col, "left_anti")
+        .select(id_col, "sub", "code", "cell")
+    )
+    merged_codes = keep_codes.unionByName(
+        new_codes.select(id_col, "sub", "code", "cell")
+    ).localCheckpoint()
+
+    commit = StagedCommit(spark, path)
+    if old_keys.isEmpty():
+        # delete-all left the 0-row unpartitioned sentinels: replace both
+        # layouts with clean partitioned ones in a single journaled swap
+        merged_post.repartition("cell").write.partitionBy("cell").parquet(
+            commit.stage("postings")
+        )
+        merged_codes.repartition("cell").write.partitionBy("cell").parquet(
+            commit.stage("codes")
+        )
+        commit.swap("postings", "postings")
+        commit.swap("codes", "codes")
+        commit.promote()
+        return statuses
+    # stage ONLY the affected cells of each tier; a victim cell whose rows
+    # all moved elsewhere is removed from BOTH tiers in the same journal
+    present = [r["cell"] for r in merged_post.select("cell").distinct().collect()]
+    merged_post.repartition("cell").write.partitionBy("cell").parquet(
+        commit.stage("postings")
+    )
+    merged_codes.repartition("cell").write.partitionBy("cell").parquet(
+        commit.stage("codes")
+    )
+    for cell in affected:
+        if cell in present:
+            commit.swap(f"postings/cell={cell}", f"postings/cell={cell}")
+            commit.swap(f"codes/cell={cell}", f"codes/cell={cell}")
+        else:
+            commit.remove(f"postings/cell={cell}")
+            commit.remove(f"codes/cell={cell}")
+    commit.promote()
+    return statuses
+
+
+def delete_from_pq_index(
+    spark: SparkSession,
+    path: str,
+    vec_ids: DataFrame,
+    id_col: str = "vec_id",
+    broadcast_ids: bool = True,
+) -> int:
+    """Remove vectors from the saved IVF-PQ layout — the deleted-blob
+    contract (J2, `DatalakePathIndexerFunc/PathIndexerFunc.cs:39`) for the
+    compressed index, completing its MergeOrUpload/Delete pair.  Victims
+    are anti-joined out of BOTH tiers (raw postings + PQ codes) cell by
+    cell under one promotion journal, so the ADC scan can never score a
+    code whose raw vector is gone (or vice versa).  Returns the number of
+    vectors removed; absent ids are a no-op (idempotent on redelivered
+    delete events) and write nothing.  Deleting the last vector drops
+    both tiers to typed 0-row unpartitioned sentinels (a partitioned dir
+    with zero data files cannot be re-read); `upsert_pq_index` routes
+    back through the clean static write when it sees that.  Quantizers
+    are untouched, so survivor queries are bit-identical to a fresh build
+    over them on the same models — which the DuckDB oracle replays.
+    ``broadcast_ids=False``: shuffled-join fallback for bulk purges.
+    """
+    from azuredatalakeindexer_spark.sources.staging import (
+        StagedCommit,
+        recover_staged,
+    )
+
+    recover_staged(spark, path)
+    ids = vec_ids.select(id_col).distinct().localCheckpoint()
+    keys = F.broadcast(ids) if broadcast_ids else ids
+    postings_path = f"{path}/postings"
+    codes_path = f"{path}/codes"
+    old = spark.read.parquet(postings_path)
+    victims = old.select(id_col, "cell").join(keys, id_col, "left_semi")
+    affected = [r["cell"] for r in victims.select("cell").distinct().collect()]
+    n_removed = victims.select(id_col).distinct().count()
+    if not affected:
+        return 0
+    keep_post = (
+        old.where(F.col("cell").isin(affected))
+        .join(keys, id_col, "left_anti")
+        .localCheckpoint()
+    )
+    keep_codes = (
+        spark.read.parquet(codes_path)
+        .where(F.col("cell").isin(affected))
+        .join(keys, id_col, "left_anti")
+        .select(id_col, "sub", "code", "cell")
+        .localCheckpoint()
+    )
+    present = [r["cell"] for r in keep_post.select("cell").distinct().collect()]
+    commit = StagedCommit(spark, path)
+    survivors_elsewhere = bool(
+        set(_partition_dir_names(spark, postings_path, "cell"))
+        - {f"cell={c}" for c in affected}
+    )
+    if present or survivors_elsewhere:
+        if present:
+            keep_post.repartition("cell").write.partitionBy("cell").parquet(
+                commit.stage("postings")
+            )
+            keep_codes.repartition("cell").write.partitionBy("cell").parquet(
+                commit.stage("codes")
+            )
+        for cell in affected:
+            if cell in present:
+                commit.swap(f"postings/cell={cell}", f"postings/cell={cell}")
+                commit.swap(f"codes/cell={cell}", f"codes/cell={cell}")
+            else:
+                commit.remove(f"postings/cell={cell}")
+                commit.remove(f"codes/cell={cell}")
+    else:
+        # every cell emptied: stage typed 0-row sentinels for both tiers
+        keep_post.write.parquet(commit.stage("postings"))
+        keep_codes.write.parquet(commit.stage("codes"))
+        commit.swap("postings", "postings")
+        commit.swap("codes", "codes")
+    commit.promote()
+    return int(n_removed)

@@ -338,6 +338,37 @@ def index_lifecycle_metrics(spark, sf_dir: str) -> dict[str, float]:
                 spark, apath, emb.where(F.col("vec_id") < 20), k=10, n_probe=4
             ).count(),
         )
+
+        # IVF-PQ: the compressed layout maintains TWO cell-partitioned
+        # tiers (codes + raw postings) per batch, so its maintenance cost
+        # is roughly 2× the IVF rows above — still cell-bounded, still a
+        # fraction of the full rebuild
+        from azuredatalakeindexer_spark.sources.ann_index import (
+            build_pq_index,
+            delete_from_pq_index,
+            query_pq_index,
+            upsert_pq_index,
+        )
+
+        ppath = f"{tmp}/pq"
+        timed(
+            "pq_build_full",
+            lambda: build_pq_index(ebase, ppath, n_centroids=32, m=4, k_pq=16),
+        )
+        timed(
+            "pq_upsert_1pct_batch",
+            lambda: upsert_pq_index(spark, ppath, edelta).count(),
+        )
+        timed(
+            "pq_delete_1pct_batch",
+            lambda: delete_from_pq_index(spark, ppath, edelta.select("vec_id")),
+        )
+        timed(
+            "pq_query_topk",
+            lambda: query_pq_index(
+                spark, ppath, emb.where(F.col("vec_id") < 20), k=10, n_probe=4
+            ).count(),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -617,3 +617,184 @@ def test_pq_index_prunes_unprobed_cells_on_both_scans(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     pruned = re.findall(r"PartitionFilters: \[[^]]*\(cell#\d+L? (?:=|IN)", plan)
     assert len(pruned) >= 2, plan  # codes scan AND postings scan
+
+
+def test_upsert_pq_index_matches_fresh_rebuild_and_keeps_tiers_synced(spark, tmp_path):
+    """MergeOrUpload into the IVF-PQ layout: queries after the upsert are
+    bit-identical to a FRESH build over (base \\ replaced) ∪ delta on the
+    SAME frozen centroids+codebooks, statuses are 201/200, the codes and
+    postings tiers hold exactly the same id set, and untouched cells of
+    BOTH tiers keep their parquet files byte-for-byte."""
+    import glob
+
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        query_pq_index,
+        upsert_pq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") >= 10)
+    path = str(tmp_path / "pq")
+    build_pq_index(base, path, n_centroids=16, m=4, k_pq=16)
+
+    def _files(rel):
+        return {
+            d: sorted(
+                os.path.basename(f) for f in glob.glob(f"{path}/{rel}/{d}/*.parquet")
+            )
+            for d in os.listdir(f"{path}/{rel}")
+            if d.startswith("cell=")
+        }
+
+    before = {rel: _files(rel) for rel in ("postings", "codes")}
+
+    neg = F.transform(F.col("embedding"), lambda x: -x).alias("embedding")
+    delta = emb.where(F.col("vec_id") < 10).unionByName(
+        emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+            F.col("vec_id"), neg
+        )
+    )
+    statuses = {
+        r["vec_id"]: r["status"]
+        for r in upsert_pq_index(spark, path, delta).collect()
+    }
+    assert all(statuses[i] == 201 for i in range(10))
+    assert all(statuses[i] == 200 for i in range(10, 15))
+
+    post_ids = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{path}/postings").select("vec_id", "cell").collect()
+    }
+    code_ids = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{path}/codes").select("vec_id", "cell").distinct().collect()
+    }
+    assert post_ids == code_ids
+
+    q = emb.where(F.col("vec_id") < 5)
+    upserted = query_pq_index(spark, path, q, k=5, n_probe=2, shortlist=50)
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    merged = base.join(delta.select("vec_id"), "vec_id", "left_anti").unionByName(delta)
+    path2 = str(tmp_path / "pq_fresh")
+    build_pq_index(merged, path2, m=4, centroids=cents, codebooks=cb)
+    fresh = query_pq_index(spark, path2, q, k=5, n_probe=2, shortlist=50)
+    assert _rows(upserted) == _rows(fresh) and len(_rows(fresh)) == 25
+
+    after = {rel: _files(rel) for rel in ("postings", "codes")}
+    for rel in ("postings", "codes"):
+        touched = {
+            d for d in before[rel] if before[rel][d] != after[rel].get(d, [])
+        }
+        untouched = set(before[rel]) - touched
+        assert untouched, rel  # some cells were never rewritten
+        assert all(before[rel][d] == after[rel][d] for d in untouched)
+
+
+def test_delete_from_pq_index_matches_fresh_rebuild_and_is_idempotent(spark, tmp_path):
+    """Deleting from the IVF-PQ layout removes the victims from BOTH
+    tiers; survivors answer bit-identically to a fresh build over them on
+    the frozen models; a redelivered delete of the same (now absent) ids
+    is a 0-count no-op that writes nothing."""
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        delete_from_pq_index,
+        query_pq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "pq")
+    build_pq_index(emb, path, n_centroids=16, m=4, k_pq=16)
+
+    doomed = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 15)).select("vec_id")
+    assert delete_from_pq_index(spark, path, doomed) == 10
+    assert delete_from_pq_index(spark, path, doomed) == 0  # idempotent
+
+    survivors_codes = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/codes").select("vec_id").distinct().collect()
+    }
+    assert not survivors_codes & set(range(5, 15))
+
+    q = emb.where(F.col("vec_id") < 5)
+    deleted = query_pq_index(spark, path, q, k=5, n_probe=2, shortlist=50)
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    survivors = emb.where((F.col("vec_id") < 5) | (F.col("vec_id") >= 15))
+    path2 = str(tmp_path / "pq_fresh")
+    build_pq_index(survivors, path2, m=4, centroids=cents, codebooks=cb)
+    fresh = query_pq_index(spark, path2, q, k=5, n_probe=2, shortlist=50)
+    assert _rows(deleted) == _rows(fresh) and len(_rows(fresh)) == 25
+
+
+def test_pq_delete_all_then_upsert_roundtrip(spark, tmp_path):
+    """Deleting every vector drops both tiers to readable 0-row
+    sentinels; a subsequent upsert routes back through the clean static
+    write and the index serves queries again."""
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        delete_from_pq_index,
+        query_pq_index,
+        upsert_pq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    small = emb.where(F.col("vec_id") < 20)
+    path = str(tmp_path / "pq")
+    build_pq_index(small, path, n_centroids=4, m=4, k_pq=8)
+
+    assert delete_from_pq_index(spark, path, small.select("vec_id")) == 20
+    assert spark.read.parquet(f"{path}/postings").count() == 0
+    assert spark.read.parquet(f"{path}/codes").count() == 0
+
+    statuses = upsert_pq_index(spark, path, small)
+    assert statuses.where(F.col("status") == 201).count() == 20
+    q = small.where(F.col("vec_id") < 2)
+    out = query_pq_index(spark, path, q, k=3, n_probe=4, shortlist=20)
+    assert out.count() == 6
+
+
+def test_pq_maintenance_shuffled_fallback(spark, tmp_path):
+    """broadcast_ids=False on the PQ upsert/delete: only model-sized
+    frames (centroids/codebooks) are ever broadcast — never a batch-id
+    frame — and the maintenance results are unchanged."""
+    from unittest.mock import patch
+
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        delete_from_pq_index,
+        query_pq_index,
+        upsert_pq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "pq")
+    build_pq_index(emb.where(F.col("vec_id") >= 10), path, n_centroids=8, m=4, k_pq=16)
+
+    calls = []
+    orig = F.broadcast
+
+    def spy(df):
+        calls.append(df)
+        return orig(df)
+
+    delta = emb.where(F.col("vec_id") < 10)
+    with patch.object(F, "broadcast", side_effect=spy):
+        st = upsert_pq_index(spark, path, delta, broadcast_ids=False)
+        assert {r["status"] for r in st.collect()} == {201}
+        assert (
+            delete_from_pq_index(
+                spark, path, delta.select("vec_id"), broadcast_ids=False
+            )
+            == 10
+        )
+    for df in calls:
+        assert "cvec" in df.columns or "cid" in df.columns, df.columns
+    q = emb.where(F.col("vec_id") < 3)
+    out = query_pq_index(spark, path, q, k=5, n_probe=2, shortlist=20)
+    assert out.count() > 0

@@ -108,6 +108,28 @@ def _fuzzy_expansion_df(spark, sf):
     return fuzzy_from_index(spark, root, "quary", max_edits=2, prefix_len=1)
 
 
+def _pq_index_df(spark, sf):
+    """IVF-PQ serving: the ADC phase must scan ONLY the probed cells'
+    CODES partitions (static PartitionFilters from the literal probe
+    IN-list), the per-query LUT and probe maps ride broadcasts, and the
+    exact rescore touches only the probed cells' raw postings for the
+    shortlist ids."""
+    import tempfile
+
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        query_pq_index,
+    )
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+
+    root = tempfile.mkdtemp(prefix="audit_pq_")
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    build_pq_index(emb, root, n_centroids=8, m=4, k_pq=16)
+    return query_pq_index(
+        spark, root, emb.limit(3), k=5, n_probe=2, shortlist=20, m=4
+    )
+
+
 #: plan audits that need a persisted index built first (the registered
 #: queries() wrappers return a _persisted read whose plan is just the
 #: result scan; these audit the SERVING plan itself)
@@ -126,6 +148,11 @@ CUSTOM = [
         "text_index_fuzzy (expansion plan)",
         "fuzzy enumeration from the persisted terms rollup — scan set is ONLY <index>/terms",
         _fuzzy_expansion_df,
+    ),
+    (
+        "ann_pq_index_topk (serving plan)",
+        "IVF-PQ serving: statically cell-pruned codes scan for ADC, broadcast LUT, shortlist-only rescore",
+        _pq_index_df,
     ),
 ]
 
