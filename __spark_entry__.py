@@ -1404,6 +1404,53 @@ def q_stream_ann_index(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_pq_index(spark, sf):
+    """Continuously-maintained IVF-PQ index
+    (`sources/ann_index.py::run_stream_pq_index`): drain vector arrivals
+    (availableNow, 1 file per trigger → build + 3 MergeOrUpload
+    micro-batches, each rewriting both tiers of only the affected cells
+    under one journal) with offline-trained frozen models (full-corpus
+    seed centroids + codebooks), then answer top-k from the saved layout.
+    Frozen models + LWW per id make the drain batch-split-invariant, so
+    the final index is bit-identical to one build over the whole corpus —
+    the oracle replays that composed IVF-PQ pipeline."""
+    from azuredatalakeindexer_spark.operators.similarity import (
+        seed_centroids,
+        seed_pq_codebooks,
+    )
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        query_pq_index,
+        run_stream_pq_index,
+    )
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="adls_strpq_")
+    try:
+        vecs_dir = os.path.join(root, "vecs")
+        emb.repartition(4).write.parquet(vecs_dir)
+        schema = spark.read.parquet(vecs_dir).schema
+        run_stream_pq_index(
+            spark,
+            vecs_dir,
+            schema,
+            os.path.join(root, "index"),
+            os.path.join(root, "ckpt"),
+            n_centroids=16,
+            m=4,
+            k_pq=16,
+            max_files_per_trigger=1,
+            centroids=seed_centroids(emb, 16),
+            codebooks=seed_pq_codebooks(emb, 4, 16),
+        )
+        q = emb.where(F.col("vec_id") < 5)
+        out = query_pq_index(
+            spark, os.path.join(root, "index"), q, k=5, n_probe=2, shortlist=50
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_frames(spark, sf):
     """Frame sampling: mapInPandas exploding each payload into N frame rows
     with per-frame byte-window fingerprints."""
@@ -2782,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_index_topk": q_ann_pq_index_topk,
         "ann_pq_upsert_topk": q_ann_pq_upsert_topk,
         "ann_pq_delete_topk": q_ann_pq_delete_topk,
+        "stream_pq_index": q_stream_pq_index,
         # -- r04/r05-evidence cohort that slid out of the r07 window
         # -- (oldest driver evidence; VERDICT r7 next-#7) -------------
         "classifier_scores": q_classifier_scores,
@@ -2808,17 +2856,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_runs": q_partitioned_runs,
         "upsert_merge": q_upsert_merge,
         "indexer_run": q_indexer_run,
-        "indexer_run_metrics": q_indexer_run_metrics,
         # ---------------- 50-entry window boundary ---------------------
-        # (the eleven new r8 entries — fuzzy trio + LSM variant, wildcard
-        # pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk, and the
-        # PQ maintenance pair ann_pq_upsert_topk / ann_pq_delete_topk —
-        # took the slots of token_stats / orders_cube / region_rollup /
-        # events_pivot / pricing_summary / top_customers / events_hourly
-        # / region_revenue / shipping_priority / embedding_topk_np /
-        # bpe_pipeline, which — with late_orders_exists, displaced
-        # earlier by text_index_suggest_maint — lead r09 with the r06
-        # cohort)
+        # (the twelve new r8 entries — fuzzy trio + LSM variant, wildcard
+        # pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk, the PQ
+        # maintenance pair ann_pq_upsert_topk / ann_pq_delete_topk, and
+        # stream_pq_index — took the slots of token_stats / orders_cube /
+        # region_rollup / events_pivot / pricing_summary / top_customers
+        # / events_hourly / region_revenue / shipping_priority /
+        # embedding_topk_np / bpe_pipeline / indexer_run_metrics, which —
+        # with late_orders_exists, displaced earlier by
+        # text_index_suggest_maint — lead r09 with the r06 cohort)
+        "indexer_run_metrics": q_indexer_run_metrics,
         # -- r06-evidence cohort head (next-oldest driver rows) -------
         "embedding_topk_np": q_embedding_topk_np,
         "bpe_pipeline": q_bpe_pipeline,
@@ -3654,6 +3702,11 @@ def oracle_sql() -> dict[str, str]:
              (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
       FROM rescored QUALIFY rank <= 5
     """
+
+    # stream_pq_index: batch-split-invariant drain with frozen models —
+    # the final index equals one full-corpus build, so the oracle is the
+    # same composed IVF-PQ replay
+    sqls["stream_pq_index"] = sqls["ann_pq_index_topk"]
 
     # PQ maintenance pair: the composed IVF-PQ pipeline above replayed
     # over the post-maintenance corpus with the BUILD corpus's frozen

@@ -820,3 +820,76 @@ def delete_from_pq_index(
         commit.swap("codes", "codes")
     commit.promote()
     return int(n_removed)
+
+
+def run_stream_pq_index(
+    spark: SparkSession,
+    vecs_dir: str,
+    schema,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    m: int = 4,
+    k_pq: int = 16,
+    max_files_per_trigger: int = 1,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> None:
+    """Continuously maintain the saved IVF-PQ layout from a vector-arrival
+    stream — the same watch→upsert loop as ``run_stream_ann_index``
+    (reference §3.1 + T1) for the compressed index, completing the
+    streaming-maintenance symmetry: every persisted layout this engine
+    serves (text in-place, text LSM, IVF, IVF-PQ) now has batch AND
+    streaming maintenance.
+
+    ``availableNow`` drains the backlog and terminates (T7); the first
+    micro-batch builds, every later batch is an ``upsert_pq_index``
+    MergeOrUpload — both tiers (codes + postings) rewritten cell-bounded
+    under one journal per batch, so a crash between micro-batches leaves
+    a consistent, queryable index and the checkpoint replays the rest.
+
+    **Model discipline**: pass ``centroids`` AND ``codebooks`` (trained
+    offline, frozen) and the drain is batch-split-invariant — 1 or N
+    micro-batches yield an index bit-identical to one ``build_pq_index``
+    over the whole corpus (test-pinned; the oracle replays that composed
+    pipeline).  With either model None, the first batch's deterministic
+    seeds are used (one-shot-drain caveat, same as the IVF stream).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(vecs_dir)
+    )
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        if not hadoop_path_exists(batch.sparkSession, f"{index_dir}/codebooks"):
+            build_pq_index(
+                batch,
+                index_dir,
+                n_centroids=n_centroids,
+                m=m,
+                k_pq=k_pq,
+                vec_col=vec_col,
+                id_col=id_col,
+                centroids=centroids,
+                codebooks=codebooks,
+            )
+        else:
+            upsert_pq_index(
+                batch.sparkSession,
+                index_dir,
+                batch,
+                vec_col=vec_col,
+                id_col=id_col,
+            ).count()
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

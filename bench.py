@@ -604,6 +604,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "queries": timings,
                 "timing": "warm" if warm_pass else "cold",
                 "duckdb_total": duck_total,
                 "spark_vs_duckdb": round(total / duck_total, 3) if duck_total else None,

@@ -798,3 +798,51 @@ def test_pq_maintenance_shuffled_fallback(spark, tmp_path):
     q = emb.where(F.col("vec_id") < 3)
     out = query_pq_index(spark, path, q, k=5, n_probe=2, shortlist=20)
     assert out.count() > 0
+
+
+def test_stream_pq_index_is_batch_split_invariant(spark, tmp_path):
+    """Draining the vector stream into the IVF-PQ layout in 4
+    micro-batches with frozen offline models must leave the SAME index as
+    one build over the whole corpus — bit-identical query rows, and both
+    tiers holding each id exactly once in the same cell layout."""
+    from azuredatalakeindexer_spark.operators.similarity import (
+        seed_centroids,
+        seed_pq_codebooks,
+    )
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        query_pq_index,
+        run_stream_pq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    vecs_dir = str(tmp_path / "vecs")
+    emb.repartition(4).write.parquet(vecs_dir)
+    schema = spark.read.parquet(vecs_dir).schema
+
+    idx = str(tmp_path / "pq_stream")
+    run_stream_pq_index(
+        spark, vecs_dir, schema, idx, str(tmp_path / "ckpt"),
+        n_centroids=16, m=4, k_pq=16, max_files_per_trigger=1,
+        centroids=seed_centroids(emb, 16),
+        codebooks=seed_pq_codebooks(emb, 4, 16),
+    )
+    built = str(tmp_path / "pq_built")
+    build_pq_index(emb, built, n_centroids=16, m=4, k_pq=16)
+
+    q = emb.where(F.col("vec_id") < 5)
+    streamed = query_pq_index(spark, idx, q, k=5, n_probe=2, shortlist=50)
+    direct = query_pq_index(spark, built, q, k=5, n_probe=2, shortlist=50)
+    assert [tuple(r) for r in streamed.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    for rel, key_cols in (("postings", ["vec_id"]), ("codes", ["vec_id", "sub"])):
+        s = spark.read.parquet(f"{idx}/{rel}")
+        b = spark.read.parquet(f"{built}/{rel}")
+        assert (
+            s.groupBy(*key_cols).count().where(F.col("count") > 1).count() == 0
+        ), rel
+        cols = key_cols + ["cell"]
+        assert sorted(
+            map(tuple, s.select(*cols).collect())
+        ) == sorted(map(tuple, b.select(*cols).collect())), rel

@@ -73,6 +73,7 @@ SKIP = {
     "ann_pq_index_topk",     # builds the temp IVF-PQ index at plan-build time
     "ann_pq_upsert_topk",    # builds + maintains the temp IVF-PQ index
     "ann_pq_delete_topk",
+    "stream_pq_index",       # drains the stream at plan-build time
     "bpe_train",          # iterative: runs vocabulary jobs while building
     "bpe_encode",         # collects the learned merges at plan-build time
     "stream_sessionize",
