@@ -30,6 +30,7 @@ from azuredatalakeindexer_spark.operators.similarity import (
     cosine_expr,
     lsh_bucketed_topk,
     pq_encode,
+    learned_pq_codebooks,
     pq_topk,
     seed_pq_codebooks,
     sign_bucket,
@@ -88,6 +89,7 @@ __all__ = [
     "brute_force_topk",
     "pq_encode",
     "pq_topk",
+    "learned_pq_codebooks",
     "seed_pq_codebooks",
     "lsh_bucketed_topk",
     "cosine_expr",

@@ -770,6 +770,102 @@ def pq_encode(
     )
 
 
+def learned_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k_pq: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-subspace Lloyd's k-means PQ codebooks — the trained quantizer
+    Jégou et al. 2011 prescribe (the deterministic ``seed_pq_codebooks``
+    are the RNG-free stand-in, exactly like the seed-vs-``kmeans_centroids``
+    split on the coarse quantizer).  Geometry is squared-L2 over
+    SUBVECTORS — matching :func:`pq_encode`'s assignment metric, not the
+    cosine the coarse quantizer uses, because PQ reconstruction error is
+    an L2 quantity per subspace.
+
+    Same physical discipline as :func:`kmeans_centroids`:
+
+    - deterministic greedy farthest-point (maxmin) seeding per subspace
+      over one bounded hash-ordered sample (``max(32·k_pq, 512)`` rows —
+      model-sized driver traffic, RNG-free so reruns are bit-stable);
+    - each iteration assigns DISTRIBUTED via :func:`pq_encode` (corpus ×
+      broadcast codebooks) and updates codewords from the per-(sub, code,
+      dim) means — m·k_pq·d_sub result rows regardless of corpus size,
+      with the posexplode long shape keeping the aggregate narrow and
+      map-side combined; empty codes keep their previous codeword.
+
+    Returns ``(sub, code, cvec)`` to pass as ``pq_topk(codebooks=)`` /
+    ``build_pq_index(codebooks=)`` / ``run_stream_pq_index(codebooks=)``.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    n_sample = max(32 * k_pq, 512)
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.hash(F.col(id_col), F.lit("pq_seed")), F.col(id_col))
+        .limit(n_sample)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    d = X.shape[1]
+    d_sub = d // m
+    books: dict[int, "np.ndarray"] = {}
+    for s in range(m):
+        Xs = X[:, s * d_sub : (s + 1) * d_sub]
+        seeds = [0]
+        # running min-L2 of every sample subvector to the chosen seeds
+        dist = ((Xs - Xs[0]) ** 2).sum(axis=1)
+        for _ in range(1, min(k_pq, len(Xs))):
+            nxt = int(np.argmax(dist))  # farthest point = largest min-L2
+            seeds.append(nxt)
+            dist = np.minimum(dist, ((Xs - Xs[nxt]) ** 2).sum(axis=1))
+        C = Xs[seeds]
+        if len(C) < k_pq:  # degenerate tiny corpus: pad by repeating
+            C = np.concatenate(
+                [C, Xs[[i % len(Xs) for i in range(k_pq - len(C))]]]
+            )
+        books[s] = C
+
+    def to_df(bs) -> DataFrame:
+        rows = [
+            (s, c, [float(x) for x in bs[s][c]])
+            for s in range(m)
+            for c in range(k_pq)
+        ]
+        return spark.createDataFrame(rows, "sub int, code long, cvec array<double>")
+
+    corpus = corpus.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    sub_start = F.col("sub").cast("int") * d_sub + 1
+    for _ in range(iters):
+        cb = to_df(books)
+        codes = pq_encode(corpus, cb, m, vec_col, id_col)
+        means = (
+            codes.join(corpus, id_col)
+            .select(
+                "sub",
+                "code",
+                F.posexplode(F.slice(F.col(vec_col), sub_start, d_sub)).alias(
+                    "dim", "val"
+                ),
+            )
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new_books = {s: books[s].copy() for s in books}
+        touched = {(r["sub"], r["code"]) for r in means}
+        for s, c in touched:
+            new_books[s][c] = np.zeros(d_sub, dtype=np.float64)
+        for r in means:
+            new_books[r["sub"]][r["code"]][r["dim"]] = r["m"]
+        books = new_books
+    return to_df(books)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

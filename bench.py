@@ -132,6 +132,7 @@ def ann_recall_metrics(spark, sf_dir: str) -> dict[str, float]:
         brute_force_topk,
         ivf_topk,
         kmeans_centroids,
+        learned_pq_codebooks,
         lsh_bucketed_topk,
         lsh_multitable_topk,
         pq_topk,
@@ -218,6 +219,24 @@ def ann_recall_metrics(spark, sf_dir: str) -> dict[str, float]:
                 m=4,
                 k_pq=16,
                 shortlist=max(100, emb.count() // 50),
+            ),
+        ),
+        # trained-vs-seed PQ codebooks on the held-out queries (same
+        # honesty discipline as the ivf_*_holdout rows): Lloyd's per
+        # subspace in L2 — the quantizer the Jégou pipeline trains offline
+        "pq_m4_k16_s2pct_holdout": ann_recall(
+            bf_ho,
+            pq_topk(
+                emb, q_ho, k=10, m=4, k_pq=16,
+                shortlist=max(100, emb.count() // 50),
+            ),
+        ),
+        "pq_learned_m4_k16_s2pct_holdout": ann_recall(
+            bf_ho,
+            pq_topk(
+                emb, q_ho, k=10, m=4, k_pq=16,
+                shortlist=max(100, emb.count() // 50),
+                codebooks=learned_pq_codebooks(emb, m=4, k_pq=16, iters=5),
             ),
         ),
     }

@@ -782,3 +782,49 @@ def test_pq_shortlist_full_corpus_degenerates_to_brute_force(spark):
     pq = [tuple(r) for r in pq_topk(emb, q, k=5, shortlist=n).collect()]
     bf = [tuple(r) for r in brute_force_topk(emb, q, k=5).collect()]
     assert pq == bf
+
+
+def test_learned_pq_codebooks_deterministic_and_reduce_quantization_error(spark):
+    """Per-subspace Lloyd's codebooks: bit-stable across reruns (RNG-free
+    maxmin seeding + deterministic assignment), and they REDUCE the
+    quantity k-means optimizes — mean squared subvector reconstruction
+    error — versus the seed codebooks on the same corpus; they plug into
+    pq_topk unchanged."""
+    import numpy as np
+
+    from azuredatalakeindexer_spark.operators.similarity import (
+        learned_pq_codebooks,
+        pq_topk,
+        seed_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    m, k_pq = 4, 16
+    learned = learned_pq_codebooks(emb, m=m, k_pq=k_pq, iters=5)
+    again = learned_pq_codebooks(emb, m=m, k_pq=k_pq, iters=5)
+    assert sorted(map(tuple, learned.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+    X = np.array([list(r[1]) for r in emb.collect()], dtype=np.float64)
+    d_sub = X.shape[1] // m
+
+    def mse(cb_df):
+        books = {}
+        for r in cb_df.collect():
+            books.setdefault(r["sub"], {})[r["code"]] = np.array(r["cvec"])
+        total = 0.0
+        for s in range(m):
+            Xs = X[:, s * d_sub : (s + 1) * d_sub]
+            C = np.stack([books[s][c] for c in sorted(books[s])])
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            total += d2.min(axis=1).mean()
+        return total
+
+    seed_mse = mse(seed_pq_codebooks(emb, m, k_pq))
+    learned_mse = mse(learned)
+    assert learned_mse < seed_mse, (learned_mse, seed_mse)
+
+    q = emb.where(F.col("vec_id") < 3)
+    out = pq_topk(emb, q, k=5, m=m, k_pq=k_pq, shortlist=50, codebooks=learned)
+    assert out.count() == 15
