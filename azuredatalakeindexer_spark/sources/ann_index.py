@@ -38,6 +38,141 @@ from azuredatalakeindexer_spark.operators.similarity import (
 )
 
 
+def _dbucket_col(id_col: str, n_dbuckets: int):
+    """Directory bucket of an id: pmod(hash) so the bucket is a STATIC
+    partition value computable from the id alone — the same discipline as
+    the text index's term buckets."""
+    return F.pmod(F.hash(F.col(id_col)), F.lit(n_dbuckets)).cast("int")
+
+
+def _write_id_directory(
+    keys: DataFrame, path: str, n_dbuckets: int, id_col: str
+) -> None:
+    """Write ``<path>/directory`` — the id→cell lookup relation the
+    maintenance paths victim-scan, partitioned by ``dbucket =
+    pmod(hash(id), n_dbuckets)`` so a batch's lookup statically prunes to
+    the batch's own buckets (SCALE.md's "key→cell directory" — the same
+    pattern as the reference's path index: a small lookup table so you
+    never re-scan the big store).  ``<path>/dirmeta`` pins n_dbuckets the
+    way the text index pins n_buckets in its stats relation."""
+    spark = keys.sparkSession
+    d = keys.withColumn("dbucket", _dbucket_col(id_col, n_dbuckets))
+    d.repartition("dbucket").write.mode("overwrite").partitionBy(
+        "dbucket"
+    ).parquet(f"{path}/directory")
+    spark.createDataFrame([(n_dbuckets,)], "n_dbuckets int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/dirmeta")
+
+
+def _victim_source(
+    spark: SparkSession, path: str, dl: DataFrame, id_col: str
+) -> tuple[DataFrame, int | None, list[int] | None]:
+    """The (id, cell) relation the maintenance op locates victims in.
+
+    With a directory (every index built since it exists): read ONLY the
+    delta ids' dbuckets — a static partition-pruned lookup whose cost is
+    the batch's bucket count, not the corpus (the ≤ n_dbuckets distinct
+    buckets collect is model-sized).  Legacy indexes without a directory
+    fall back to the column-pruned postings projection (correct, but a
+    full-index (id, cell) read).  Returns (keys, n_dbuckets, dbuckets) —
+    the latter two None on the fallback so callers skip directory
+    maintenance."""
+    if hadoop_path_exists(spark, f"{path}/dirmeta"):
+        n_db = spark.read.parquet(f"{path}/dirmeta").first()["n_dbuckets"]
+        dbs = sorted(
+            r["db"]
+            for r in dl.select(_dbucket_col(id_col, n_db).alias("db"))
+            .distinct()
+            .collect()
+        )
+        keys = (
+            spark.read.parquet(f"{path}/directory")
+            .where(F.col("dbucket").isin(dbs))
+            .select(id_col, "cell")
+        )
+        return keys, n_db, dbs
+    return (
+        spark.read.parquet(f"{path}/postings").select(id_col, "cell"),
+        None,
+        None,
+    )
+
+
+def _maintain_directory_upsert(
+    spark: SparkSession,
+    path: str,
+    commit,
+    dkeys: DataFrame,
+    new_keys: DataFrame,
+    n_db: int,
+    dbs: list[int],
+    id_col: str,
+    whole_swap: bool,
+) -> None:
+    """Advance ``<path>/directory`` for an upsert under the SAME journal
+    as the data tiers: the delta's dbuckets drop replaced ids and gain the
+    new (id, cell) rows — O(batch buckets) work; untouched dbuckets never
+    move.  ``whole_swap`` routes the post-sentinel static rebuild."""
+    new_dir = new_keys.withColumn("dbucket", _dbucket_col(id_col, n_db))
+    if whole_swap:
+        merged = new_dir
+    else:
+        keep = (
+            spark.read.parquet(f"{path}/directory")
+            .where(F.col("dbucket").isin(dbs))
+            .join(dkeys, id_col, "left_anti")
+            .select(id_col, "cell", "dbucket")
+        )
+        merged = keep.unionByName(new_dir).localCheckpoint()
+    merged.repartition("dbucket").write.partitionBy("dbucket").parquet(
+        commit.stage("directory")
+    )
+    if whole_swap:
+        commit.swap("directory", "directory")
+    else:
+        # every delta dbucket holds at least its own delta ids → present
+        for db in dbs:
+            commit.swap(f"directory/dbucket={db}", f"directory/dbucket={db}")
+
+
+def _maintain_directory_delete(
+    spark: SparkSession,
+    path: str,
+    commit,
+    keys: DataFrame,
+    n_db: int,
+    dbs: list[int],
+    id_col: str,
+    sentinel: bool,
+) -> None:
+    """Advance the directory for a delete: victims anti-joined out of
+    their dbuckets only; an emptied dbucket is removed; ``sentinel``
+    stages the typed 0-row unpartitioned layout (delete-all)."""
+    keep = (
+        spark.read.parquet(f"{path}/directory")
+        .where(F.col("dbucket").isin(dbs))
+        .join(keys, id_col, "left_anti")
+        .select(id_col, "cell", "dbucket")
+        .localCheckpoint()
+    )
+    if sentinel:
+        keep.write.parquet(commit.stage("directory"))
+        commit.swap("directory", "directory")
+        return
+    present = {r["dbucket"] for r in keep.select("dbucket").distinct().collect()}
+    if present:
+        keep.repartition("dbucket").write.partitionBy("dbucket").parquet(
+            commit.stage("directory")
+        )
+    existing = set(_partition_dir_names(spark, f"{path}/directory", "dbucket"))
+    for db in dbs:
+        if db in present:
+            commit.swap(f"directory/dbucket={db}", f"directory/dbucket={db}")
+        elif f"dbucket={db}" in existing:
+            commit.remove(f"directory/dbucket={db}")
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -45,13 +180,17 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    n_dbuckets: int = 64,
 ) -> None:
     """Write the IVF index for ``corpus`` under ``path``.
 
     ``centroids``: pass ``kmeans_centroids(corpus, ...)`` for the learned
     quantizer; default is the deterministic seed quantizer (oracle-
     replayable).  Cost: one corpus scan × broadcast centroids + one
-    write shuffled by cell — the amortized-away pass.
+    write shuffled by cell — the amortized-away pass.  Also writes the
+    id→cell ``directory`` relation (see ``_write_id_directory``) that
+    turns every later maintenance op's victim lookup into a statically
+    bucket-pruned read instead of a full-index projection scan.
     """
     cents = seed_centroids(corpus, n_centroids, vec_col, id_col, centroids)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -60,6 +199,9 @@ def build_ivf_index(
     inverted.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/postings")
+    _write_id_directory(
+        inverted.select(id_col, "cell"), path, n_dbuckets, id_col
+    )
 
 
 def upsert_ivf_index(
@@ -86,12 +228,12 @@ def upsert_ivf_index(
     Cost shape, deliberately NOT a full rewrite:
 
     - delta→cell assignment: |delta| × broadcast centroids (batch-sized);
-    - victim lookup: one column-pruned (id, cell) projection scan of the
-      postings joined against the broadcast delta-id set — finds the cells
-      holding stale versions of replaced ids (a replaced vector may have
-      MOVED cells).  At 100 TB keep a key→cell directory relation beside
-      the index to turn this scan into an equi-join, as the docstring of
-      the module notes for the metastore mapping;
+    - victim lookup: a static dbucket-pruned read of the ``directory``
+      id→cell relation (only the delta ids' buckets are scanned — see
+      ``_victim_source``), finding the cells holding stale versions of
+      replaced ids (a replaced vector may have MOVED cells); legacy
+      indexes without a directory fall back to the column-pruned
+      (id, cell) postings projection;
     - rewrite: ONLY affected cells (delta's target cells ∪ victim cells)
       are rewritten — staged under ``<path>/.staging-*`` and promoted by
       journaled renames (``sources/staging.py``), so a crash at any point
@@ -113,7 +255,7 @@ def upsert_ivf_index(
     assigned = assign_cells(dl, cents, id_col, vec_col, 1)
 
     postings_path = f"{path}/postings"
-    old_keys = spark.read.parquet(postings_path).select(id_col, "cell")
+    old_keys, n_db, dbs = _victim_source(spark, path, dl, id_col)
     delta_ids = dl.select(id_col)
     dkeys = F.broadcast(delta_ids) if broadcast_ids else delta_ids
     # stale versions of replaced ids (their cell may differ from the new one)
@@ -143,13 +285,19 @@ def upsert_ivf_index(
     )
     merged = keep.unionByName(assigned.select(id_col, vec_col, "cell")).localCheckpoint()
     commit = StagedCommit(spark, path)
-    if old_keys.isEmpty():
+    if not _any_partition_dirs(spark, postings_path, "cell"):
         # delete-all left the 0-row unpartitioned sentinel: replace the
         # whole layout with a clean partitioned one in a single swap
         merged.repartition("cell").write.partitionBy("cell").parquet(
             commit.stage("postings")
         )
         commit.swap("postings", "postings")
+        if n_db is not None:
+            _maintain_directory_upsert(
+                spark, path, commit, dkeys,
+                assigned.select(id_col, "cell"), n_db, dbs, id_col,
+                whole_swap=True,
+            )
         commit.promote()
         return statuses
     # stage ONLY the affected cells, then promote per-partition: present
@@ -165,6 +313,12 @@ def upsert_ivf_index(
             commit.swap(f"postings/cell={cell}", f"postings/cell={cell}")
         else:
             commit.remove(f"postings/cell={cell}")
+    if n_db is not None:
+        _maintain_directory_upsert(
+            spark, path, commit, dkeys,
+            assigned.select(id_col, "cell"), n_db, dbs, id_col,
+            whole_swap=False,
+        )
     commit.promote()
     return statuses
 
@@ -206,7 +360,8 @@ def delete_from_ivf_index(
     keys = F.broadcast(ids) if broadcast_ids else ids
     postings_path = f"{path}/postings"
     old = spark.read.parquet(postings_path)
-    victims = old.select(id_col, "cell").join(keys, id_col, "left_semi")
+    old_keys, n_db, dbs = _victim_source(spark, path, ids, id_col)
+    victims = old_keys.join(keys, id_col, "left_semi")
     affected = [r["cell"] for r in victims.select("cell").distinct().collect()]
     n_removed = victims.select(id_col).distinct().count()
     if not affected:
@@ -240,6 +395,11 @@ def delete_from_ivf_index(
         # re-read); upsert routes back through the static write on it
         keep.write.parquet(commit.stage("postings"))
         commit.swap("postings", "postings")
+    if n_db is not None:
+        _maintain_directory_delete(
+            spark, path, commit, keys, n_db, dbs, id_col,
+            sentinel=not (present or survivors_elsewhere),
+        )
     commit.promote()
     return int(n_removed)
 
@@ -455,6 +615,7 @@ def build_pq_index(
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    n_dbuckets: int = 64,
 ) -> None:
     """Write the composed IVF-PQ layout — the standard billion-vector
     serving structure (IVF prunes WHICH cells a query reads, PQ shrinks
@@ -494,6 +655,9 @@ def build_pq_index(
     codes.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/codes")
+    _write_id_directory(
+        inverted.select(id_col, "cell"), path, n_dbuckets, id_col
+    )
 
 
 def query_pq_index(
@@ -666,7 +830,7 @@ def upsert_pq_index(
 
     postings_path = f"{path}/postings"
     codes_path = f"{path}/codes"
-    old_keys = spark.read.parquet(postings_path).select(id_col, "cell")
+    old_keys, n_db, dbs = _victim_source(spark, path, dl, id_col)
     delta_ids = dl.select(id_col)
     dkeys = F.broadcast(delta_ids) if broadcast_ids else delta_ids
     # stale versions of replaced ids (their cell may differ from the new one)
@@ -708,7 +872,7 @@ def upsert_pq_index(
     ).localCheckpoint()
 
     commit = StagedCommit(spark, path)
-    if old_keys.isEmpty():
+    if not _any_partition_dirs(spark, postings_path, "cell"):
         # delete-all left the 0-row unpartitioned sentinels: replace both
         # layouts with clean partitioned ones in a single journaled swap
         merged_post.repartition("cell").write.partitionBy("cell").parquet(
@@ -719,6 +883,12 @@ def upsert_pq_index(
         )
         commit.swap("postings", "postings")
         commit.swap("codes", "codes")
+        if n_db is not None:
+            _maintain_directory_upsert(
+                spark, path, commit, dkeys,
+                assigned.select(id_col, "cell"), n_db, dbs, id_col,
+                whole_swap=True,
+            )
         commit.promote()
         return statuses
     # stage ONLY the affected cells of each tier; a victim cell whose rows
@@ -737,6 +907,12 @@ def upsert_pq_index(
         else:
             commit.remove(f"postings/cell={cell}")
             commit.remove(f"codes/cell={cell}")
+    if n_db is not None:
+        _maintain_directory_upsert(
+            spark, path, commit, dkeys,
+            assigned.select(id_col, "cell"), n_db, dbs, id_col,
+            whole_swap=False,
+        )
     commit.promote()
     return statuses
 
@@ -774,7 +950,8 @@ def delete_from_pq_index(
     postings_path = f"{path}/postings"
     codes_path = f"{path}/codes"
     old = spark.read.parquet(postings_path)
-    victims = old.select(id_col, "cell").join(keys, id_col, "left_semi")
+    old_keys, n_db, dbs = _victim_source(spark, path, ids, id_col)
+    victims = old_keys.join(keys, id_col, "left_semi")
     affected = [r["cell"] for r in victims.select("cell").distinct().collect()]
     n_removed = victims.select(id_col).distinct().count()
     if not affected:
@@ -818,6 +995,11 @@ def delete_from_pq_index(
         keep_codes.write.parquet(commit.stage("codes"))
         commit.swap("postings", "postings")
         commit.swap("codes", "codes")
+    if n_db is not None:
+        _maintain_directory_delete(
+            spark, path, commit, keys, n_db, dbs, id_col,
+            sentinel=not (present or survivors_elsewhere),
+        )
     commit.promote()
     return int(n_removed)
 

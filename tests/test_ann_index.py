@@ -846,3 +846,109 @@ def test_stream_pq_index_is_batch_split_invariant(spark, tmp_path):
         assert sorted(
             map(tuple, s.select(*cols).collect())
         ) == sorted(map(tuple, b.select(*cols).collect())), rel
+
+
+def test_id_directory_tracks_postings_and_prunes_victim_lookup(spark, tmp_path):
+    """The id→cell directory (SCALE.md's key→cell lookup, now implemented):
+    build writes it, every maintenance op advances it under the same
+    journal (directory == postings (id, cell) through upsert, delete,
+    delete-all sentinel, and the post-sentinel upsert), and the victim
+    lookup reads ONLY the delta ids' dbucket partitions — a static
+    partition-pruned scan, not a full-index projection."""
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        _victim_source,
+        build_ivf_index,
+        delete_from_ivf_index,
+        upsert_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") >= 10)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_centroids=16, n_dbuckets=16)
+
+    def dir_rows():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/directory")
+            .select("vec_id", "cell")
+            .collect()
+        )
+
+    def post_rows():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/postings")
+            .select("vec_id", "cell")
+            .collect()
+        )
+
+    assert dir_rows() == post_rows()
+
+    # pruned lookup: a 2-id delta touches <= 2 of the 16 dbucket dirs
+    dl = emb.where(F.col("vec_id").isin([20, 21]))
+    keys, n_db, dbs = _victim_source(spark, path, dl, "vec_id")
+    assert n_db == 16 and 1 <= len(dbs) <= 2
+    # inputFiles() ignores pruning — assert on the scan's PartitionFilters
+    import re
+
+    plan = keys._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*dbucket[^\]]*(?:IN|=)[^\]]*\]", plan)
+    assert m, plan
+
+    neg = F.transform(F.col("embedding"), lambda x: -x).alias("embedding")
+    delta = emb.where(F.col("vec_id") < 10).unionByName(
+        emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+            F.col("vec_id"), neg
+        )
+    )
+    upsert_ivf_index(spark, path, delta)
+    assert dir_rows() == post_rows()
+
+    assert delete_from_ivf_index(
+        spark, path, emb.where(F.col("vec_id") < 12).select("vec_id")
+    ) == 12
+    assert dir_rows() == post_rows()
+
+    # delete-all → typed sentinel on the directory too; upsert routes back
+    live = spark.read.parquet(f"{path}/postings").select("vec_id")
+    delete_from_ivf_index(spark, path, live)
+    assert spark.read.parquet(f"{path}/directory").count() == 0
+    upsert_ivf_index(spark, path, base.limit(25))
+    assert dir_rows() == post_rows() and len(dir_rows()) == 25
+
+
+def test_maintenance_on_legacy_index_without_directory_falls_back(spark, tmp_path):
+    """An index written before the directory existed (or with its
+    directory dropped) still upserts/deletes correctly via the
+    column-pruned postings projection, and produces the same results."""
+    import shutil as _shutil
+
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        query_ivf_index,
+        upsert_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") >= 10)
+    delta = emb.where(F.col("vec_id") < 10)
+    q = emb.where(F.col("vec_id") < 5)
+
+    modern = str(tmp_path / "modern")
+    legacy = str(tmp_path / "legacy")
+    for p in (modern, legacy):
+        build_ivf_index(base, p, n_centroids=16)
+    _shutil.rmtree(f"{legacy}/directory")
+    _shutil.rmtree(f"{legacy}/dirmeta")
+
+    for p in (modern, legacy):
+        st = upsert_ivf_index(spark, p, delta)
+        assert st.where(F.col("status") == 201).count() == 10
+        assert delete_from_ivf_index(
+            spark, p, emb.where(F.col("vec_id") < 3).select("vec_id")
+        ) == 3
+    a = _rows(query_ivf_index(spark, modern, q, k=5, n_probe=2))
+    b = _rows(query_ivf_index(spark, legacy, q, k=5, n_probe=2))
+    assert a == b and len(a) == 25

@@ -284,6 +284,13 @@ def test_pq_two_tier_crash_sweep_never_mixes_tiers(spark, tmp_path):
             .collect()
         )
         assert post == codes  # tier sync — at every observation point
+        directory = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/directory")
+            .select("vec_id", "cell")
+            .collect()
+        )
+        assert post == directory  # the id→cell lookup rides the journal too
         return rows, post
 
     clean = str(tmp_path / "clean")
