@@ -1518,6 +1518,23 @@ def q_search_facets(spark, sf):
     return facet_counts(_docs(spark, sf), ["lang", "source"], top_n=5)
 
 
+def q_search_facet_ranges(spark, sf):
+    """Azure-Search numeric RANGE facets
+    (`operators/search.py::facet_ranges`) over the events value column,
+    both service modes in one relation: `interval:50` uniform buckets and
+    explicit `values:10|100|500` edges (open ends as NULL from/to)."""
+    from azuredatalakeindexer_spark.operators.search import facet_ranges
+
+    ev = load_table(spark, sf, "events")
+    a = facet_ranges(ev, "value", interval=50).withColumn(
+        "mode", F.lit("interval")
+    )
+    b = facet_ranges(ev, "value", values=[10, 100, 500]).withColumn(
+        "mode", F.lit("edges")
+    )
+    return a.unionByName(b)
+
+
 def q_search_hybrid_rrf(spark, sf):
     """Hybrid keyword+vector retrieval: BM25 leg over documents fused with
     a cosine leg over the aligned embeddings table via Reciprocal Rank
@@ -2830,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_upsert_topk": q_ann_pq_upsert_topk,
         "ann_pq_delete_topk": q_ann_pq_delete_topk,
         "stream_pq_index": q_stream_pq_index,
+        "search_facet_ranges": q_search_facet_ranges,
         # -- r04/r05-evidence cohort that slid out of the r07 window
         # -- (oldest driver evidence; VERDICT r7 next-#7) -------------
         "classifier_scores": q_classifier_scores,
@@ -2855,17 +2873,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_counts": q_partitioned_counts,
         "partitioned_runs": q_partitioned_runs,
         "upsert_merge": q_upsert_merge,
-        "indexer_run": q_indexer_run,
         # ---------------- 50-entry window boundary ---------------------
-        # (the twelve new r8 entries — fuzzy trio + LSM variant, wildcard
-        # pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk, the PQ
-        # maintenance pair ann_pq_upsert_topk / ann_pq_delete_topk, and
-        # stream_pq_index — took the slots of token_stats / orders_cube /
-        # region_rollup / events_pivot / pricing_summary / top_customers
-        # / events_hourly / region_revenue / shipping_priority /
-        # embedding_topk_np / bpe_pipeline / indexer_run_metrics, which —
-        # with late_orders_exists, displaced earlier by
+        # (the thirteen new r8 entries — fuzzy trio + LSM variant,
+        # wildcard pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk,
+        # the PQ maintenance pair ann_pq_upsert_topk / ann_pq_delete_topk,
+        # stream_pq_index, and search_facet_ranges — took the slots of
+        # token_stats / orders_cube / region_rollup / events_pivot /
+        # pricing_summary / top_customers / events_hourly / region_revenue
+        # / shipping_priority / embedding_topk_np / bpe_pipeline /
+        # indexer_run_metrics / indexer_run, which — with
+        # late_orders_exists, displaced earlier by
         # text_index_suggest_maint — lead r09 with the r06 cohort)
+        "indexer_run": q_indexer_run,
         "indexer_run_metrics": q_indexer_run_metrics,
         # -- r06-evidence cohort head (next-oldest driver rows) -------
         "embedding_topk_np": q_embedding_topk_np,
@@ -4438,6 +4457,28 @@ def oracle_sql() -> dict[str, str]:
                (row_number() OVER (PARTITION BY field ORDER BY n DESC, value))::INT AS rank
         FROM counts)
       SELECT field, value, n, rank FROM ranked WHERE rank <= 5
+    """
+
+    # numeric range facets: both service modes — uniform interval buckets
+    # and explicit edges with NULL-unbounded ends
+    sqls["search_facet_ranges"] = """
+      SELECT 'value' AS field,
+             (floor(value / 50.0) * 50.0)::DOUBLE AS range_from,
+             (floor(value / 50.0) * 50.0 + 50.0)::DOUBLE AS range_to,
+             count(*)::BIGINT AS n,
+             'interval' AS mode
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 2, 3
+      UNION ALL
+      SELECT 'value' AS field,
+             (CASE WHEN value >= 500 THEN 500.0 WHEN value >= 100 THEN 100.0
+                   WHEN value >= 10 THEN 10.0 ELSE NULL END)::DOUBLE AS range_from,
+             (CASE WHEN value >= 500 THEN NULL WHEN value >= 100 THEN 500.0
+                   WHEN value >= 10 THEN 100.0 ELSE 10.0 END)::DOUBLE AS range_to,
+             count(*)::BIGINT AS n,
+             'edges' AS mode
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 2, 3
     """
 
     sqls["search_hybrid_rrf"] = f"""

@@ -187,6 +187,69 @@ def facet_counts(
     )
 
 
+def facet_ranges(
+    df: DataFrame,
+    col: str,
+    *,
+    interval: float | None = None,
+    values: Sequence[float] | None = None,
+) -> DataFrame:
+    """Azure-Search numeric RANGE facets — the service's two numeric
+    modes (`facet=field,interval:N` and `facet=field,values:v1|v2|...`),
+    complementing :func:`facet_counts`' value facets:
+
+    - ``interval=N``: uniform buckets ``[k·N, (k+1)·N)`` — only buckets
+      with members are returned (as the service does);
+    - ``values=[v1..vK]``: explicit edges giving ``(-inf, v1), [v1, v2),
+      …, [vK, inf)`` — unbounded ends render as NULL ``range_from`` /
+      ``range_to`` like the service's open-ended ``from``/``to``.
+
+    Output ``(field, range_from, range_to, n)`` ordered by ``range_from``
+    (NULL-from first); nulls are not facet members and are dropped.
+    Exactly one of ``interval`` / ``values`` must be given.
+
+    Scale: one narrow projection computes the bucket from the value alone
+    (a constant-folded expression — no join, no window over data), then a
+    single hash aggregate whose key space is the bucket count; map-side
+    combine collapses the shuffle like the value-facet path.
+    """
+    if (interval is None) == (values is None):
+        raise ValueError("facet_ranges needs exactly one of interval/values")
+    df = ensure_parallelism(df)
+    x = F.col(col).cast("double")
+    if interval is not None:
+        if interval <= 0:
+            raise ValueError("interval must be positive (got %r)" % interval)
+        lo = F.floor(x / F.lit(float(interval))) * F.lit(float(interval))
+        frm = lo.cast("double")
+        to = (lo + F.lit(float(interval))).cast("double")
+    else:
+        edges = sorted(float(v) for v in values)
+        if not edges:
+            raise ValueError("values mode needs at least one edge")
+        frm = F.lit(None).cast("double")
+        to = F.lit(float(edges[0])).cast("double")
+        for i, e in enumerate(edges):
+            nxt = (
+                F.lit(float(edges[i + 1])).cast("double")
+                if i + 1 < len(edges)
+                else F.lit(None).cast("double")
+            )
+            frm = F.when(x >= F.lit(e), F.lit(e).cast("double")).otherwise(frm)
+            to = F.when(x >= F.lit(e), nxt).otherwise(to)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.lit(col).alias("field"),
+            frm.alias("range_from"),
+            to.alias("range_to"),
+        )
+        .groupBy("field", "range_from", "range_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("range_from").asc_nulls_first())
+    )
+
+
 def rrf_fuse(
     results: Sequence[tuple[DataFrame, str]],
     *,

@@ -503,3 +503,42 @@ def test_wildcard_topk_equals_bm25_of_expansion(fuzzy_docs):
     # no match -> empty typed frame
     empty = wildcard_topk(fuzzy_docs, ["zz*"])
     assert empty.columns == ["doc_id", "bm25"] and empty.count() == 0
+
+
+def test_facet_ranges_modes_and_edges(spark):
+    """Range facets: interval mode buckets [k·N, (k+1)·N) including
+    negatives; values mode renders open ends as NULL from/to and routes
+    below-first-edge values to (-inf, v1); exactly one mode required."""
+    import pytest as _pytest
+
+    from azuredatalakeindexer_spark.operators.search import facet_ranges
+
+    df = spark.createDataFrame(
+        [(1, -25.0), (2, 0.0), (3, 5.0), (4, 49.9), (5, 50.0), (6, 750.0), (7, None)],
+        "id long, value double",
+    )
+    by_interval = {
+        (r["range_from"], r["range_to"]): r["n"]
+        for r in facet_ranges(df, "value", interval=50).collect()
+    }
+    assert by_interval == {
+        (-50.0, 0.0): 1,   # -25 floors down
+        (0.0, 50.0): 3,    # 0, 5, 49.9
+        (50.0, 100.0): 1,  # 50 opens the next bucket
+        (750.0, 800.0): 1,
+    }
+    by_edges = {
+        (r["range_from"], r["range_to"]): r["n"]
+        for r in facet_ranges(df, "value", values=[10, 100, 500]).collect()
+    }
+    assert by_edges == {
+        (None, 10.0): 3,      # -25, 0, 5
+        (10.0, 100.0): 2,     # 49.9, 50
+        (500.0, None): 1,     # 750
+    }
+    with _pytest.raises(ValueError):
+        facet_ranges(df, "value")
+    with _pytest.raises(ValueError):
+        facet_ranges(df, "value", interval=50, values=[10])
+    with _pytest.raises(ValueError):
+        facet_ranges(df, "value", interval=0)
