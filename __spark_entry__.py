@@ -1764,6 +1764,23 @@ def q_search_profile(spark, sf):
     )
 
 
+def q_search_profile_tags(spark, sf):
+    """Scoring profile with the service's TAG function composed onto the
+    magnitude boost (`operators/search.py::scoring_profile_topk`
+    tag_boost): ×1.3 when source ∈ {src1, src3, src5}, multiplied with
+    the n_chars magnitude multiplier — the functions' multiplicative
+    composition documented on the operator."""
+    from azuredatalakeindexer_spark.operators.search import scoring_profile_topk
+
+    return scoring_profile_topk(
+        _docs(spark, sf),
+        {"text": (SEARCH_TERMS, 2.0)},
+        boost=("n_chars", 0.5, 200.0, 800.0),
+        tag_boost=("source", ["src1", "src3", "src5"], 0.3),
+        k=20,
+    )
+
+
 def q_rag_chunks(spark, sf):
     """RAG-ingestion chunking: overlapping 32-token windows (overlap 8)
     over the documents corpus — the retrieval-corpus prep stage upstream
@@ -2848,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_delete_topk": q_ann_pq_delete_topk,
         "stream_pq_index": q_stream_pq_index,
         "search_facet_ranges": q_search_facet_ranges,
+        "search_profile_tags": q_search_profile_tags,
         # -- r04/r05-evidence cohort that slid out of the r07 window
         # -- (oldest driver evidence; VERDICT r7 next-#7) -------------
         "classifier_scores": q_classifier_scores,
@@ -2872,18 +2890,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "partitioned_counts": q_partitioned_counts,
         "partitioned_runs": q_partitioned_runs,
-        "upsert_merge": q_upsert_merge,
         # ---------------- 50-entry window boundary ---------------------
-        # (the thirteen new r8 entries — fuzzy trio + LSM variant,
+        # (the fourteen new r8 entries — fuzzy trio + LSM variant,
         # wildcard pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk,
         # the PQ maintenance pair ann_pq_upsert_topk / ann_pq_delete_topk,
-        # stream_pq_index, and search_facet_ranges — took the slots of
-        # token_stats / orders_cube / region_rollup / events_pivot /
-        # pricing_summary / top_customers / events_hourly / region_revenue
-        # / shipping_priority / embedding_topk_np / bpe_pipeline /
-        # indexer_run_metrics / indexer_run, which — with
-        # late_orders_exists, displaced earlier by
+        # stream_pq_index, search_facet_ranges, and search_profile_tags —
+        # took the slots of token_stats / orders_cube / region_rollup /
+        # events_pivot / pricing_summary / top_customers / events_hourly
+        # / region_revenue / shipping_priority / embedding_topk_np /
+        # bpe_pipeline / indexer_run_metrics / indexer_run / upsert_merge,
+        # which — with late_orders_exists, displaced earlier by
         # text_index_suggest_maint — lead r09 with the r06 cohort)
+        "upsert_merge": q_upsert_merge,
         "indexer_run": q_indexer_run,
         "indexer_run_metrics": q_indexer_run_metrics,
         # -- r06-evidence cohort head (next-oldest driver rows) -------
@@ -4538,6 +4556,41 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id,
              round(total * (1.0 + 0.5 * least(1.0, greatest(0.0,
                    (n_chars - 200.0) / 600.0))), 6) AS score
+      FROM scored
+      WHERE round(total, 6) > 0
+      ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+    # tag function composed onto magnitude: same single-field BM25 with
+    # both multipliers applied as a product
+    sqls["search_profile_tags"] = f"""
+      WITH raw AS (
+        SELECT doc_id, n_chars, source, {_WORDS} AS tw FROM documents),
+      per AS (
+        SELECT doc_id, n_chars, source,
+               len(tw) AS dl0,
+               len(list_filter(tw, x -> x = 'merge'))  AS tf0_0,
+               len(list_filter(tw, x -> x = 'query'))  AS tf0_1,
+               len(list_filter(tw, x -> x = 'stream')) AS tf0_2
+        FROM raw),
+      stats AS (
+        SELECT count(*) AS n, avg(dl0) AS avgdl0,
+               sum(CASE WHEN tf0_0 > 0 THEN 1 ELSE 0 END) AS df0_0,
+               sum(CASE WHEN tf0_1 > 0 THEN 1 ELSE 0 END) AS df0_1,
+               sum(CASE WHEN tf0_2 > 0 THEN 1 ELSE 0 END) AS df0_2
+        FROM per),
+      scored AS (
+        SELECT doc_id, n_chars, source,
+               2.0 * ({_bm25_term.format(i='0_0', f='0')}
+                    + {_bm25_term.format(i='0_1', f='0')}
+                    + {_bm25_term.format(i='0_2', f='0')}) AS total
+        FROM per, stats)
+      SELECT doc_id,
+             round(total
+                   * (1.0 + 0.5 * least(1.0, greatest(0.0,
+                         (n_chars - 200.0) / 600.0)))
+                   * (CASE WHEN source IN ('src1','src3','src5')
+                           THEN 1.3 ELSE 1.0 END), 6) AS score
       FROM scored
       WHERE round(total, 6) > 0
       ORDER BY score DESC, doc_id LIMIT 20

@@ -304,9 +304,10 @@ def scoring_profile_topk(
     b: float = 0.75,
     k: int = 20,
     boost: "tuple[str, float, float, float] | None" = None,
+    tag_boost: "tuple[str, Sequence[str], float] | None" = None,
 ) -> DataFrame:
     """Azure-Search scoring profile: field-weighted multi-field BM25 with
-    an optional magnitude boost function.
+    optional magnitude and tag boost functions.
 
     ``profile`` maps searchable field → ``(query_terms, weight)``; the
     text score is ``Σ_f weight_f · bm25_f`` with per-field corpus
@@ -314,8 +315,15 @@ def scoring_profile_topk(
     ``boost = (numeric_col, factor, lo, hi)`` applies the service's
     *magnitude* function: the final score is multiplied by
     ``1 + factor · clamp((col - lo) / (hi - lo), 0, 1)`` (linear
-    interpolation inside the range, flat outside).  Documents with zero
-    text score are excluded (boost never resurrects a non-match).
+    interpolation inside the range, flat outside).
+    ``tag_boost = (col, tags, factor)`` applies the *tag* function in its
+    scalar-field membership form: × ``1 + factor`` when the row's ``col``
+    value is one of ``tags`` (the service's collection-field variant
+    scales with the matched fraction; this engine's fields are scalar).
+    Multiple functions compose multiplicatively (the product of their
+    multipliers — the service's aggregation modes over boost values are
+    not modeled).  Documents with zero text score are excluded (boosts
+    never resurrect a non-match).
     Output ``(id_col, score)`` rounded to 6 decimals, top-``k`` with
     id-asc tie-break.
 
@@ -335,12 +343,16 @@ def scoring_profile_topk(
         raise ValueError("every profile field needs at least one query term")
     if boost is not None and boost[3] <= boost[2]:
         raise ValueError("boost range needs hi > lo (got lo=%r, hi=%r)" % (boost[2], boost[3]))
+    if tag_boost is not None and not tag_boost[1]:
+        raise ValueError("tag_boost needs at least one tag")
     docs = ensure_parallelism(docs)
 
     per_cols = [F.col(id_col)]
     stat_cols = []
     if boost is not None:
         per_cols.append(F.col(boost[0]))
+    if tag_boost is not None and (boost is None or tag_boost[0] != boost[0]):
+        per_cols.append(F.col(tag_boost[0]))
     for fi, (fld, terms, _w) in enumerate(fields):
         toks = tokens(F.col(fld))
         per_cols.append(F.size(toks).alias(f"_dl{fi}"))
@@ -377,15 +389,21 @@ def scoring_profile_topk(
         weighted = F.lit(w) * fscore
         total = weighted if total is None else total + weighted
 
+    final = total
     if boost is not None:
         bcol, factor, lo, hi = boost
         frac = (F.col(bcol).cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
         mult = F.lit(1.0) + F.lit(float(factor)) * F.least(
             F.lit(1.0), F.greatest(F.lit(0.0), frac)
         )
-        final = total * mult
-    else:
-        final = total
+        final = final * mult
+    if tag_boost is not None:
+        tcol, tags, tfactor = tag_boost
+        tmult = F.when(
+            F.col(tcol).isin([str(t) for t in tags]),
+            F.lit(1.0 + float(tfactor)),
+        ).otherwise(F.lit(1.0))
+        final = final * tmult
     return (
         scored.where(F.round(total, 6) > 0)
         .select(F.col(id_col), F.round(final, 6).alias("score"))

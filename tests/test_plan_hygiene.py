@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "search_near_unordered",  # same SINGLE-ROW corpus-stats frame
     "search_hybrid_rrf",   # same bm25 stats frame + SINGLE-ROW query vector
     "search_profile",      # same SINGLE-ROW per-field corpus-stats frame
+    "search_profile_tags", # same SINGLE-ROW per-field corpus-stats frame
     "search_simple_query", # same bm25 SINGLE-ROW stats frame
     "search_synonyms",     # same bm25 SINGLE-ROW stats frame
     "lm_scores",           # crossJoin of the SINGLE-ROW vocab-size frame

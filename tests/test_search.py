@@ -542,3 +542,46 @@ def test_facet_ranges_modes_and_edges(spark):
         facet_ranges(df, "value", interval=50, values=[10])
     with _pytest.raises(ValueError):
         facet_ranges(df, "value", interval=0)
+
+
+def test_scoring_profile_tag_boost_membership_and_composition(spark):
+    """Tag function: ×(1+factor) iff the scalar field's value is in the
+    tag set, composed multiplicatively with the magnitude boost; a
+    zero-text-score doc is never resurrected by its tags; empty tag list
+    rejected."""
+    import pytest as _pytest
+
+    from azuredatalakeindexer_spark.operators.search import scoring_profile_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "web", 500),
+            (2, "alpha beta", "wiki", 500),
+            (3, "alpha beta", "spam", 500),
+            (4, "nothing here", "web", 500),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    base = {
+        r["doc_id"]: r["score"]
+        for r in scoring_profile_topk(
+            docs, {"text": (["alpha"], 1.0)}, k=10
+        ).collect()
+    }
+    tagged = {
+        r["doc_id"]: r["score"]
+        for r in scoring_profile_topk(
+            docs,
+            {"text": (["alpha"], 1.0)},
+            tag_boost=("source", ["web", "wiki"], 0.5),
+            k=10,
+        ).collect()
+    }
+    assert 4 not in tagged  # no text match -> excluded despite tag
+    assert tagged[3] == base[3]  # non-member unchanged
+    assert abs(tagged[1] - round(base[1] * 1.5, 6)) <= 1e-6
+    assert abs(tagged[2] - round(base[2] * 1.5, 6)) <= 1e-6
+    with _pytest.raises(ValueError):
+        scoring_profile_topk(
+            docs, {"text": (["alpha"], 1.0)}, tag_boost=("source", [], 0.5)
+        )
