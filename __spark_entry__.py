@@ -1573,6 +1573,16 @@ def q_search_suggest(spark, sf):
     return suggest_terms(_docs(spark, sf), "s", k=10)
 
 
+def q_search_suggest2(spark, sf):
+    """Autocomplete in the service's twoTerms mode
+    (`operators/search.py::suggest_two_terms`): complete prefix 'st' to
+    the two-term phrase (matching term + the term that follows it),
+    ranked by adjacent-pair document frequency."""
+    from azuredatalakeindexer_spark.operators.search import suggest_two_terms
+
+    return suggest_two_terms(_docs(spark, sf), "st", k=10)
+
+
 #: fuzzy-search probe: two misspelled terms (quary→query dist 1,
 #: stroam→stream dist 1) — the engine must rank as if spelled right
 FUZZY_TERMS = ["quary", "stroam"]
@@ -2866,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_pq_index": q_stream_pq_index,
         "search_facet_ranges": q_search_facet_ranges,
         "search_profile_tags": q_search_profile_tags,
+        "search_suggest2": q_search_suggest2,
         # -- r04/r05-evidence cohort that slid out of the r07 window
         # -- (oldest driver evidence; VERDICT r7 next-#7) -------------
         "classifier_scores": q_classifier_scores,
@@ -2889,18 +2900,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
         "partitioned_counts": q_partitioned_counts,
-        "partitioned_runs": q_partitioned_runs,
         # ---------------- 50-entry window boundary ---------------------
-        # (the fourteen new r8 entries — fuzzy trio + LSM variant,
+        # (the fifteen new r8 entries — fuzzy trio + LSM variant,
         # wildcard pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk,
         # the PQ maintenance pair ann_pq_upsert_topk / ann_pq_delete_topk,
-        # stream_pq_index, search_facet_ranges, and search_profile_tags —
-        # took the slots of token_stats / orders_cube / region_rollup /
-        # events_pivot / pricing_summary / top_customers / events_hourly
-        # / region_revenue / shipping_priority / embedding_topk_np /
-        # bpe_pipeline / indexer_run_metrics / indexer_run / upsert_merge,
-        # which — with late_orders_exists, displaced earlier by
+        # stream_pq_index, search_facet_ranges, search_profile_tags, and
+        # search_suggest2 — took the slots of token_stats / orders_cube /
+        # region_rollup / events_pivot / pricing_summary / top_customers
+        # / events_hourly / region_revenue / shipping_priority /
+        # embedding_topk_np / bpe_pipeline / indexer_run_metrics /
+        # indexer_run / upsert_merge / partitioned_runs, which — with
+        # late_orders_exists, displaced earlier by
         # text_index_suggest_maint — lead r09 with the r06 cohort)
+        "partitioned_runs": q_partitioned_runs,
         "upsert_merge": q_upsert_merge,
         "indexer_run": q_indexer_run,
         "indexer_run_metrics": q_indexer_run_metrics,
@@ -4623,6 +4635,17 @@ def oracle_sql() -> dict[str, str]:
         FROM documents)
       SELECT term, count(DISTINCT doc_id) AS df
       FROM m GROUP BY term ORDER BY df DESC, term LIMIT 10
+    """
+    # twoTerms autocomplete: adjacent pairs whose first term matches the
+    # prefix, ranked by pair document frequency
+    sqls["search_suggest2"] = f"""
+      WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+      m AS (
+        SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] AS completion
+        FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+        WHERE starts_with(w[CAST(i AS INT)], 'st'))
+      SELECT completion, count(DISTINCT doc_id) AS df
+      FROM m GROUP BY completion ORDER BY df DESC, completion LIMIT 10
     """
     # index-served autocomplete equals the scan-time suggester
     sqls["text_index_suggest"] = sqls["search_suggest"]

@@ -448,6 +448,52 @@ def suggest_terms(
     )
 
 
+def suggest_two_terms(
+    docs: DataFrame,
+    prefix: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Autocomplete in the service's ``twoTerms`` mode: complete
+    ``prefix`` to a TWO-term phrase — the matching term plus the term
+    that follows it in the document — ranked by the number of documents
+    containing that adjacent pair (the same df ranking as
+    :func:`suggest_terms`' oneTerm mode).  Output ``(completion, df)``
+    with ``completion = "t1 t2"``; ties break completion-asc; a matching
+    term that ends its document contributes nothing (no following term).
+
+    Scale: adjacent pairs come from one ``arrays_zip(tokens,
+    tokens[2:])`` per row — a narrow row-local expression — filtered to
+    the prefix BEFORE exploding, so the explode emits only matching
+    bigrams; the df aggregate's key space is the matching bigram
+    vocabulary; top-k is TakeOrderedAndProject.
+    """
+    if not prefix:
+        raise ValueError("suggest_two_terms needs a non-empty prefix")
+    needle = prefix.lower()
+    docs = ensure_parallelism(docs)
+    toks = tokens(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("t1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("t2"),
+    )
+    matching = F.filter(pairs, lambda p: p["t1"].startswith(needle))
+    matches = docs.select(
+        F.col(id_col), F.explode(matching).alias("_pair")
+    ).select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("_pair.t1"), F.col("_pair.t2")).alias("completion"),
+    )
+    return (
+        matches.groupBy("completion")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("completion"))
+        .limit(k)
+    )
+
+
 def expand_query_terms(terms: Sequence[str], synonyms: DataFrame) -> list[str]:
     """Synonym-map expansion (the service's synonymMaps on searchable
     fields): widen the query's term set with the synonyms of each term.

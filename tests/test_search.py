@@ -585,3 +585,33 @@ def test_scoring_profile_tag_boost_membership_and_composition(spark):
         scoring_profile_topk(
             docs, {"text": (["alpha"], 1.0)}, tag_boost=("source", [], 0.5)
         )
+
+
+def test_suggest_two_terms_pairs_and_df_semantics(spark):
+    """twoTerms autocomplete: completions are adjacent (t1, t2) pairs with
+    t1 matching the prefix; a matching term ending its document yields no
+    completion; df counts DOCUMENTS containing the pair, not occurrences;
+    empty prefix rejected."""
+    import pytest as _pytest
+
+    from azuredatalakeindexer_spark.operators.search import suggest_two_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "stream merge stream merge extra"),
+            (2, "stream merge tail"),
+            (3, "a stream"),          # 'stream' ends the doc -> no pair
+            (4, "status quo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["completion"]: r["df"]
+        for r in suggest_two_terms(docs, "st", k=10).collect()
+    }
+    assert out == {
+        "stream merge": 2,  # doc 1 has the pair twice but counts once; doc 2
+        "status quo": 1,
+    }
+    with _pytest.raises(ValueError):
+        suggest_two_terms(docs, "")
