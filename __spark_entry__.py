@@ -1583,6 +1583,16 @@ def q_search_suggest2(spark, sf):
     return suggest_two_terms(_docs(spark, sf), "st", k=10)
 
 
+def q_search_suggest_ctx(spark, sf):
+    """Autocomplete in the service's oneTermWithContext mode
+    (`operators/search.py::suggest_with_context`): complete prefix 's'
+    where the PRECEDING term is 'merge' — the context disambiguates which
+    completions qualify, ranked by (context, term) adjacency df."""
+    from azuredatalakeindexer_spark.operators.search import suggest_with_context
+
+    return suggest_with_context(_docs(spark, sf), "merge", "s", k=10)
+
+
 #: fuzzy-search probe: two misspelled terms (quary→query dist 1,
 #: stroam→stream dist 1) — the engine must rank as if spelled right
 FUZZY_TERMS = ["quary", "stroam"]
@@ -2877,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facet_ranges": q_search_facet_ranges,
         "search_profile_tags": q_search_profile_tags,
         "search_suggest2": q_search_suggest2,
+        "search_suggest_ctx": q_search_suggest_ctx,
         # -- r04/r05-evidence cohort that slid out of the r07 window
         # -- (oldest driver evidence; VERDICT r7 next-#7) -------------
         "classifier_scores": q_classifier_scores,
@@ -2899,19 +2910,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": q_approx_distinct_users,
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
-        "partitioned_counts": q_partitioned_counts,
         # ---------------- 50-entry window boundary ---------------------
-        # (the fifteen new r8 entries — fuzzy trio + LSM variant,
+        # (the sixteen new r8 entries — fuzzy trio + LSM variant,
         # wildcard pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk,
         # the PQ maintenance pair ann_pq_upsert_topk / ann_pq_delete_topk,
         # stream_pq_index, search_facet_ranges, search_profile_tags, and
-        # search_suggest2 — took the slots of token_stats / orders_cube /
-        # region_rollup / events_pivot / pricing_summary / top_customers
-        # / events_hourly / region_revenue / shipping_priority /
-        # embedding_topk_np / bpe_pipeline / indexer_run_metrics /
-        # indexer_run / upsert_merge / partitioned_runs, which — with
+        # the autocomplete modes search_suggest2 / search_suggest_ctx —
+        # took the slots of token_stats / orders_cube / region_rollup /
+        # events_pivot / pricing_summary / top_customers / events_hourly
+        # / region_revenue / shipping_priority / embedding_topk_np /
+        # bpe_pipeline / indexer_run_metrics / indexer_run / upsert_merge
+        # / partitioned_runs / partitioned_counts, which — with
         # late_orders_exists, displaced earlier by
         # text_index_suggest_maint — lead r09 with the r06 cohort)
+        "partitioned_counts": q_partitioned_counts,
         "partitioned_runs": q_partitioned_runs,
         "upsert_merge": q_upsert_merge,
         "indexer_run": q_indexer_run,
@@ -4646,6 +4658,18 @@ def oracle_sql() -> dict[str, str]:
         WHERE starts_with(w[CAST(i AS INT)], 'st'))
       SELECT completion, count(DISTINCT doc_id) AS df
       FROM m GROUP BY completion ORDER BY df DESC, completion LIMIT 10
+    """
+    # oneTermWithContext: completions of the prefix that FOLLOW the exact
+    # context term, ranked by adjacency document frequency
+    sqls["search_suggest_ctx"] = f"""
+      WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+      m AS (
+        SELECT doc_id, w[CAST(i + 1 AS INT)] AS term
+        FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+        WHERE w[CAST(i AS INT)] = 'merge'
+          AND starts_with(w[CAST(i + 1 AS INT)], 's'))
+      SELECT term, count(DISTINCT doc_id) AS df
+      FROM m GROUP BY term ORDER BY df DESC, term LIMIT 10
     """
     # index-served autocomplete equals the scan-time suggester
     sqls["text_index_suggest"] = sqls["search_suggest"]

@@ -494,6 +494,52 @@ def suggest_two_terms(
     )
 
 
+def suggest_with_context(
+    docs: DataFrame,
+    context: str,
+    prefix: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Autocomplete in the service's ``oneTermWithContext`` mode: complete
+    ``prefix`` using the PRECEDING query term as context — only terms that
+    follow an exact occurrence of ``context`` in a document qualify,
+    ranked by the number of documents containing that (context, term)
+    adjacency.  Output ``(term, df)``; ties break term-asc.  The context
+    term disambiguates ("new y…" completes to "york", not "year", when
+    the corpus says so) — that is the mode's entire point.
+
+    Same physical shape as :func:`suggest_two_terms`: one row-local
+    ``arrays_zip`` builds adjacent pairs, both the context equality and
+    the prefix filter apply BEFORE the explode, and the df aggregate's
+    key space is the qualifying vocabulary.
+    """
+    if not context or not prefix:
+        raise ValueError("suggest_with_context needs a context term and a prefix")
+    ctx = context.lower()
+    needle = prefix.lower()
+    docs = ensure_parallelism(docs)
+    toks = tokens(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("t1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("t2"),
+    )
+    matching = F.filter(
+        pairs, lambda p: (p["t1"] == ctx) & p["t2"].startswith(needle)
+    )
+    matches = docs.select(
+        F.col(id_col), F.explode(matching).alias("_pair")
+    ).select(F.col(id_col), F.col("_pair.t2").alias("term"))
+    return (
+        matches.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
 def expand_query_terms(terms: Sequence[str], synonyms: DataFrame) -> list[str]:
     """Synonym-map expansion (the service's synonymMaps on searchable
     fields): widen the query's term set with the synonyms of each term.

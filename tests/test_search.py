@@ -615,3 +615,36 @@ def test_suggest_two_terms_pairs_and_df_semantics(spark):
     }
     with _pytest.raises(ValueError):
         suggest_two_terms(docs, "")
+
+
+def test_suggest_with_context_disambiguates(spark):
+    """oneTermWithContext: only completions following the exact context
+    term qualify — the same prefix with a different context returns a
+    different set; df counts documents; both args required."""
+    import pytest as _pytest
+
+    from azuredatalakeindexer_spark.operators.search import suggest_with_context
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york city"),
+            (2, "new york state"),
+            (3, "last year today"),
+            (4, "this year new yearnings"),
+        ],
+        "doc_id long, text string",
+    )
+    after_new = {
+        r["term"]: r["df"]
+        for r in suggest_with_context(docs, "new", "y", k=10).collect()
+    }
+    assert after_new == {"york": 2, "yearnings": 1}
+    after_last = {
+        r["term"]: r["df"]
+        for r in suggest_with_context(docs, "last", "y", k=10).collect()
+    }
+    assert after_last == {"year": 1}  # context flips the completion set
+    with _pytest.raises(ValueError):
+        suggest_with_context(docs, "", "y")
+    with _pytest.raises(ValueError):
+        suggest_with_context(docs, "new", "")
