@@ -2195,6 +2195,34 @@ def q_text_index_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_filtered_topk(spark, sf):
+    """The service's `$filter` + `search` combination served from the
+    persisted index (`sources/text_index.py::query_text_index
+    filter_ids=`): a metadata predicate's id set (source ∈ src1..src5)
+    restricts which documents may be returned, while every BM25
+    statistic stays INDEX-GLOBAL (Lucene/Azure semantics: filters narrow
+    the match set, never reweight idf).  The oracle replays global-stats
+    bm25 and applies the filter before the top-k."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = _docs(spark, sf)
+    flt = docs.where(
+        F.col("source").isin(["src1", "src2", "src3", "src4", "src5"])
+    ).select("doc_id")
+    root = tempfile.mkdtemp(prefix="adls_txtflt_")
+    try:
+        build_text_index(docs, root, n_buckets=64)
+        out = query_text_index(
+            spark, root, SEARCH_TERMS, k=20, n_buckets=64, filter_ids=flt
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_bpe_train(spark, sf):
     """Distributed BPE tokenizer training (operators/bpe.py): 8 merges
     learned from the vocabulary relation; the oracle unrolls the EXACT
@@ -2888,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_profile_tags": q_search_profile_tags,
         "search_suggest2": q_search_suggest2,
         "search_suggest_ctx": q_search_suggest_ctx,
+        "text_index_filtered_topk": q_text_index_filtered_topk,
         # -- r04/r05-evidence cohort that slid out of the r07 window
         # -- (oldest driver evidence; VERDICT r7 next-#7) -------------
         "classifier_scores": q_classifier_scores,
@@ -2911,17 +2940,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_event_quantiles": q_approx_event_quantiles,
         "span_dedup": q_span_dedup,
         # ---------------- 50-entry window boundary ---------------------
-        # (the sixteen new r8 entries — fuzzy trio + LSM variant,
+        # (the seventeen new r8 entries — fuzzy trio + LSM variant,
         # wildcard pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk,
         # the PQ maintenance pair ann_pq_upsert_topk / ann_pq_delete_topk,
         # stream_pq_index, search_facet_ranges, search_profile_tags, and
-        # the autocomplete modes search_suggest2 / search_suggest_ctx —
-        # took the slots of token_stats / orders_cube / region_rollup /
+        # the autocomplete modes search_suggest2 / search_suggest_ctx,
+        # and the $filter+search text_index_filtered_topk — took the
+        # slots of token_stats / orders_cube / region_rollup /
         # events_pivot / pricing_summary / top_customers / events_hourly
         # / region_revenue / shipping_priority / embedding_topk_np /
         # bpe_pipeline / indexer_run_metrics / indexer_run / upsert_merge
-        # / partitioned_runs / partitioned_counts, which — with
-        # late_orders_exists, displaced earlier by
+        # / partitioned_runs / partitioned_counts / span_dedup, which —
+        # with late_orders_exists, displaced earlier by
         # text_index_suggest_maint — lead r09 with the r06 cohort)
         "partitioned_counts": q_partitioned_counts,
         "partitioned_runs": q_partitioned_runs,
@@ -4386,6 +4416,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["text_index_topk"] = f"""
       WITH {bm25_scored}
       SELECT doc_id, bm25 FROM kw
+    """
+    # $filter + search from the saved index: the filter id set restricts
+    # the RESULT set; df/n/avgdl stay index-global (idf never reweighted)
+    sqls["text_index_filtered_topk"] = f"""
+      WITH {bm25_scored},
+      flt AS (
+        SELECT doc_id FROM documents
+        WHERE source IN ('src1','src2','src3','src4','src5'))
+      SELECT doc_id, bm25 FROM bm25_scored JOIN flt USING (doc_id)
+      WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 20
     """
     # streaming drain of the same index is batch-split-invariant (LWW per
     # doc, affected-bucket rewrites), so its oracle is the same replay

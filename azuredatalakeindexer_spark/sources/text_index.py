@@ -497,10 +497,25 @@ def query_text_index(
     b: float = 0.75,
     k: int = 20,
     n_buckets: int = 64,
+    filter_ids: DataFrame | None = None,
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """BM25 top-k over a saved inverted index; reads only the query terms'
     bucket partitions.  Bit-identical to ``bm25_topk`` on the indexed
     corpus (same statistics, same association order, same rounding).
+
+    ``filter_ids`` implements the service's ``$filter`` + ``search``
+    combination: a one-column id relation (the filter's result set, e.g.
+    a metadata predicate evaluated on the corpus) restricting which
+    documents may be RETURNED — while every BM25 statistic (df, n_docs,
+    avgdl) stays INDEX-GLOBAL, which is Lucene/Azure semantics: a filter
+    narrows the match set, it never reweights idf.  The restriction is a
+    semi-join applied to the candidate set (|docs matching a query term|,
+    already bucket-pruned) before the top-k, so its cost is
+    candidate-sized regardless of how wide the filter itself is;
+    ``broadcast_filter=False`` switches to a shuffled semi-join when the
+    filter's id set is not driver-broadcastable (same contract as the
+    maintenance paths' ``broadcast_ids``).
 
     Scale: the postings scan is |docs containing a query term| rows after
     static bucket pruning + term pushdown; df per term is a tiny aggregate
@@ -567,6 +582,13 @@ def query_text_index(
     for i in range(len(terms)):
         c = F.col(f"_c{i}")
         score = c if score is None else score + c
+    if filter_ids is not None:
+        fkeys = filter_ids.select(id_col).distinct()
+        per_doc = per_doc.join(
+            F.broadcast(fkeys) if broadcast_filter else fkeys,
+            id_col,
+            "left_semi",
+        )
     return (
         per_doc.select(F.col(id_col), F.round(score, 6).alias("bm25"))
         .where(F.col("bm25") > 0)

@@ -952,3 +952,66 @@ def test_maintenance_on_legacy_index_without_directory_falls_back(spark, tmp_pat
     a = _rows(query_ivf_index(spark, modern, q, k=5, n_probe=2))
     b = _rows(query_ivf_index(spark, legacy, q, k=5, n_probe=2))
     assert a == b and len(a) == 25
+
+
+def test_text_index_filtered_query_keeps_global_stats(spark, tmp_path):
+    """$filter + search semantics: the filter restricts which docs can be
+    RETURNED, but BM25 stats stay index-global — so the filtered result
+    equals (unfiltered scoring) ∩ (filter set) re-cut to top-k, NOT a
+    re-scored sub-corpus; the shuffled-fallback toggle is result-equal;
+    filtering through a segmented (LSM) state works unchanged."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        upsert_text_index_segmented,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    terms = ["merge", "stream"]
+    flt = docs.where(F.col("doc_id") % 3 == 0).select("doc_id")
+
+    unfiltered = query_text_index(spark, path, terms, k=1000, n_buckets=16)
+    keep = {r["doc_id"] for r in flt.collect()}
+    expected = [
+        (r["doc_id"], r["bm25"])
+        for r in unfiltered.collect()
+        if r["doc_id"] in keep
+    ][:20]
+
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in query_text_index(
+            spark, path, terms, k=20, n_buckets=16, filter_ids=flt
+        ).collect()
+    ]
+    assert got == expected and 0 < len(got) <= 20
+
+    shuffled = [
+        (r["doc_id"], r["bm25"])
+        for r in query_text_index(
+            spark, path, terms, k=20, n_buckets=16,
+            filter_ids=flt, broadcast_filter=False,
+        ).collect()
+    ]
+    assert shuffled == got
+
+    # LSM state: upsert a delta as a segment, filter still serves exactly
+    delta = spark.createDataFrame(
+        [(999_001, "merge stream merge"), (999_002, "stream only")],
+        "doc_id long, text string",
+    )
+    upsert_text_index_segmented(spark, path, delta, n_buckets=16)
+    flt2 = flt.unionByName(
+        spark.createDataFrame([(999_001,)], "doc_id long")
+    )
+    seg = {
+        r["doc_id"]: r["bm25"]
+        for r in query_text_index(
+            spark, path, terms, k=1000, n_buckets=16, filter_ids=flt2
+        ).collect()
+    }
+    assert 999_001 in seg and 999_002 not in seg

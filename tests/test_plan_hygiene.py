@@ -56,6 +56,7 @@ SKIP = {
     "stream_text_index",
     "stream_text_index_lsm",
     "text_index_topk",       # builds the temp index at plan-build time
+    "text_index_filtered_topk",
     "text_index_upsert_topk",
     "text_index_delete_topk",
     "text_index_lsm_topk",
