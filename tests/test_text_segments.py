@@ -917,3 +917,62 @@ def test_wildcard_from_index_matches_scan_time_through_lifecycle(spark, tmp_path
     check(logical)
     compact_text_index(spark, path, n_buckets=16)
     check(logical)
+
+
+def test_upsert_shuffled_fallback_plan(spark, tmp_path):
+    """broadcast_ids=False on the IN-PLACE text upsert (r8 wrong-#2): every
+    delta-id lookup (victims, statuses, keep/dkeep anti-joins) must route
+    through shuffled joins — no broadcast hint anywhere — and the result
+    must equal the default broadcast path bit-for-bit."""
+    import pyspark.sql.functions as F
+    from unittest.mock import patch
+
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta doc"), F.col("id").cast("string")).alias("text"),
+    )
+    delta = spark.range(40, 60).select(
+        F.col("id").alias("doc_id"), F.lit("gamma delta").alias("text")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        path = str(tmp_path / "shuffled")
+        build_text_index(docs, path, n_buckets=16)
+
+        calls = []
+        orig = F.broadcast
+
+        def spy(df):
+            calls.append(df)
+            return orig(df)
+
+        with patch.object(F, "broadcast", side_effect=spy):
+            st = upsert_text_index(
+                spark, path, delta, n_buckets=16, broadcast_ids=False
+            )
+            got_st = sorted(tuple(r) for r in st.collect())
+        assert not calls  # no broadcast hint anywhere on the fallback path
+        assert got_st == [(i, 200 if i < 50 else 201) for i in range(40, 60)]
+
+        # default path still broadcasts, and both paths answer identically
+        path2 = str(tmp_path / "bcast")
+        build_text_index(docs, path2, n_buckets=16)
+        with patch.object(F, "broadcast", side_effect=spy):
+            st2 = upsert_text_index(spark, path2, delta, n_buckets=16)
+            assert sorted(tuple(r) for r in st2.collect()) == got_st
+        assert calls
+        a = _rows(query_text_index(spark, path, ["gamma", "beta"], k=30, n_buckets=16))
+        b = _rows(query_text_index(spark, path2, ["gamma", "beta"], k=30, n_buckets=16))
+        assert a == b
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
