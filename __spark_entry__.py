@@ -2258,6 +2258,66 @@ def q_text_index_profile_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_highlight_topk(spark, sf):
+    """Index-served hit highlighting (`sources/text_index.py::
+    highlight_from_index`, r9 — closes VERDICT r8 missing-#2): BM25 top-20
+    from the persisted index, then the winners' texts fetched BY ID from
+    the docstore (the service's retrievable-field store) and highlighted
+    with the scan-time `keyword_snippets` expressions — candidate-sized
+    fetch (static dbucket pruning + pushed id IN-list), the corpus never
+    rescanned.  The oracle replays bm25 top-k joined to the documents'
+    first-hit position/snippet."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        highlight_from_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_txths_")
+    try:
+        build_text_index(_docs(spark, sf), root, n_buckets=64, store_text=True)
+        out = highlight_from_index(
+            spark, root, SEARCH_TERMS, "merge", k=20, n_buckets=64, radius=20
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_search_with_facets(spark, sf):
+    """Facets over the MATCH SET, index-served end-to-end
+    (`sources/profile_index.py::facets_from_index`, r9 — closes VERDICT
+    r8 missing-#3): Azure Search computes facets on the documents
+    matching the query, not the whole corpus.  The match ids come from
+    the multi-field index's pruned postings (text: merge/query/stream OR
+    source: src1), the facet values from the persisted docvals attribute
+    store — the corpus is never touched.  The oracle replays the
+    token-membership match set and the top-5 facet ranking."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        facets_from_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_fct_")
+    try:
+        build_profile_index(
+            _docs(spark, sf),
+            root,
+            field_cols=["text", "source"],
+            attr_cols=["lang", "source", "n_chars"],
+            n_buckets=64,
+        )
+        out = facets_from_index(
+            spark,
+            root,
+            {"text": SEARCH_TERMS, "source": ["src1"]},
+            ["lang", "source"],
+            top_n=5,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_bpe_train(spark, sf):
     """Distributed BPE tokenizer training (operators/bpe.py): 8 merges
     learned from the vocabulary relation; the oracle unrolls the EXACT
@@ -2922,6 +2982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- index-served query; vector-delta dedup touches the ANN
         # -- maintenance lifecycle): need fresh driver rows
         "text_index_profile_topk": q_text_index_profile_topk,
+        "text_index_highlight_topk": q_text_index_highlight_topk,
+        "search_with_facets": q_search_with_facets,
         # -- r8 cohort (newest evidence r08) --------------------------
         "search_fuzzy_terms": q_search_fuzzy_terms,
         "search_fuzzy": q_search_fuzzy,
@@ -4431,6 +4493,21 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, bm25 FROM kw
     """
 
+    # index-served highlight: the same bm25 top-k, each winner joined back
+    # to its stored text for the keyword_snippets('merge') expressions
+    sqls["text_index_highlight_topk"] = f"""
+      WITH {bm25_scored}
+      SELECT kw.doc_id, kw.bm25 AS score,
+             CASE WHEN strpos(lower(d.text), 'merge') > 0
+                  THEN strpos(lower(d.text), 'merge') ELSE 0 END::INT AS hit_pos,
+             CASE WHEN strpos(lower(d.text), 'merge') > 0
+                  THEN substring(d.text,
+                                 greatest(1, strpos(lower(d.text), 'merge') - 20),
+                                 45)
+             END AS snippet
+      FROM kw JOIN documents d USING (doc_id)
+    """
+
     # simple query syntax 'merge query +stream -"slow scan" "data table"':
     # positives (optional ∪ required, sorted) = merge/query/stream — the
     # same BM25 chain — with the required/excluded predicates as a
@@ -4570,6 +4647,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'lang' AS field, lang AS value FROM documents WHERE lang IS NOT NULL
         UNION ALL
         SELECT 'source' AS field, source AS value FROM documents WHERE source IS NOT NULL),
+      counts AS (SELECT field, value, count(*) AS n FROM pairs GROUP BY field, value),
+      ranked AS (
+        SELECT field, value, n::BIGINT AS n,
+               (row_number() OVER (PARTITION BY field ORDER BY n DESC, value))::INT AS rank
+        FROM counts)
+      SELECT field, value, n, rank FROM ranked WHERE rank <= 5
+    """
+
+    # facets over the MATCH SET (the service's semantics): match = any
+    # query term in text OR 'src1' among source tokens; then the same
+    # top-5 ranking as search_facets, FROM the matches
+    sqls["search_with_facets"] = f"""
+      WITH m AS (
+        SELECT doc_id, lang, source FROM documents
+        WHERE len(list_filter({_WORDS},
+                  x -> x IN ('merge', 'query', 'stream'))) > 0
+           OR len(list_filter(
+                  list_filter(string_split_regex(lower(source), '\\s+'),
+                              x -> x != ''),
+                  x -> x = 'src1')) > 0),
+      pairs AS (
+        SELECT 'lang' AS field, lang AS value FROM m WHERE lang IS NOT NULL
+        UNION ALL
+        SELECT 'source' AS field, source AS value FROM m WHERE source IS NOT NULL),
       counts AS (SELECT field, value, count(*) AS n FROM pairs GROUP BY field, value),
       ranked AS (
         SELECT field, value, n::BIGINT AS n,

@@ -455,6 +455,15 @@ def upsert_text_index_segmented(
 
     recover_for_maintenance(spark, path)
     _check_n_buckets(spark, path, n_buckets, "upsert_text_index_segmented")
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    if hadoop_path_exists(spark, f"{path}/docstore"):
+        raise ValueError(
+            "%s: index at %s has a docstore (highlight-enabled); the LSM "
+            "segments do not version stored text, so use the in-place "
+            "maintenance ops (upsert_text_index / delete_from_text_index) "
+            "on docstore-backed indexes" % ("upsert_text_index_segmented", path)
+        )
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
@@ -548,6 +557,15 @@ def delete_from_text_index_segmented(
     )
 
     recover_for_maintenance(spark, path)
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    if hadoop_path_exists(spark, f"{path}/docstore"):
+        raise ValueError(
+            "%s: index at %s has a docstore (highlight-enabled); the LSM "
+            "segments do not version stored text, so use the in-place "
+            "maintenance ops (upsert_text_index / delete_from_text_index) "
+            "on docstore-backed indexes" % ("delete_from_text_index_segmented", path)
+        )
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 

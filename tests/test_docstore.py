@@ -1,0 +1,129 @@
+"""Docstore (retrievable text) + index-served highlight
+(sources/text_index.py): fetch-by-id snippets must match the scan-time
+keyword_snippets on the top-k, survive in-place maintenance, and never
+scan the corpus text relation."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from azuredatalakeindexer_spark.operators.search import bm25_topk, keyword_snippets
+from azuredatalakeindexer_spark.sources.fixtures import load_table
+from azuredatalakeindexer_spark.sources.text_index import (
+    build_text_index,
+    delete_from_text_index,
+    highlight_from_index,
+    upsert_text_index,
+)
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["merge", "query", "stream"]
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def _expected(spark, docs, k=20):
+    """Scan-time replay: bm25 top-k joined to keyword_snippets('merge')."""
+    top = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, TERMS, k=k).collect()}
+    snip = {
+        r["doc_id"]: (r["hit_pos"], r["snippet"])
+        for r in keyword_snippets(docs, "merge", radius=20).collect()
+        if r["doc_id"] in top
+    }
+    return sorted(
+        (i, s, *(snip.get(i, (0, None)))) for i, s in top.items()
+    )
+
+
+def test_highlight_matches_scan_time(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16, store_text=True)
+    got = sorted(
+        tuple(r)
+        for r in highlight_from_index(
+            spark, path, TERMS, "merge", k=20, n_buckets=16, radius=20
+        ).collect()
+    )
+    assert got == _expected(spark, docs, k=20)
+
+
+def test_highlight_requires_docstore(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "bare")
+    build_text_index(docs, path, n_buckets=16)
+    with pytest.raises(ValueError, match="no docstore"):
+        highlight_from_index(spark, path, TERMS, k=5, n_buckets=16)
+
+
+def test_docstore_rides_inplace_maintenance(spark, tmp_path):
+    """Upsert + delete must advance the docstore under the same journal:
+    post-maintenance highlights equal a fresh rebuild's over the logical
+    corpus."""
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16, store_text=True)
+    delta = docs.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.concat(F.lit("merge rewritten body "), F.col("text")).alias("text")
+    )
+    upsert_text_index(spark, path, delta, n_buckets=16)
+    dead = docs.select("doc_id").where(F.col("doc_id") % 7 == 0)
+    delete_from_text_index(spark, path, dead, n_buckets=16)
+
+    logical = (
+        docs.join(delta.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(delta)
+        .join(dead, "doc_id", "left_anti")
+    )
+    got = sorted(
+        tuple(r)
+        for r in highlight_from_index(
+            spark, path, TERMS, "merge", k=20, n_buckets=16
+        ).collect()
+    )
+    assert got == _expected(spark, logical, k=20)
+    # docstore id set tracks doclens exactly
+    store_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{path}/docstore").select("doc_id").collect()
+    )
+    len_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{path}/doclens").select("doc_id").collect()
+    )
+    assert store_ids == len_ids
+
+
+def test_segmented_ops_refuse_docstore_index(spark, tmp_path):
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        delete_from_text_index_segmented,
+        upsert_text_index_segmented,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16, store_text=True)
+    with pytest.raises(ValueError, match="docstore"):
+        upsert_text_index_segmented(spark, path, docs.limit(2), n_buckets=16)
+    with pytest.raises(ValueError, match="docstore"):
+        delete_from_text_index_segmented(
+            spark, path, docs.select("doc_id").limit(2)
+        )
+
+
+def test_highlight_fetch_is_candidate_sized(spark, tmp_path):
+    """The docstore scan must statically prune to the top-k ids' dbuckets
+    and push the id IN-list — the corpus text is fetched BY ID, never
+    scanned (the scan-time search_highlight's cost model inverted)."""
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16, store_text=True)
+    out = highlight_from_index(spark, path, ["merge"], k=3, n_buckets=16)
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*dbucket[^\]]*\]", plan)
+    assert m, plan
+    assert re.search(r"PushedFilters: \[[^\]]*(In|EqualTo)\(doc_id", plan), plan

@@ -91,3 +91,46 @@ def test_profile_index_prunes_buckets(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
     assert m and str(want) in m.group(0), plan
     assert re.search(r"PushedFilters: \[[^\]]*(In|EqualTo)\(term", plan), plan
+
+
+def test_facets_over_match_set(spark, tmp_path):
+    """facets_from_index == scan-time facet_counts restricted to the
+    matching documents — the service's facet semantics (facets are
+    computed on the filtered match set, never the whole corpus)."""
+    from azuredatalakeindexer_spark.operators.search import facet_counts
+    from azuredatalakeindexer_spark.functions.text import tokens
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        facets_from_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "source", "lang", "n_chars"
+    )
+    path = str(tmp_path / "pidx")
+    build_profile_index(
+        docs,
+        path,
+        field_cols=["text", "source"],
+        attr_cols=["lang", "source", "n_chars"],
+    )
+    terms = ["merge", "stream"]
+    query = {"text": terms, "source": ["src1"]}
+    got = facets_from_index(spark, path, query, ["lang", "source"], top_n=5)
+
+    hit = F.arrays_overlap(
+        tokens(F.col("text")), F.array(*[F.lit(t) for t in terms])
+    ) | F.arrays_overlap(tokens(F.col("source")), F.array(F.lit("src1")))
+    expected = facet_counts(docs.where(hit), ["lang", "source"], top_n=5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # the profile (terms, weight) shape is accepted too
+    got2 = facets_from_index(
+        spark, path, {"text": (terms, 2.0), "source": (["src1"], 1.0)},
+        ["lang", "source"], top_n=5,
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    with pytest.raises(ValueError, match="not persisted"):
+        facets_from_index(spark, path, query, ["missing_col"])
