@@ -2283,6 +2283,54 @@ def q_text_index_highlight_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_profile_upsert(spark, sf):
+    """Multi-field index MAINTENANCE lifecycle (`sources/profile_index.py::
+    upsert_profile_index` / `delete_from_profile_index`, r9): MergeOrUpload
+    a rewrite batch (docs ≡ 0 mod 4 — new text, source flipped to src1,
+    n_chars +10), delete docs ≡ 0 mod 7, then serve the scoring profile
+    from the maintained index.  Affected postings buckets and doclens /
+    docvals dbuckets only, per-field stats recomputed, all under one
+    staged-commit journal.  The oracle replays the scan-time profile over
+    the logical post-maintenance corpus."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        delete_from_profile_index,
+        query_profile_index,
+        upsert_profile_index,
+    )
+
+    docs = _docs(spark, sf)
+    root = tempfile.mkdtemp(prefix="adls_pium_")
+    try:
+        build_profile_index(
+            docs,
+            root,
+            field_cols=["text", "source"],
+            attr_cols=["n_chars", "source"],
+            n_buckets=64,
+        )
+        delta = docs.where(F.col("doc_id") % 4 == 0).select(
+            "doc_id",
+            F.concat(F.lit("merge body rewritten "), F.col("text")).alias("text"),
+            F.lit("src1").alias("source"),
+            (F.col("n_chars") + 10).alias("n_chars"),
+        )
+        upsert_profile_index(spark, root, delta).count()
+        delete_from_profile_index(
+            spark, root, docs.select("doc_id").where(F.col("doc_id") % 7 == 0)
+        )
+        out = query_profile_index(
+            spark,
+            root,
+            {"text": (SEARCH_TERMS, 2.0), "source": (["src1"], 1.0)},
+            boost=("n_chars", 0.5, 200.0, 800.0),
+            k=20,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_search_with_facets(spark, sf):
     """Facets over the MATCH SET, index-served end-to-end
     (`sources/profile_index.py::facets_from_index`, r9 — closes VERDICT
@@ -2984,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_profile_topk": q_text_index_profile_topk,
         "text_index_highlight_topk": q_text_index_highlight_topk,
         "search_with_facets": q_search_with_facets,
+        "text_index_profile_upsert": q_text_index_profile_upsert,
         # -- r8 cohort (newest evidence r08) --------------------------
         "search_fuzzy_terms": q_search_fuzzy_terms,
         "search_fuzzy": q_search_fuzzy,
@@ -4768,6 +4817,54 @@ def oracle_sql() -> dict[str, str]:
     # the multi-field persisted index replays the scan-time profile
     # bit-identically, so its oracle IS the search_profile replay
     sqls["text_index_profile_topk"] = sqls["search_profile"]
+
+    # maintenance lifecycle: the same profile replay over the LOGICAL
+    # post-maintenance corpus — docs ≡ 0 (mod 4) rewritten (text
+    # prefixed, source := src1, n_chars += 10), docs ≡ 0 (mod 7) deleted
+    sqls["text_index_profile_upsert"] = f"""
+      WITH logical AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'merge body rewritten ' || text ELSE text END AS text,
+               CASE WHEN doc_id % 4 = 0 THEN 'src1' ELSE source END AS source,
+               CASE WHEN doc_id % 4 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE doc_id % 7 != 0),
+      raw AS (
+        SELECT doc_id, n_chars, {_WORDS} AS tw,
+               list_filter(string_split_regex(lower(source), '\\s+'), x -> x != '') AS sw
+        FROM logical),
+      per AS (
+        SELECT doc_id, n_chars,
+               len(tw) AS dl0,
+               len(list_filter(tw, x -> x = 'merge'))  AS tf0_0,
+               len(list_filter(tw, x -> x = 'query'))  AS tf0_1,
+               len(list_filter(tw, x -> x = 'stream')) AS tf0_2,
+               len(sw) AS dl1,
+               len(list_filter(sw, x -> x = 'src1'))   AS tf1_0
+        FROM raw),
+      stats AS (
+        SELECT count(*) AS n,
+               avg(dl0) AS avgdl0, avg(dl1) AS avgdl1,
+               sum(CASE WHEN tf0_0 > 0 THEN 1 ELSE 0 END) AS df0_0,
+               sum(CASE WHEN tf0_1 > 0 THEN 1 ELSE 0 END) AS df0_1,
+               sum(CASE WHEN tf0_2 > 0 THEN 1 ELSE 0 END) AS df0_2,
+               sum(CASE WHEN tf1_0 > 0 THEN 1 ELSE 0 END) AS df1_0
+        FROM per),
+      scored AS (
+        SELECT doc_id, n_chars,
+               2.0 * ({_bm25_term.format(i='0_0', f='0')}
+                    + {_bm25_term.format(i='0_1', f='0')}
+                    + {_bm25_term.format(i='0_2', f='0')})
+             + 1.0 * ({_bm25_term.format(i='1_0', f='1')}) AS total
+        FROM per, stats)
+      SELECT doc_id,
+             round(total * (1.0 + 0.5 * least(1.0, greatest(0.0,
+                   (n_chars - 200.0) / 600.0))), 6) AS score
+      FROM scored
+      WHERE round(total, 6) > 0
+      ORDER BY score DESC, doc_id LIMIT 20
+    """
 
     sqls["search_profile_tags"] = f"""
       WITH raw AS (

@@ -256,6 +256,8 @@ def query_profile_index(
     ).collect()
     dfmap = {(r["field"], r["term"]): int(r["df"]) for r in df_rows}
     fs_rows = spark.read.parquet(f"{path}/fieldstats").collect()
+    # a field absent from fieldstats means the index is empty (delete-all
+    # sentinel): no candidates exist, so the (0, 0.0) defaults are inert
     fsmap = {r["field"]: (int(r["n_docs"]), float(r["avgdl"])) for r in fs_rows}
 
     # pivot the candidate matches into the scan-time operator's per-doc
@@ -300,7 +302,7 @@ def query_profile_index(
     # contributions in sorted-term order, fields in profile order
     total = None
     for fi, (fld, terms, w) in enumerate(fields):
-        n_docs, avgdl = fsmap[fld]
+        n_docs, avgdl = fsmap.get(fld, (0, 0.0))
         norm = F.when(
             F.lit(avgdl) > 0, F.lit(b) * F.col(f"_dl{fi}") / F.lit(avgdl)
         ).otherwise(F.lit(0.0))
@@ -420,3 +422,281 @@ def facets_from_index(
         .join(match_ids, id_col, "left_semi")
     )
     return facet_counts(vals, list(facet_cols), top_n=top_n)
+
+
+def _dedupe_profile_delta(delta: DataFrame, id_col: str, cols) -> DataFrame:
+    """One deterministic row per id within an upsert batch: max over the
+    row's (field, attr) struct — the multi-column mirror of
+    ``text_index._dedupe_delta`` (lexicographically greatest version wins;
+    callers with a real ordering column should pre-resolve LWW first)."""
+    packed = delta.groupBy(id_col).agg(
+        F.max(F.struct(*[F.col(c) for c in cols])).alias("_v")
+    )
+    return packed.select(id_col, *[F.col(f"_v.{c}").alias(c) for c in cols])
+
+
+def upsert_profile_index(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MergeOrUpload into the saved multi-field index — the reference's
+    batch-upsert contract (`AzureSearchIndexer/BatchingUploader.cs:34`)
+    for the profile-serving layout: new documents inserted, existing ones
+    replaced across EVERY searchable field and persisted attribute.
+    Returns ``(id_col, status)`` with 201=created / 200=modified.
+
+    Cost shape mirrors ``upsert_text_index``: the delta is tokenized and
+    aggregated batch-sized; victims are located via a column-pruned
+    (id, bucket) postings projection; ONLY affected postings buckets and
+    affected doclens/docvals dbuckets are rewritten — all staged and
+    promoted by one journaled rename pass (``sources/staging.py``), with
+    the per-field stats recomputed from the post-merge doclens under the
+    same commit.  After the upsert, ``query_profile_index`` answers
+    bit-identically to a fresh build over (base ∖ replaced) ∪ delta
+    (test-pinned; the oracle replays the scan-time profile on that
+    logical corpus).
+    """
+    from azuredatalakeindexer_spark.sources.staging import (
+        StagedCommit,
+        recover_for_maintenance,
+    )
+
+    recover_for_maintenance(spark, path)
+    n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
+    # a column may be both searchable and an attribute (e.g. source):
+    # dedupe the struct's column list or the unpack is ambiguous
+    cols = list(dict.fromkeys(list(idx_fields) + list(idx_attrs)))
+    deduped = _dedupe_profile_delta(delta, id_col, cols).localCheckpoint()
+    stacked = _stack_fields(deduped, idx_fields, id_col).localCheckpoint()
+    new_postings = _postings_rows(stacked, id_col, n_buckets).localCheckpoint()
+    new_lens = stacked.select(
+        F.col(id_col), "field", F.size("_toks").alias("dl"),
+        _dbucket(id_col, n_buckets),
+    ).localCheckpoint()
+    delta_ids = deduped.select(id_col)
+    dkeys = F.broadcast(delta_ids)
+
+    postings_path = f"{path}/postings"
+    victims = (
+        spark.read.parquet(postings_path)
+        .select(id_col, "bucket")
+        .join(dkeys, id_col, "left_semi")
+    )
+    affected = [
+        r["bucket"]
+        for r in new_postings.select("bucket")
+        .union(victims.select("bucket"))
+        .distinct()
+        .collect()
+    ]
+    daffected = [
+        r["dbucket"] for r in new_lens.select("dbucket").distinct().collect()
+    ]
+    existing = (
+        spark.read.parquet(f"{path}/doclens")
+        .where(F.col("dbucket").isin(daffected))
+        .select(id_col)
+        .join(dkeys, id_col, "left_semi")
+        .distinct()
+        .withColumn("_old", F.lit(1))
+    )
+    statuses = delta_ids.join(F.broadcast(existing), id_col, "left").select(
+        id_col,
+        F.when(F.col("_old").isNotNull(), F.lit(200))
+        .otherwise(F.lit(201))
+        .alias("status"),
+    ).localCheckpoint()
+
+    commit = StagedCommit(spark, path)
+    keep = (
+        spark.read.parquet(postings_path)
+        .where(F.col("bucket").isin(affected))
+        .join(dkeys, id_col, "left_anti")
+        .select("term", id_col, "field", "tf", "bucket")
+    )
+    merged = keep.unionByName(
+        new_postings.select("term", id_col, "field", "tf", "bucket")
+    ).localCheckpoint()
+    present = [r["bucket"] for r in merged.select("bucket").distinct().collect()]
+    merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
+        "bucket"
+    ).parquet(commit.stage("postings"))
+    for b in affected:
+        if b in present:
+            commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
+        else:
+            commit.remove(f"postings/bucket={b}")
+
+    dkeep = (
+        spark.read.parquet(f"{path}/doclens")
+        .where(F.col("dbucket").isin(daffected))
+        .join(dkeys, id_col, "left_anti")
+        .select(id_col, "field", "dl", "dbucket")
+    )
+    dmerged = dkeep.unionByName(new_lens).localCheckpoint()
+    dmerged.repartition("dbucket").write.partitionBy("dbucket").parquet(
+        commit.stage("doclens")
+    )
+    for b in daffected:
+        # every delta dbucket carries its own delta rows, so none empties
+        commit.swap(f"doclens/dbucket={b}", f"doclens/dbucket={b}")
+
+    # per-field stats from the POST-state doclens (unaffected live rows ∪
+    # the staged merge — the live read happens pre-promote)
+    stats_src = (
+        spark.read.parquet(f"{path}/doclens")
+        .where(~F.col("dbucket").isin(daffected))
+        .select(id_col, "field", "dl", "dbucket")
+        .unionByName(dmerged)
+    )
+    _write_fieldstats_from(stats_src, path, target=commit.stage("fieldstats"))
+    commit.swap("fieldstats", "fieldstats")
+
+    if idx_attrs:
+        new_vals = deduped.select(
+            F.col(id_col), *idx_attrs, _dbucket(id_col, n_buckets)
+        )
+        vkeep = (
+            spark.read.parquet(f"{path}/docvals")
+            .where(F.col("dbucket").isin(daffected))
+            .join(dkeys, id_col, "left_anti")
+            .select(id_col, *idx_attrs, "dbucket")
+        )
+        vmerged = vkeep.unionByName(new_vals).localCheckpoint()
+        vmerged.repartition("dbucket").write.partitionBy("dbucket").parquet(
+            commit.stage("docvals")
+        )
+        for b in daffected:
+            commit.swap(f"docvals/dbucket={b}", f"docvals/dbucket={b}")
+    commit.promote()
+    return statuses
+
+
+def delete_from_profile_index(
+    spark: SparkSession,
+    path: str,
+    doc_ids: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> int:
+    """Remove documents from the saved multi-field index — the deleted-
+    blob contract (J2) for the profile-serving layout: victims leave
+    every tier (postings across all fields, doclens, docvals) under ONE
+    promotion journal, per-field stats recomputed from the survivors.
+    Returns the number of documents removed; absent ids are a no-op.
+    Deleting the last document drops doclens/docvals to typed 0-row
+    unpartitioned sentinels (a partitioned dir with zero data files
+    cannot be re-read); ``upsert_profile_index`` is not sentinel-routing
+    (rebuild with ``build_profile_index`` after a delete-all — the
+    in-place single-field index carries that path; here it would
+    duplicate it for no serving win).
+    """
+    from azuredatalakeindexer_spark.sources.ann_index import _partition_dir_names
+    from azuredatalakeindexer_spark.sources.staging import (
+        StagedCommit,
+        recover_for_maintenance,
+    )
+
+    recover_for_maintenance(spark, path)
+    n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
+    ids = doc_ids.select(id_col).distinct().localCheckpoint()
+    keys = F.broadcast(ids)
+
+    doclens_path = f"{path}/doclens"
+    full_lens = spark.read.parquet(doclens_path)
+    dvictims = full_lens.select(id_col, "dbucket").join(keys, id_col, "left_semi")
+    daffected = [
+        r["dbucket"] for r in dvictims.select("dbucket").distinct().collect()
+    ]
+    n_removed = dvictims.select(id_col).distinct().count()
+    if not daffected:
+        return 0
+    survivors = full_lens.join(keys, id_col, "left_anti")
+    index_emptied = survivors.isEmpty()
+
+    commit = StagedCommit(spark, path)
+    postings_path = f"{path}/postings"
+    victims = (
+        spark.read.parquet(postings_path)
+        .select(id_col, "bucket")
+        .join(keys, id_col, "left_semi")
+    )
+    affected = [r["bucket"] for r in victims.select("bucket").distinct().collect()]
+    if affected:
+        keep = (
+            spark.read.parquet(postings_path)
+            .where(F.col("bucket").isin(affected))
+            .join(keys, id_col, "left_anti")
+            .select("term", id_col, "field", "tf", "bucket")
+            .localCheckpoint()
+        )
+        present = [r["bucket"] for r in keep.select("bucket").distinct().collect()]
+        survivors_elsewhere = bool(
+            set(_partition_dir_names(spark, postings_path, "bucket"))
+            - {f"bucket={b}" for b in affected}
+        )
+        if index_emptied or (not present and not survivors_elsewhere):
+            keep.write.parquet(commit.stage("postings"))
+            commit.swap("postings", "postings")
+        else:
+            if present:
+                keep.repartition("bucket").sortWithinPartitions(
+                    "term"
+                ).write.partitionBy("bucket").parquet(commit.stage("postings"))
+            for b in affected:
+                if b in present:
+                    commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
+                else:
+                    commit.remove(f"postings/bucket={b}")
+
+    dkeep = (
+        full_lens.where(F.col("dbucket").isin(daffected))
+        .join(keys, id_col, "left_anti")
+        .select(id_col, "field", "dl", "dbucket")
+        .localCheckpoint()
+    )
+    dpresent = [r["dbucket"] for r in dkeep.select("dbucket").distinct().collect()]
+    if index_emptied:
+        dkeep.write.parquet(commit.stage("doclens"))
+        commit.swap("doclens", "doclens")
+    else:
+        if dpresent:
+            dkeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
+                commit.stage("doclens")
+            )
+        for b in daffected:
+            if b in dpresent:
+                commit.swap(f"doclens/dbucket={b}", f"doclens/dbucket={b}")
+            else:
+                commit.remove(f"doclens/dbucket={b}")
+
+    # per-field stats over ALL survivors (aggregated pre-promote)
+    _write_fieldstats_from(survivors, path, target=commit.stage("fieldstats"))
+    commit.swap("fieldstats", "fieldstats")
+
+    if idx_attrs:
+        vkeep = (
+            spark.read.parquet(f"{path}/docvals")
+            .where(F.col("dbucket").isin(daffected))
+            .join(keys, id_col, "left_anti")
+            .select(id_col, *idx_attrs, "dbucket")
+            .localCheckpoint()
+        )
+        if index_emptied:
+            vkeep.write.parquet(commit.stage("docvals"))
+            commit.swap("docvals", "docvals")
+        else:
+            if dpresent:
+                vkeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
+                    commit.stage("docvals")
+                )
+            for b in daffected:
+                if b in dpresent:
+                    commit.swap(f"docvals/dbucket={b}", f"docvals/dbucket={b}")
+                else:
+                    commit.remove(f"docvals/dbucket={b}")
+    commit.promote()
+    return int(n_removed)

@@ -134,3 +134,100 @@ def test_facets_over_match_set(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not persisted"):
         facets_from_index(spark, path, query, ["missing_col"])
+
+
+def test_profile_upsert_matches_fresh_rebuild(spark, tmp_path):
+    """After a MergeOrUpload upsert, the served profile must equal a
+    fresh build over (base \\ replaced) ∪ delta — and statuses report
+    201/200 from the doclens side."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        upsert_profile_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "pidx")
+    build_profile_index(
+        docs, path, field_cols=["text", "source"], attr_cols=["n_chars", "source"]
+    )
+    delta = docs.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.concat(F.lit("merge body rewritten "), F.col("text")).alias("text"),
+        F.lit("src1").alias("source"),
+        (F.col("n_chars") + 10).alias("n_chars"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(99999, "merge stream fresh doc", "src9", 400)],
+            "doc_id long, text string, source string, n_chars long",
+        )
+    )
+    st = {r["doc_id"]: r["status"] for r in
+          upsert_profile_index(spark, path, delta).collect()}
+    assert st[99999] == 201
+    assert all(v == 200 for k, v in st.items() if k != 99999)
+
+    logical = docs.join(delta.select("doc_id"), "doc_id", "left_anti").unionByName(delta)
+    path2 = str(tmp_path / "fresh")
+    build_profile_index(
+        logical, path2, field_cols=["text", "source"], attr_cols=["n_chars", "source"]
+    )
+    boost = ("n_chars", 0.5, 200.0, 800.0)
+    got = _rows(query_profile_index(spark, path, PROFILE, boost=boost, k=20))
+    want = _rows(query_profile_index(spark, path2, PROFILE, boost=boost, k=20))
+    assert got == want
+    # and equals the scan-time profile on the logical corpus
+    assert got == _rows(scoring_profile_topk(logical, PROFILE, boost=boost, k=20))
+
+
+def test_profile_delete_matches_fresh_rebuild(spark, tmp_path):
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        delete_from_profile_index,
+        facets_from_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "pidx")
+    build_profile_index(
+        docs, path, field_cols=["text", "source"], attr_cols=["n_chars", "source"]
+    )
+    dead = docs.select("doc_id").where(F.col("doc_id") % 3 == 0)
+    n = delete_from_profile_index(spark, path, dead)
+    assert n == docs.where(F.col("doc_id") % 3 == 0).count()
+    # idempotent redelivery
+    assert delete_from_profile_index(spark, path, dead) == 0
+
+    survivors = docs.join(dead, "doc_id", "left_anti")
+    got = _rows(query_profile_index(spark, path, PROFILE, k=20))
+    assert got == _rows(scoring_profile_topk(survivors, PROFILE, k=20))
+    # facets see the survivors' match set only
+    from azuredatalakeindexer_spark.operators.search import facet_counts
+    from azuredatalakeindexer_spark.functions.text import tokens as _tok
+
+    hit = F.arrays_overlap(
+        _tok(F.col("text")), F.array(F.lit("merge"), F.lit("query"), F.lit("stream"))
+    )
+    assert sorted(
+        map(tuple, facets_from_index(spark, path, {"text": PROFILE["text"]},
+                                     ["source"]).collect())
+    ) == sorted(
+        map(tuple, facet_counts(survivors.where(hit), ["source"]).collect())
+    )
+
+
+def test_profile_delete_all_leaves_readable_sentinels(spark, tmp_path):
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        delete_from_profile_index,
+    )
+
+    docs = _docs(spark).limit(10)
+    path = str(tmp_path / "pidx")
+    build_profile_index(
+        docs, path, field_cols=["text"], attr_cols=["n_chars"]
+    )
+    n = delete_from_profile_index(spark, path, docs.select("doc_id"))
+    assert n == 10
+    assert spark.read.parquet(f"{path}/doclens").count() == 0
+    assert spark.read.parquet(f"{path}/docvals").count() == 0
+    assert spark.read.parquet(f"{path}/postings").count() == 0
+    assert query_profile_index(
+        spark, path, {"text": (["merge"], 1.0)}, k=5
+    ).count() == 0
