@@ -1770,6 +1770,35 @@ def q_ann_filtered_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def q_ann_filtered_index_topk(spark, sf):
+    """Filtered vector query against the SAVED IVF index (r9,
+    `sources/ann_index.py::query_ivf_index filter_ids=` — VERDICT r8
+    stretch-#9): the quantizer/cells are the full index's (no per-filter
+    rebuild), allowed ids (odd label) semi-join the candidates, and the
+    id→cell directory pre-prunes the probed cells to those holding at
+    least one allowed id.  The oracle replays the full-corpus assignment
+    with the filter applied to the scored candidates."""
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = _emb(spark, sf)
+    q = emb.where(F.col("vec_id") < 5)
+    allowed = emb.where(F.col("label") % 2 == 1).select("vec_id")
+    root = tempfile.mkdtemp(prefix="adls_annflt_")
+    try:
+        build_ivf_index(
+            emb.select("vec_id", "embedding"), root, n_centroids=16
+        )
+        out = query_ivf_index(
+            spark, root, q, k=5, n_probe=2, filter_ids=allowed
+        ).withColumn("rank", F.col("rank").cast("int"))
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_search_profile(spark, sf):
     """Scoring profile: field-weighted multi-field BM25 (text w=2.0,
     source w=1.0) with the service's magnitude boost on n_chars
@@ -3033,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_highlight_topk": q_text_index_highlight_topk,
         "search_with_facets": q_search_with_facets,
         "text_index_profile_upsert": q_text_index_profile_upsert,
+        "ann_filtered_index_topk": q_ann_filtered_index_topk,
         # -- r8 cohort (newest evidence r08) --------------------------
         "search_fuzzy_terms": q_search_fuzzy_terms,
         "search_fuzzy": q_search_fuzzy,
@@ -3783,6 +3813,35 @@ def oracle_sql() -> dict[str, str]:
     # the same seed quantizer (parquet roundtrips floats exactly), so the
     # oracle is the same full index replay
     sqls["ann_index_topk"] = sqls["ann_ivf_topk"]
+
+    # filtered query against the SAVED index: the full-corpus quantizer
+    # and assignment (no per-filter rebuild — unlike ann_filtered_topk's
+    # pre-filter build), with the filter restricting scored candidates
+    sqls["ann_filtered_index_topk"] = f"""
+      WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, v AS cvec FROM c WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, label, v, cid AS cell FROM (
+          SELECT c.vec_id, c.label, c.v, cents.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_cos('c.v', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM c, cents) t WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+      probes AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT q.query_id, q.qv, cents.cid,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_cos('q.qv', 'cents.cvec')} DESC, cents.cid) AS r
+          FROM q, cents) t WHERE r <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, {_cos('p.qv', 'a.v')} AS cosine
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.vec_id != p.query_id AND a.label % 2 = 1)
+      SELECT query_id, neighbor_id, cosine,
+             (row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))::INT AS rank
+      FROM scored
+      QUALIFY rank <= 5
+    """
     # the streamed drain uses the frozen full-corpus seed quantizer + LWW
     # per id, so the final index is bit-identical to one full-corpus build
     sqls["stream_ann_index"] = sqls["ann_ivf_topk"]

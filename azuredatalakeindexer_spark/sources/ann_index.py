@@ -503,6 +503,37 @@ class _dynamic_overwrite:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
 
 
+def _filter_cells(
+    spark: SparkSession, path: str, filter_ids: DataFrame, id_col: str
+) -> list[int] | None:
+    """Directory-assisted cell pre-pruning for filtered vector queries
+    (r9, VERDICT r8 stretch-#9): the cells that contain at least one
+    allowed id — any other probed cell cannot contribute an allowed
+    neighbor, so it need not be read at all.  Uses the id→cell
+    ``directory`` statically pruned to the filter ids' dbuckets; the
+    distinct-cells collect is bounded by n_centroids (model-sized).
+    Returns None when the index predates the directory (no pre-pruning;
+    the id semi-join alone keeps results correct)."""
+    if not hadoop_path_exists(spark, f"{path}/dirmeta"):
+        return None
+    n_db = spark.read.parquet(f"{path}/dirmeta").first()["n_dbuckets"]
+    dbs = sorted(
+        r["db"]
+        for r in filter_ids.select(_dbucket_col(id_col, n_db).alias("db"))
+        .distinct()
+        .collect()
+    )
+    return sorted(
+        r["cell"]
+        for r in spark.read.parquet(f"{path}/directory")
+        .where(F.col("dbucket").isin(dbs))
+        .join(filter_ids, id_col, "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+
+
 def query_ivf_index(
     spark: SparkSession,
     path: str,
@@ -511,11 +542,23 @@ def query_ivf_index(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    filter_ids: DataFrame | None = None,
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """Top-k over a saved index; reads only the probed cells' partitions.
 
     Returns ``(query_id, neighbor_id, cosine, rank)`` — bit-identical to
     ``ivf_topk`` with the same quantizer (pinned by test + oracle).
+
+    ``filter_ids`` (one-column id relation) restricts which vectors may
+    be RETURNED — the service's filtered vector query against a SAVED
+    index: the quantizer and cell layout are the full index's (no
+    rebuild per filter), candidates in the probed cells are semi-joined
+    against the filter, and the id→cell directory PRE-PRUNES the probed
+    cells to those holding at least one allowed id (a selective filter
+    reads fewer cell partitions, not just fewer rows — measured in
+    BENCH_sf1 ann_filtered).  ``broadcast_filter=False``: shuffled
+    semi-join for non-driver-broadcastable filter sets.
     """
     from azuredatalakeindexer_spark.sources.staging import recover_for_query
 
@@ -529,9 +572,19 @@ def query_ivf_index(
     # collecting them makes the partition filter a literal IN-list the
     # file index prunes STATICALLY — no row of an unprobed cell is read
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    fl = None
+    if filter_ids is not None:
+        fl = filter_ids.select(id_col).distinct().localCheckpoint()
+        fcells = _filter_cells(spark, path, fl, id_col)
+        if fcells is not None:
+            cells = sorted(set(cells) & set(fcells))
     postings = spark.read.parquet(f"{path}/postings").where(
         F.col("cell").isin(cells)
     )
+    if fl is not None:
+        postings = postings.join(
+            F.broadcast(fl) if broadcast_filter else fl, id_col, "left_semi"
+        )
     scored = (
         postings.join(F.broadcast(probes), "cell")
         .where(F.col(id_col) != F.col("query_id"))
@@ -693,6 +746,8 @@ def query_pq_index(
     m: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    filter_ids: DataFrame | None = None,
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """Top-k over the saved IVF-PQ layout: probe ``n_probe`` cells
     (STATIC partition pruning of both the codes and postings scans —
@@ -707,6 +762,12 @@ def query_pq_index(
     Per-query cost: |probed cells| × m ints for ADC + ``shortlist`` raw
     vectors for rescore — the two knobs (n_probe, shortlist) trade recall
     for work with the corpus size out of the equation.
+
+    ``filter_ids`` / ``broadcast_filter``: the filtered-vector-query mode
+    of ``query_ivf_index`` applied to BOTH tiers — allowed ids semi-join
+    the ADC codes before the shortlist (so the shortlist is filled from
+    allowed candidates, never starved by a post-filter) and the id→cell
+    directory pre-prunes the probed cells of both scans.
     """
     import math as _math
 
@@ -719,7 +780,17 @@ def query_pq_index(
     )
     probes = assign_cells(q, cents, "query_id", "_qvec", n_probe)
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    fl = None
+    if filter_ids is not None:
+        fl = filter_ids.select(id_col).distinct().localCheckpoint()
+        fcells = _filter_cells(spark, path, fl, id_col)
+        if fcells is not None:
+            cells = sorted(set(cells) & set(fcells))
     codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(cells))
+    if fl is not None:
+        codes = codes.join(
+            F.broadcast(fl) if broadcast_filter else fl, id_col, "left_semi"
+        )
 
     cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
     # m and the subvector width are properties of the PERSISTED codebooks,

@@ -1082,3 +1082,77 @@ def test_query_pq_index_derives_m_from_codebooks(spark, tmp_path):
     assert query_pq_index(spark, path, q, k=3, n_probe=4, m=2).count() > 0
     with pytest.raises(ValueError, match="built with m=2"):
         query_pq_index(spark, path, q, k=3, n_probe=4, m=4).count()
+
+
+def test_filtered_saved_index_queries(spark, tmp_path):
+    """Filtered vector query against a SAVED index (r9): allowed ids
+    semi-join the candidates and the id→cell directory pre-prunes probed
+    cells.  With a frozen quantizer, filtering a full index equals
+    querying an index built over only the allowed vectors with the SAME
+    centroids — the exactness pin."""
+    import re
+
+    from azuredatalakeindexer_spark.operators.similarity import seed_centroids
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        query_pq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding", "label")
+    vecs = emb.select("vec_id", "embedding")
+    q = vecs.where(F.col("vec_id") < 5)
+    allowed = emb.where(F.col("label") % 2 == 1).select("vec_id")
+    cents = seed_centroids(vecs, 16, "embedding", "vec_id", None)
+
+    full = str(tmp_path / "full")
+    build_ivf_index(vecs, full, n_centroids=16)
+    got = query_ivf_index(spark, full, q, k=5, n_probe=2, filter_ids=allowed)
+    rows = got.collect()
+    allowed_set = {r["vec_id"] for r in allowed.collect()}
+    assert rows and all(r["neighbor_id"] in allowed_set for r in rows)
+
+    sub = str(tmp_path / "sub")
+    build_ivf_index(
+        vecs.join(allowed, "vec_id", "left_semi"), sub,
+        n_centroids=16, centroids=cents,
+    )
+    want = query_ivf_index(spark, sub, q, k=5, n_probe=2)
+    assert _rows(got) == _rows(want)
+
+    # PQ: same equivalence through both tiers (frozen centroids+codebooks)
+    from azuredatalakeindexer_spark.operators.similarity import seed_pq_codebooks
+
+    cb = seed_pq_codebooks(vecs, 4, 16, "embedding", "vec_id", codebooks=None)
+    fullpq = str(tmp_path / "fpq")
+    build_pq_index(vecs, fullpq, n_centroids=16, m=4, k_pq=16)
+    gotpq = query_pq_index(
+        spark, fullpq, q, k=5, n_probe=2, shortlist=50, filter_ids=allowed
+    )
+    subpq = str(tmp_path / "spq")
+    build_pq_index(
+        vecs.join(allowed, "vec_id", "left_semi"), subpq,
+        n_centroids=16, m=4, k_pq=16, centroids=cents, codebooks=cb,
+    )
+    wantpq = query_pq_index(spark, subpq, q, k=5, n_probe=2, shortlist=50)
+    assert _rows(gotpq) == _rows(wantpq)
+    assert all(r["neighbor_id"] in allowed_set for r in gotpq.collect())
+
+    # directory pre-pruning: a single-id filter cuts the probed cells to
+    # (at most) that id's one cell — visible in the scan's PartitionFilters
+    one = allowed.limit(1)
+    one_id = one.first()["vec_id"]
+    one_cell = (
+        spark.read.parquet(f"{full}/directory")
+        .where(F.col("vec_id") == one_id)
+        .first()["cell"]
+    )
+    out = query_ivf_index(
+        spark, full, q, k=5, n_probe=16, filter_ids=one
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert m, plan
+    found = set(int(x) for x in re.findall(r"(\d+)", m.group(0)))
+    assert found == {one_cell} or one_cell in found and len(found) <= 2, (
+        m.group(0), one_cell,
+    )
