@@ -3054,89 +3054,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_full_correctness.py).
     """
     return {
-        # -- changed/added this round (r9: multi-field persisted index;
-        # -- staging lease + query-side recovery probes touch every
-        # -- index-served query; vector-delta dedup touches the ANN
-        # -- maintenance lifecycle): need fresh driver rows
+        # -- NEW this round (r9: multi-field profile index build/query/
+        # -- maintain, docstore highlight, match-set facets, filtered
+        # -- saved-index vector query): need first driver rows
         "text_index_profile_topk": q_text_index_profile_topk,
         "text_index_highlight_topk": q_text_index_highlight_topk,
         "search_with_facets": q_search_with_facets,
         "text_index_profile_upsert": q_text_index_profile_upsert,
         "ann_filtered_index_topk": q_ann_filtered_index_topk,
-        # -- r8 cohort (newest evidence r08) --------------------------
-        "search_fuzzy_terms": q_search_fuzzy_terms,
-        "search_fuzzy": q_search_fuzzy,
-        "text_index_fuzzy": q_text_index_fuzzy,
-        "search_wildcard": q_search_wildcard,
-        "text_index_wildcard": q_text_index_wildcard,
-        "text_index_fuzzy_lsm": q_text_index_fuzzy_lsm,
-        "text_index_near_topk": q_text_index_near_topk,
-        "text_index_near_unordered": q_text_index_near_unordered,
-        "text_index_suggest": q_text_index_suggest,
-        "text_index_suggest_maint": q_text_index_suggest_maint,
-        "text_index_lsm_topk": q_text_index_lsm_topk,
-        "text_index_upsert_topk": q_text_index_upsert_topk,
-        "text_index_delete_topk": q_text_index_delete_topk,
-        "text_index_phrase_topk": q_text_index_phrase_topk,
-        "text_index_topk": q_text_index_topk,
-        "stream_text_index": q_stream_text_index,
-        "stream_text_index_lsm": q_stream_text_index_lsm,
-        "saved_hybrid_search": q_saved_hybrid_search,
-        "ann_upsert_topk": q_ann_upsert_topk,
-        "ann_delete_topk": q_ann_delete_topk,
-        "stream_ann_index": q_stream_ann_index,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_pq_index_topk": q_ann_pq_index_topk,
-        "ann_pq_upsert_topk": q_ann_pq_upsert_topk,
-        "ann_pq_delete_topk": q_ann_pq_delete_topk,
-        "stream_pq_index": q_stream_pq_index,
-        "search_facet_ranges": q_search_facet_ranges,
-        "search_profile_tags": q_search_profile_tags,
-        "search_suggest2": q_search_suggest2,
-        "search_suggest_ctx": q_search_suggest_ctx,
-        "text_index_filtered_topk": q_text_index_filtered_topk,
-        # -- r04/r05-evidence cohort that slid out of the r07 window
-        # -- (oldest driver evidence; VERDICT r7 next-#7) -------------
-        "classifier_scores": q_classifier_scores,
-        "ann_index_topk": q_ann_index_topk,
-        "semantic_dedup": q_semantic_dedup,
-        "domain_quality_gate": q_domain_quality_gate,
-        "search_bm25": q_search_bm25,
-        "search_facets": q_search_facets,
-        "search_hybrid_rrf": q_search_hybrid_rrf,
-        "search_highlight": q_search_highlight,
-        "search_suggest": q_search_suggest,
-        "ann_filtered_topk": q_ann_filtered_topk,
-        "search_profile": q_search_profile,
-        "rag_chunks": q_rag_chunks,
-        "search_simple_query": q_search_simple_query,
-        "search_synonyms": q_search_synonyms,
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "lm_scores": q_lm_scores,
-        "approx_distinct_users": q_approx_distinct_users,
-        "approx_event_quantiles": q_approx_event_quantiles,
+        # -- r05-evidence cohort rotated to the head (VERDICT r8
+        # -- wrong-#3: these six missed the r8 window by the off-by-one)
         "span_dedup": q_span_dedup,
-        # ---------------- 50-entry window boundary ---------------------
-        # (the seventeen new r8 entries — fuzzy trio + LSM variant,
-        # wildcard pair, stream_ann_index, ann_pq_topk, ann_pq_index_topk,
-        # the PQ maintenance pair ann_pq_upsert_topk / ann_pq_delete_topk,
-        # stream_pq_index, search_facet_ranges, search_profile_tags, and
-        # the autocomplete modes search_suggest2 / search_suggest_ctx,
-        # and the $filter+search text_index_filtered_topk — took the
-        # slots of token_stats / orders_cube / region_rollup /
-        # events_pivot / pricing_summary / top_customers / events_hourly
-        # / region_revenue / shipping_priority / embedding_topk_np /
-        # bpe_pipeline / indexer_run_metrics / indexer_run / upsert_merge
-        # / partitioned_runs / partitioned_counts / span_dedup, which —
-        # with late_orders_exists, displaced earlier by
-        # text_index_suggest_maint — lead r09 with the r06 cohort)
         "partitioned_counts": q_partitioned_counts,
         "partitioned_runs": q_partitioned_runs,
         "upsert_merge": q_upsert_merge,
         "indexer_run": q_indexer_run,
         "indexer_run_metrics": q_indexer_run_metrics,
-        # -- r06-evidence cohort head (next-oldest driver rows) -------
+        # -- CHANGED this round: every persisted-index query gained the
+        # -- recover_for_query probe; maintenance ops gained the lease
+        # -- gate; vector upserts dedupe batches; query_pq_index derives
+        # -- m; upsert_text_index gained the shuffled fallback
+        "text_index_topk": q_text_index_topk,
+        "text_index_filtered_topk": q_text_index_filtered_topk,
+        "text_index_upsert_topk": q_text_index_upsert_topk,
+        "text_index_delete_topk": q_text_index_delete_topk,
+        "text_index_phrase_topk": q_text_index_phrase_topk,
+        "text_index_near_topk": q_text_index_near_topk,
+        "text_index_near_unordered": q_text_index_near_unordered,
+        "text_index_suggest": q_text_index_suggest,
+        "text_index_suggest_maint": q_text_index_suggest_maint,
+        "text_index_fuzzy": q_text_index_fuzzy,
+        "text_index_fuzzy_lsm": q_text_index_fuzzy_lsm,
+        "text_index_wildcard": q_text_index_wildcard,
+        "text_index_lsm_topk": q_text_index_lsm_topk,
+        "stream_text_index": q_stream_text_index,
+        "stream_text_index_lsm": q_stream_text_index_lsm,
+        "saved_hybrid_search": q_saved_hybrid_search,
+        "ann_index_topk": q_ann_index_topk,
+        "ann_upsert_topk": q_ann_upsert_topk,
+        "ann_delete_topk": q_ann_delete_topk,
+        "stream_ann_index": q_stream_ann_index,
+        "ann_pq_index_topk": q_ann_pq_index_topk,
+        "ann_pq_upsert_topk": q_ann_pq_upsert_topk,
+        "ann_pq_delete_topk": q_ann_pq_delete_topk,
+        "stream_pq_index": q_stream_pq_index,
+        # -- oldest remaining driver evidence (r06 cohort) ------------
+        "stream_upsert_events": q_stream_upsert_events,
+        "stream_deleted_index": q_stream_deleted_index,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "list_changed_paths": q_list_changed_paths,
+        "listing_to_path_rows": q_listing_to_path_rows,
+        "iso_ts": q_iso_ts,
+        "events_json_extract": q_events_json_extract,
+        "keyset_page": q_keyset_page,
+        "path_keys": q_path_keys,
+        "url_roundtrip": q_url_roundtrip,
+        "split_blob_urls": q_split_blob_urls,
+        "events_to_path_rows": q_events_to_path_rows,
+        "dedup_last_writer": q_dedup_last_writer,
+        "upsert_status_counts": q_upsert_status_counts,
+        "deleted_anti_join": q_deleted_anti_join,
+        # ---------------- 50-entry window boundary ---------------------
+        # (below: replayed locally every round — tools/check_correctness
+        # + the env-gated tests/test_full_correctness.py; ordered oldest
+        # evidence first, the r08-green cohort last)
         "embedding_topk_np": q_embedding_topk_np,
         "bpe_pipeline": q_bpe_pipeline,
         "token_stats": q_token_stats,
@@ -3149,8 +3130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "shipping_priority": q_shipping_priority,
         "late_orders_exists": q_late_orders_exists,
-        # -- r06-evidence remainder (they lead r09 with whatever is
-        # -- unchanged then) -------------------------------------------
         "events_gapfill": q_events_gapfill,
         "user_running_stats": q_user_running_stats,
         "distinct_users_daily": q_distinct_users_daily,
@@ -3163,13 +3142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "event_quantiles": q_event_quantiles,
         "pii_redaction": q_pii_redaction,
-        "stream_upsert_events": q_stream_upsert_events,
-        "stream_deleted_index": q_stream_deleted_index,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "list_changed_paths": q_list_changed_paths,
-        "listing_to_path_rows": q_listing_to_path_rows,
-        "iso_ts": q_iso_ts,
-        "events_json_extract": q_events_json_extract,
         "token_budget_mix": q_token_budget_mix,
         "tfidf_top_terms": q_tfidf_top_terms,
         "profile_orders": q_profile_orders,
@@ -3177,15 +3149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "shuffle_shards": q_shuffle_shards,
         "embedding_quantize": q_embedding_quantize,
-        "keyset_page": q_keyset_page,
-        "path_keys": q_path_keys,
-        "url_roundtrip": q_url_roundtrip,
-        "split_blob_urls": q_split_blob_urls,
-        "events_to_path_rows": q_events_to_path_rows,
-        "dedup_last_writer": q_dedup_last_writer,
-        "upsert_status_counts": q_upsert_status_counts,
-        "deleted_anti_join": q_deleted_anti_join,
-        # -- r07-evidence cohort (newest driver rows, unchanged in r8) --
         "search_phrase": q_search_phrase,
         "search_near": q_search_near,
         "search_near_unordered": q_search_near_unordered,
@@ -3227,6 +3190,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
         "events_range_join": q_events_range_join,
+        # -- r08-evidence cohort displaced by the r9 window ------------
+        "search_fuzzy_terms": q_search_fuzzy_terms,
+        "search_fuzzy": q_search_fuzzy,
+        "search_wildcard": q_search_wildcard,
+        "ann_pq_topk": q_ann_pq_topk,
+        "search_facet_ranges": q_search_facet_ranges,
+        "search_profile_tags": q_search_profile_tags,
+        "search_suggest2": q_search_suggest2,
+        "search_suggest_ctx": q_search_suggest_ctx,
+        "classifier_scores": q_classifier_scores,
+        "semantic_dedup": q_semantic_dedup,
+        "domain_quality_gate": q_domain_quality_gate,
+        "search_bm25": q_search_bm25,
+        "search_facets": q_search_facets,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
+        "search_highlight": q_search_highlight,
+        "search_suggest": q_search_suggest,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "search_profile": q_search_profile,
+        "rag_chunks": q_rag_chunks,
+        "search_simple_query": q_search_simple_query,
+        "search_synonyms": q_search_synonyms,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "lm_scores": q_lm_scores,
+        "approx_distinct_users": q_approx_distinct_users,
+        "approx_event_quantiles": q_approx_event_quantiles,
     }
 
 

@@ -97,7 +97,98 @@ HEADLINE = [
     "text_index_wildcard",
     # r8: PQ/ADC — the ANN memory-compression path
     "ann_pq_topk",
+    # r9: multi-field profile index (build+serve and full maintenance
+    # lifecycle), docstore-served highlight, match-set facets, filtered
+    # saved-index vector query (directory cell pre-pruning)
+    "text_index_profile_topk",
+    "text_index_profile_upsert",
+    "text_index_highlight_topk",
+    "search_with_facets",
+    "ann_filtered_index_topk",
 ]
+
+
+def sustained_pq_metrics(spark, sf_dir: str, n_batches: int = 16) -> dict:
+    """Sustained IVF-PQ ingestion (VERDICT r8 stretch-#8 — the curve, not
+    the 1%-batch point): stream the embeddings table into the saved PQ
+    index as ``n_batches`` micro-batches (batch 0 builds, each later
+    batch is an ``upsert_pq_index`` MergeOrUpload bounded by its own
+    affected cells), with BOTH quantizers frozen on the full corpus (the
+    production train-offline regime — the stream only assigns/encodes).
+
+    Reports per-batch upsert seconds (the claim under test: flat in
+    index size — cell-bounded rewrites + the dbucket-pruned directory
+    victim lookup; the index grows ~linearly under it) and the post-batch
+    query seconds (should stay flat too: probed-cell reads only grow with
+    cell size, not batch count).  Enabled via
+    ``SPARK_GRAFT_SUSTAINED_PQ_BATCHES=N`` (a scale study, not a
+    headline query — same discipline as ``sustained_lsm_metrics``).
+    """
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.operators.similarity import (
+        seed_centroids,
+        seed_pq_codebooks,
+    )
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_pq_index,
+        query_pq_index,
+        upsert_pq_index,
+    )
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+
+    out: dict = {
+        "n_batches": n_batches,
+        "upsert_sec": [],
+        "query_sec_by_batch": [],  # [batches applied, seconds]
+        "rows_per_batch": None,
+    }
+    tmp = tempfile.mkdtemp(prefix="bench_sustained_pq_")
+    path = f"{tmp}/pq"
+
+    def timed(fn) -> float:
+        _release_session_state(spark)
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 3)
+
+    try:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        # frozen models go to parquet, NOT localCheckpoint: the per-step
+        # _release_session_state would drop checkpoint blocks mid-run
+        seed_centroids(emb, 16, "embedding", "vec_id", None).write.parquet(
+            f"{tmp}/cents"
+        )
+        seed_pq_codebooks(emb, 4, 16, "embedding", "vec_id").write.parquet(
+            f"{tmp}/cb"
+        )
+        cents = spark.read.parquet(f"{tmp}/cents")
+        cb = spark.read.parquet(f"{tmp}/cb")
+        q = emb.where(F.col("vec_id") < 5)
+        batch = F.pmod(F.hash("vec_id"), F.lit(n_batches))
+        out["rows_per_batch"] = emb.where(batch == 0).count()
+        build_pq_index(
+            emb.where(batch == 0), path,
+            n_centroids=16, m=4, k_pq=16, centroids=cents, codebooks=cb,
+        )
+        for i in range(1, n_batches):
+            delta = emb.where(batch == i)
+            out["upsert_sec"].append(
+                timed(lambda d=delta: upsert_pq_index(spark, path, d).count())
+            )
+            out["query_sec_by_batch"].append(
+                [
+                    i + 1,
+                    timed(
+                        lambda: query_pq_index(
+                            spark, path, q, k=10, n_probe=2, shortlist=50
+                        ).count()
+                    ),
+                ]
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
@@ -559,6 +650,14 @@ def main() -> None:
         if n_sustained
         else None
     )
+    n_sustained_pq = int(
+        os.environ.get("SPARK_GRAFT_SUSTAINED_PQ_BATCHES", "0") or 0
+    )
+    sustained_pq = (
+        sustained_pq_metrics(spark, sf_dir, n_batches=n_sustained_pq)
+        if n_sustained_pq
+        else None
+    )
 
     # SPARK_GRAFT_SKIP_DUCKDB=1 skips the oracle timing pass — for large
     # scaled-SF runs where DuckDB's ngram/train_corpus oracles run for
@@ -583,6 +682,7 @@ def main() -> None:
         "ann_recall": recall,
         "index_lifecycle": lifecycle,
         **({"sustained_lsm": sustained} if sustained else {}),
+        **({"sustained_pq": sustained_pq} if sustained_pq else {}),
         "notes": {
             "indexer_run": "Spark side materializes a real JSON lake "
             "(one file per doc) and runs S3/S4 file reads end-to-end; "
@@ -630,6 +730,7 @@ def main() -> None:
                 "ann_recall": recall,
                 "index_lifecycle": lifecycle,
                 **({"sustained_lsm": sustained} if sustained else {}),
+                **({"sustained_pq": sustained_pq} if sustained_pq else {}),
                 "detail": "BENCH_detail.json",
                 "sf": sf,
             }

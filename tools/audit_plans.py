@@ -130,6 +130,104 @@ def _pq_index_df(spark, sf):
     )
 
 
+def _profile_index_df(spark, sf):
+    """Multi-field profile serving: postings scan statically pruned to the
+    query terms' buckets with the term IN-list pushed; doclens/docvals
+    join only the candidate ids; per-field stats ride literals (collected
+    f-row relation); top-k is TakeOrderedAndProject."""
+    import tempfile
+
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        query_profile_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="audit_prof_")
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    build_profile_index(
+        docs, root, field_cols=["text", "source"],
+        attr_cols=["n_chars", "source"], n_buckets=64,
+    )
+    return query_profile_index(
+        spark, root,
+        {"text": (["merge", "query", "stream"], 2.0), "source": (["src1"], 1.0)},
+        boost=("n_chars", 0.5, 200.0, 800.0), k=20,
+    )
+
+
+def _highlight_df(spark, sf):
+    """Docstore-served highlight: after the (separately audited) top-k,
+    the text fetch must scan ONLY the k ids' docstore dbucket partitions
+    with the id IN-list pushed — candidate-sized, never the corpus."""
+    import tempfile
+
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+    from azuredatalakeindexer_spark.sources.text_index import (
+        build_text_index,
+        highlight_from_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="audit_hl_")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    build_text_index(docs, root, n_buckets=64, store_text=True)
+    return highlight_from_index(
+        spark, root, ["merge", "query", "stream"], "merge", k=20, n_buckets=64
+    )
+
+
+def _facets_df(spark, sf):
+    """Match-set facets: match ids from the bucket-pruned multi-field
+    postings, facet values from the persisted docvals — one hash
+    aggregate over the facet-value key space; the corpus never appears."""
+    import tempfile
+
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        facets_from_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="audit_fcts_")
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "source", "lang", "n_chars"
+    )
+    build_profile_index(
+        docs, root, field_cols=["text", "source"],
+        attr_cols=["lang", "source", "n_chars"], n_buckets=64,
+    )
+    return facets_from_index(
+        spark, root, {"text": ["merge", "query", "stream"], "source": ["src1"]},
+        ["lang", "source"], top_n=5,
+    )
+
+
+def _filtered_ivf_df(spark, sf):
+    """Filtered saved-index vector query: the id→cell directory pre-prunes
+    the probed cells (PartitionFilters shrink to probes ∩ filter-cells)
+    and the allowed-id semi-join rides a broadcast."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+
+    root = tempfile.mkdtemp(prefix="audit_fivf_")
+    emb = load_table(spark, sf, "embeddings")
+    build_ivf_index(emb.select("vec_id", "embedding"), root, n_centroids=16)
+    allowed = emb.where(F.col("label") % 2 == 1).select("vec_id")
+    return query_ivf_index(
+        spark, root, emb.where(F.col("vec_id") < 5), k=5, n_probe=2,
+        filter_ids=allowed,
+    )
+
+
 #: plan audits that need a persisted index built first (the registered
 #: queries() wrappers return a _persisted read whose plan is just the
 #: result scan; these audit the SERVING plan itself)
@@ -153,6 +251,26 @@ CUSTOM = [
         "ann_pq_index_topk (serving plan)",
         "IVF-PQ serving: statically cell-pruned codes scan for ADC, broadcast LUT, shortlist-only rescore",
         _pq_index_df,
+    ),
+    (
+        "text_index_profile_topk (serving plan)",
+        "multi-field profile: bucket-pruned postings + pushed term IN, candidate-only doclens/docvals joins",
+        _profile_index_df,
+    ),
+    (
+        "text_index_highlight_topk (fetch plan)",
+        "docstore fetch-by-id: k ids' dbucket partitions + pushed id IN — never a corpus scan",
+        _highlight_df,
+    ),
+    (
+        "search_with_facets (serving plan)",
+        "match-set facets from pruned postings + docvals; one facet-cardinality aggregate",
+        _facets_df,
+    ),
+    (
+        "ann_filtered_index_topk (serving plan)",
+        "directory pre-pruned probe cells + broadcast allowed-id semi-join",
+        _filtered_ivf_df,
     ),
 ]
 
