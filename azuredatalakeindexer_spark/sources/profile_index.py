@@ -441,6 +441,7 @@ def upsert_profile_index(
     delta: DataFrame,
     *,
     id_col: str = "doc_id",
+    broadcast_ids: bool = True,
 ) -> DataFrame:
     """MergeOrUpload into the saved multi-field index — the reference's
     batch-upsert contract (`AzureSearchIndexer/BatchingUploader.cs:34`)
@@ -458,6 +459,11 @@ def upsert_profile_index(
     bit-identically to a fresh build over (base ∖ replaced) ∪ delta
     (test-pinned; the oracle replays the scan-time profile on that
     logical corpus).
+
+    ``broadcast_ids=False`` switches every delta-id lookup (victims,
+    statuses, keep anti-joins) to shuffled joins for rebuild-sized
+    batches whose id set is not driver-broadcastable — the same contract
+    as ``upsert_text_index(broadcast_ids=False)``.
     """
     from azuredatalakeindexer_spark.sources.staging import (
         StagedCommit,
@@ -477,7 +483,7 @@ def upsert_profile_index(
         _dbucket(id_col, n_buckets),
     ).localCheckpoint()
     delta_ids = deduped.select(id_col)
-    dkeys = F.broadcast(delta_ids)
+    dkeys = F.broadcast(delta_ids) if broadcast_ids else delta_ids
 
     postings_path = f"{path}/postings"
     victims = (
@@ -503,7 +509,9 @@ def upsert_profile_index(
         .distinct()
         .withColumn("_old", F.lit(1))
     )
-    statuses = delta_ids.join(F.broadcast(existing), id_col, "left").select(
+    statuses = delta_ids.join(
+        F.broadcast(existing) if broadcast_ids else existing, id_col, "left"
+    ).select(
         id_col,
         F.when(F.col("_old").isNotNull(), F.lit(200))
         .otherwise(F.lit(201))
@@ -581,6 +589,7 @@ def delete_from_profile_index(
     doc_ids: DataFrame,
     *,
     id_col: str = "doc_id",
+    broadcast_ids: bool = True,
 ) -> int:
     """Remove documents from the saved multi-field index — the deleted-
     blob contract (J2) for the profile-serving layout: victims leave
@@ -603,7 +612,7 @@ def delete_from_profile_index(
     recover_for_maintenance(spark, path)
     n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
     ids = doc_ids.select(id_col).distinct().localCheckpoint()
-    keys = F.broadcast(ids)
+    keys = F.broadcast(ids) if broadcast_ids else ids
 
     doclens_path = f"{path}/doclens"
     full_lens = spark.read.parquet(doclens_path)

@@ -231,3 +231,68 @@ def test_profile_delete_all_leaves_readable_sentinels(spark, tmp_path):
     assert query_profile_index(
         spark, path, {"text": (["merge"], 1.0)}, k=5
     ).count() == 0
+
+
+def test_profile_maintenance_shuffled_fallback_plan(spark, tmp_path):
+    """broadcast_ids=False on the multi-field upsert/delete (r9 verdict
+    wrong-#2): every delta-id lookup must route through shuffled joins —
+    no broadcast hint anywhere — and the results must equal the default
+    broadcast path bit-for-bit (same contract as upsert_text_index's
+    fallback, tests/test_text_segments.py::test_upsert_shuffled_fallback_plan)."""
+    from unittest.mock import patch
+
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        delete_from_profile_index,
+        upsert_profile_index,
+    )
+
+    docs = _docs(spark)
+    delta = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.lit("merge rewritten "), F.col("text")).alias("text"),
+        F.lit("src1").alias("source"),
+        (F.col("n_chars") + 3).alias("n_chars"),
+    )
+    dead = docs.select("doc_id").where(F.col("doc_id") % 7 == 0)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        path = str(tmp_path / "shuffled")
+        build_profile_index(
+            docs, path, field_cols=["text", "source"], attr_cols=["n_chars", "source"]
+        )
+
+        calls = []
+        orig = F.broadcast
+
+        def spy(df):
+            calls.append(df)
+            return orig(df)
+
+        with patch.object(F, "broadcast", side_effect=spy):
+            st = upsert_profile_index(spark, path, delta, broadcast_ids=False)
+            got_st = sorted(tuple(r) for r in st.collect())
+            n = delete_from_profile_index(spark, path, dead, broadcast_ids=False)
+        assert not calls  # no broadcast hint anywhere on the fallback path
+        got = _rows(query_profile_index(spark, path, PROFILE, k=20))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # broadcast path on a second copy must agree exactly
+    path2 = str(tmp_path / "bcast")
+    build_profile_index(
+        docs, path2, field_cols=["text", "source"], attr_cols=["n_chars", "source"]
+    )
+    st2 = upsert_profile_index(spark, path2, delta)
+    assert sorted(tuple(r) for r in st2.collect()) == got_st
+    assert delete_from_profile_index(spark, path2, dead) == n
+    assert _rows(query_profile_index(spark, path2, PROFILE, k=20)) == got
