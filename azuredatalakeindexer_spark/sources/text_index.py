@@ -227,7 +227,15 @@ def build_text_index(
     doclens.repartition("dbucket").write.mode("overwrite").partitionBy(
         "dbucket"
     ).parquet(f"{path}/doclens")
-    _write_stats_from(docs.sparkSession, path, doclens, n_buckets)
+    # stats from the doclens just WRITTEN (a 2-column read-back), not from
+    # the expression tree — recomputing it re-tokenized the whole corpus a
+    # second time (r9 verdict wrong-#4: build fixed overhead)
+    _write_stats_from(
+        docs.sparkSession,
+        path,
+        docs.sparkSession.read.parquet(f"{path}/doclens"),
+        n_buckets,
+    )
     if store_text:
         docs.select(
             F.col(id_col),

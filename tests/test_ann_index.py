@@ -941,7 +941,8 @@ def test_maintenance_on_legacy_index_without_directory_falls_back(spark, tmp_pat
     for p in (modern, legacy):
         build_ivf_index(base, p, n_centroids=16)
     _shutil.rmtree(f"{legacy}/directory")
-    _shutil.rmtree(f"{legacy}/dirmeta")
+    _shutil.rmtree(f"{legacy}/dirmeta", ignore_errors=True)  # pre-sidecar layout
+    os.remove(f"{legacy}/dirmeta.json")
 
     for p in (modern, legacy):
         st = upsert_ivf_index(spark, p, delta)

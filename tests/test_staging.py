@@ -440,3 +440,45 @@ def test_journal_write_is_atomic(spark, tmp_path):
             upsert_text_index(spark, path, delta, n_buckets=16)
     assert seen and seen[0]["swaps"]
     assert recover_staged(spark, path) == 1
+
+
+def test_lease_heartbeat_keeps_slow_writer_alive(spark, tmp_path, monkeypatch):
+    """Lease heartbeat (r9 verdict missing-#3): a legitimate op that runs
+    LONGER than LEASE_TTL_SEC keeps renewing its lease on every stage()/
+    swap()/promote(), so (a) a concurrent writer still refuses long after
+    the original TTL would have expired, and (b) the slow op completes and
+    promotes its work — it is never reclaimed mid-write."""
+    import time as _time
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16)
+    monkeypatch.setattr(staging, "LEASE_TTL_SEC", 0.4)
+
+    # slow writer A: created, then idle past the (shrunk) TTL
+    a = StagedCommit(spark, path)
+    _time.sleep(0.6)
+    # a heartbeat-bearing call renews the lease...
+    docs.limit(1).write.parquet(a.stage("lens_new"))
+    # ...so a second writer refuses even though the ORIGINAL lease would
+    # by now be stale
+    with pytest.raises(staging.ConcurrentMaintenanceError):
+        staging.recover_for_maintenance(spark, path)
+    _time.sleep(0.6)
+    a.swap("lens_new", "lens_new_live")  # renews again
+    with pytest.raises(staging.ConcurrentMaintenanceError):
+        staging.recover_for_maintenance(spark, path)
+    # and the slow writer still completes its commit
+    a.promote()
+    assert not _staging_dirs(path)
+    assert spark.read.parquet(f"{path}/lens_new_live").count() == 1
+
+    # heartbeat never RESURRECTS a reclaimed lease: a new writer whose
+    # staging was taken over must keep failing loudly at promote
+    b = StagedCommit(spark, path)
+    docs.limit(1).write.parquet(b.stage("x"))
+    assert staging.recover_index(spark, path) == 1  # admin reclaim
+    b.heartbeat()  # must be a no-op (lease gone)
+    assert not _staging_dirs(path)
+    with pytest.raises(staging.ConcurrentMaintenanceError, match="reclaimed"):
+        b.promote()
