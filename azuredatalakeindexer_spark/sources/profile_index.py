@@ -237,6 +237,9 @@ def query_profile_index(
     """
     if not profile:
         raise ValueError("query_profile_index needs at least one field")
+    from azuredatalakeindexer_spark.sources.staging import recover_for_query
+
+    recover_for_query(spark, path)
     n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
     fields = [
         (fld, sorted({t.lower() for t in terms}), float(w))
@@ -276,13 +279,38 @@ def query_profile_index(
     for fld, terms, _w in fields:
         c = (F.col("field") == fld) & F.col("term").isin(terms)
         cond = c if cond is None else cond | c
-    matches = (
-        spark.read.parquet(f"{path}/postings")
-        .where(F.col("bucket").isin(buckets))
-        .where(F.col("term").isin(all_terms))
-        .where(cond)
-        .select(id_col, "field", "term", "tf")
+    flds = [fld for fld, _t, _w in fields]
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        list_segments,
+        live_profile_slices,
     )
+
+    segs = list_segments(spark, path)
+    dls_rel = vals_rel = None
+    if segs:
+        # segmented index (LSM upserts since the last compaction): the
+        # same pruned reads in every segment, one doc-level last-writer-
+        # wins resolution; scoring below is untouched so results stay
+        # bit-identical to a compacted or freshly built index
+        matches, dls_rel, vals_rel = live_profile_slices(
+            spark,
+            path,
+            segs,
+            id_col=id_col,
+            buckets=buckets,
+            all_terms=all_terms,
+            cond=cond,
+            need_attrs=need_attrs,
+            fields=flds,
+        )
+    else:
+        matches = (
+            spark.read.parquet(f"{path}/postings")
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(all_terms))
+            .where(cond)
+            .select(id_col, "field", "term", "tf")
+        )
 
     # per-(field, term) document frequency: candidate-sized aggregate;
     # missing pairs mean df=0 — their contribution is exactly 0.0 anyway
@@ -313,11 +341,13 @@ def query_profile_index(
             )
     per = matches.groupBy(id_col).agg(*tf_cols)
 
-    flds = [fld for fld, _t, _w in fields]
+    dls_src = (
+        dls_rel
+        if dls_rel is not None
+        else spark.read.parquet(f"{path}/doclens").where(F.col("field").isin(flds))
+    )
     dls = (
-        spark.read.parquet(f"{path}/doclens")
-        .where(F.col("field").isin(flds))
-        .join(per.select(id_col), id_col, "left_semi")
+        dls_src.join(per.select(id_col), id_col, "left_semi")
         .groupBy(id_col)
         .agg(
             *[
@@ -330,7 +360,11 @@ def query_profile_index(
     )
     scored = per.join(dls, id_col)
     if need_attrs:
-        vals = spark.read.parquet(f"{path}/docvals").select(id_col, *need_attrs)
+        vals = (
+            vals_rel
+            if vals_rel is not None
+            else spark.read.parquet(f"{path}/docvals").select(id_col, *need_attrs)
+        )
         scored = scored.join(vals, id_col)
 
     # identical association order to scoring_profile_topk: per-field
@@ -412,6 +446,9 @@ def facets_from_index(
 
     if not query:
         raise ValueError("facets_from_index needs at least one query field")
+    from azuredatalakeindexer_spark.sources.staging import recover_for_query
+
+    recover_for_query(spark, path)
     n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
     fields = []
     for fld, terms in query.items():
@@ -443,6 +480,30 @@ def facets_from_index(
     for fld, terms in fields:
         c = (F.col("field") == fld) & F.col("term").isin(terms)
         cond = c if cond is None else cond | c
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        list_segments,
+        live_profile_slices,
+    )
+
+    segs = list_segments(spark, path)
+    if segs:
+        # segmented index: live match set + live facet values by the
+        # doc-level max-segment rule, all reads pruned as below
+        matches, _dls, vals = live_profile_slices(
+            spark,
+            path,
+            segs,
+            id_col=id_col,
+            buckets=buckets,
+            all_terms=all_terms,
+            cond=cond,
+            need_attrs=list(facet_cols),
+            fields=[f for f, _t in fields],
+        )
+        vals = vals.join(
+            matches.select(id_col).distinct(), id_col, "left_semi"
+        )
+        return facet_counts(vals, list(facet_cols), top_n=top_n)
     match_ids = (
         spark.read.parquet(f"{path}/postings")
         .where(F.col("bucket").isin(buckets))
@@ -457,6 +518,20 @@ def facets_from_index(
         .join(match_ids, id_col, "left_semi")
     )
     return facet_counts(vals, list(facet_cols), top_n=top_n)
+
+
+def _require_unsegmented_profile(spark: SparkSession, path: str, op: str) -> None:
+    """The in-place maintenance ops rewrite base partitions directly and
+    would silently ignore LSM segments layered on top; force a compaction
+    first rather than corrupt the merged view."""
+    from azuredatalakeindexer_spark.sources.profile_segments import list_segments
+
+    if list_segments(spark, path):
+        raise ValueError(
+            f"{op}: index at {path} has LSM segments; run "
+            "compact_profile_index() first or use the *_segmented "
+            "maintenance ops"
+        )
 
 
 def _dedupe_profile_delta(delta: DataFrame, id_col: str, cols) -> DataFrame:
@@ -506,6 +581,7 @@ def upsert_profile_index(
     )
 
     recover_for_maintenance(spark, path)
+    _require_unsegmented_profile(spark, path, "upsert_profile_index")
     n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
     # a column may be both searchable and an attribute (e.g. source):
     # dedupe the struct's column list or the unpack is ambiguous
@@ -675,6 +751,7 @@ def delete_from_profile_index(
     )
 
     recover_for_maintenance(spark, path)
+    _require_unsegmented_profile(spark, path, "delete_from_profile_index")
     n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
     ids = doc_ids.select(id_col).distinct().localCheckpoint()
     keys = F.broadcast(ids) if broadcast_ids else ids
