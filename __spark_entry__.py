@@ -2370,6 +2370,52 @@ def q_text_index_simple_query(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_profile_index(spark, sf):
+    """Multi-field profile index maintained from a document arrival
+    STREAM (`profile_segments.run_stream_profile_index`, r10): the
+    availableNow drain builds the base on the first micro-batch, lands
+    every later batch as an O(batch) LSM segment, folds at
+    compact_every=3, and serves the scoring profile with the remaining
+    segments pending.  Doc-level LWW makes the drain batch-split-
+    invariant, so the oracle is the same full-corpus profile replay as
+    `text_index_profile_topk`."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        query_profile_index,
+    )
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        run_stream_profile_index,
+    )
+
+    docs = _docs(spark, sf).select("doc_id", "text", "source", "n_chars")
+    root = tempfile.mkdtemp(prefix="adls_strprof_")
+    try:
+        docs_dir = os.path.join(root, "docs")
+        docs.repartition(4).write.parquet(docs_dir)
+        schema = spark.read.parquet(docs_dir).schema
+        run_stream_profile_index(
+            spark,
+            docs_dir,
+            schema,
+            os.path.join(root, "index"),
+            os.path.join(root, "ckpt"),
+            field_cols=["text", "source"],
+            attr_cols=["n_chars", "source"],
+            n_buckets=64,
+            max_files_per_trigger=1,
+            compact_every=3,
+        )
+        out = query_profile_index(
+            spark,
+            os.path.join(root, "index"),
+            {"text": (SEARCH_TERMS, 2.0), "source": (["src1"], 1.0)},
+            boost=("n_chars", 0.5, 200.0, 800.0),
+            k=20,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_index_profile_lsm(spark, sf):
     """Multi-field profile index maintained through the SEGMENTED LSM
     tier (`sources/profile_segments.py`, r10 — closes VERDICT r9
@@ -3219,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_synonyms": q_text_index_synonyms,
         "text_index_simple_query": q_text_index_simple_query,
         "text_index_profile_lsm": q_text_index_profile_lsm,
+        "stream_profile_index": q_stream_profile_index,
         # -- r9-new cohort: second driver rows (rotation policy)
         "text_index_profile_topk": q_text_index_profile_topk,
         "text_index_profile_upsert": q_text_index_profile_upsert,
@@ -3274,12 +3321,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "region_revenue": q_region_revenue,
         "shipping_priority": q_shipping_priority,
-        "late_orders_exists": q_late_orders_exists,
         # ---------------- 50-entry window boundary ---------------------
         # (below: replayed locally every round — tools/check_correctness
         # + the env-gated tests/test_full_correctness.py; ordered oldest
         # evidence first; the cohorts with fresh r09 driver evidence —
         # the former r05/r06 cohorts — sit at the very end)
+        "late_orders_exists": q_late_orders_exists,
         "events_gapfill": q_events_gapfill,
         "user_running_stats": q_user_running_stats,
         "distinct_users_daily": q_distinct_users_daily,
@@ -5095,6 +5142,9 @@ def oracle_sql() -> dict[str, str]:
     # serves with doc-level last-writer-wins resolution — identical
     # logical corpus, so its oracle IS the in-place entry's replay
     sqls["text_index_profile_lsm"] = sqls["text_index_profile_upsert"]
+    # the streaming drain is batch-split-invariant (doc-level LWW) over
+    # the full corpus — same replay as the one-shot profile build+serve
+    sqls["stream_profile_index"] = sqls["text_index_profile_topk"]
 
     sqls["search_profile_tags"] = f"""
       WITH raw AS (

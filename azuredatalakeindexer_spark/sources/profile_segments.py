@@ -56,6 +56,7 @@ __all__ = [
     "delete_from_profile_index_segmented",
     "compact_profile_index",
     "live_profile_slices",
+    "run_stream_profile_index",
 ]
 
 
@@ -578,3 +579,67 @@ def compact_profile_index(
     commit.remove("segments")
     commit.promote()
     return len(segs)
+
+
+def run_stream_profile_index(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    field_cols,
+    attr_cols=(),
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    max_files_per_trigger: int = 1,
+    compact_every: int | None = None,
+) -> None:
+    """Continuously maintain the multi-field profile index from a
+    document arrival stream — the reference's watch-lake → upsert-index
+    loop (§3.1 + T1) with the PROFILE-serving index in-engine: the first
+    micro-batch builds the base layout, every later batch lands as an
+    O(batch) LSM segment (`upsert_profile_index_segmented`), and
+    ``compact_every=N`` folds segments whenever N have accumulated.
+    ``availableNow`` drains the backlog and terminates (T7).  Doc-level
+    last-writer-wins makes the drain batch-split-invariant: 1 or N
+    micro-batches serve bit-identical profiles (test-pinned; the oracle
+    is the scan-time profile replay)."""
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        if not hadoop_path_exists(batch.sparkSession, f"{index_dir}/meta"):
+            build_profile_index(
+                batch,
+                index_dir,
+                field_cols=field_cols,
+                attr_cols=attr_cols,
+                id_col=id_col,
+                n_buckets=n_buckets,
+            )
+            return
+        upsert_profile_index_segmented(
+            batch.sparkSession, index_dir, batch, id_col=id_col
+        ).count()
+        if (
+            compact_every
+            and len(list_segments(batch.sparkSession, index_dir)) >= compact_every
+        ):
+            compact_profile_index(batch.sparkSession, index_dir, id_col=id_col)
+
+    (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -217,3 +217,47 @@ def test_segmented_profile_fieldstats_stay_exact(spark, tmp_path):
     check(logical)
     compact_profile_index(spark, path)
     check(logical)
+
+
+def test_stream_profile_index_is_batch_split_invariant(spark, tmp_path):
+    """The availableNow drain of a document stream into the profile index
+    (first batch builds, later batches = LSM segments, mid-stream
+    compaction) serves profiles bit-identically to one full-corpus build
+    — doc-level LWW makes the drain batch-split-invariant."""
+    import os
+
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        run_stream_profile_index,
+    )
+
+    docs = _docs(spark)
+    root = str(tmp_path / "stream")
+    docs_dir = os.path.join(root, "docs")
+    docs.repartition(4).write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+    run_stream_profile_index(
+        spark,
+        docs_dir,
+        schema,
+        os.path.join(root, "index"),
+        os.path.join(root, "ckpt"),
+        field_cols=["text", "source"],
+        attr_cols=["n_chars", "source"],
+        n_buckets=16,
+        max_files_per_trigger=1,
+        compact_every=3,
+    )
+    got = _rows(
+        query_profile_index(
+            spark, os.path.join(root, "index"), PROFILE, boost=BOOST, k=20
+        )
+    )
+    # NOTE: the streamed "logical corpus" is LWW over arrival order, but
+    # every doc arrives exactly once here, so it equals the full corpus
+    assert got == _rows(scoring_profile_topk(docs, PROFILE, boost=BOOST, k=20))
+    one = str(tmp_path / "one")
+    build_profile_index(
+        docs, one, field_cols=["text", "source"],
+        attr_cols=["n_chars", "source"], n_buckets=16,
+    )
+    assert got == _rows(query_profile_index(spark, one, PROFILE, boost=BOOST, k=20))
