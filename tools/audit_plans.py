@@ -235,6 +235,7 @@ def _simple_query_df(spark, sf):
     docstore texts joined to the allowed set."""
     import tempfile
 
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
     from azuredatalakeindexer_spark.sources.text_index import (
         build_text_index,
         simple_query_from_index,
@@ -254,6 +255,9 @@ def _victim_lookup_df(spark, sf):
     must show a dbucket PartitionFilter, never a full doclens scan."""
     import tempfile
 
+    import pyspark.sql.functions as F
+
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
     from azuredatalakeindexer_spark.sources.text_index import build_text_index
 
     root = tempfile.mkdtemp(prefix="audit_vdir_")
