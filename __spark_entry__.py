@@ -2370,6 +2370,46 @@ def q_text_index_simple_query(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_profile_filtered(spark, sf):
+    """$filter + scoring profile from the persisted multi-field index
+    (r10): the filter id set (docs with 300 <= n_chars < 700) restricts
+    which documents can be RETURNED via a candidate-sized semi-join
+    before the top-k, while every per-field corpus statistic stays
+    index-global (Lucene/Azure semantics — idf never reweighted by
+    filters), mirroring `text_index_filtered_topk` on the profile
+    surface.  Oracle: the full profile replay joined to the filter set,
+    re-cut to top-k."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        query_profile_index,
+    )
+
+    docs = _docs(spark, sf)
+    root = tempfile.mkdtemp(prefix="adls_pflt_")
+    try:
+        build_profile_index(
+            docs,
+            root,
+            field_cols=["text", "source"],
+            attr_cols=["n_chars", "source"],
+            n_buckets=64,
+        )
+        allowed = docs.where(
+            (F.col("n_chars") >= 300) & (F.col("n_chars") < 700)
+        ).select("doc_id")
+        out = query_profile_index(
+            spark,
+            root,
+            {"text": (SEARCH_TERMS, 2.0), "source": (["src1"], 1.0)},
+            boost=("n_chars", 0.5, 200.0, 800.0),
+            k=20,
+            filter_ids=allowed,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_profile_index(spark, sf):
     """Multi-field profile index maintained from a document arrival
     STREAM (`profile_segments.run_stream_profile_index`, r10): the
@@ -3266,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_simple_query": q_text_index_simple_query,
         "text_index_profile_lsm": q_text_index_profile_lsm,
         "stream_profile_index": q_stream_profile_index,
+        "text_index_profile_filtered": q_text_index_profile_filtered,
         # -- r9-new cohort: second driver rows (rotation policy)
         "text_index_profile_topk": q_text_index_profile_topk,
         "text_index_profile_upsert": q_text_index_profile_upsert,
@@ -3319,13 +3360,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
-        "region_revenue": q_region_revenue,
-        "shipping_priority": q_shipping_priority,
         # ---------------- 50-entry window boundary ---------------------
         # (below: replayed locally every round — tools/check_correctness
         # + the env-gated tests/test_full_correctness.py; ordered oldest
         # evidence first; the cohorts with fresh r09 driver evidence —
         # the former r05/r06 cohorts — sit at the very end)
+        "region_revenue": q_region_revenue,
+        "shipping_priority": q_shipping_priority,
         "late_orders_exists": q_late_orders_exists,
         "events_gapfill": q_events_gapfill,
         "user_running_stats": q_user_running_stats,
@@ -5090,6 +5131,46 @@ def oracle_sql() -> dict[str, str]:
     # the multi-field persisted index replays the scan-time profile
     # bit-identically, so its oracle IS the search_profile replay
     sqls["text_index_profile_topk"] = sqls["search_profile"]
+    # $filter + profile: the same replay joined to the filter id set and
+    # re-cut to top-k — stats stay full-corpus (idf never reweighted)
+    sqls["text_index_profile_filtered"] = f"""
+      WITH raw AS (
+        SELECT doc_id, n_chars, {_WORDS} AS tw,
+               list_filter(string_split_regex(lower(source), '\\s+'), x -> x != '') AS sw
+        FROM documents),
+      per AS (
+        SELECT doc_id, n_chars,
+               len(tw) AS dl0,
+               len(list_filter(tw, x -> x = 'merge'))  AS tf0_0,
+               len(list_filter(tw, x -> x = 'query'))  AS tf0_1,
+               len(list_filter(tw, x -> x = 'stream')) AS tf0_2,
+               len(sw) AS dl1,
+               len(list_filter(sw, x -> x = 'src1'))   AS tf1_0
+        FROM raw),
+      stats AS (
+        SELECT count(*) AS n,
+               avg(dl0) AS avgdl0, avg(dl1) AS avgdl1,
+               sum(CASE WHEN tf0_0 > 0 THEN 1 ELSE 0 END) AS df0_0,
+               sum(CASE WHEN tf0_1 > 0 THEN 1 ELSE 0 END) AS df0_1,
+               sum(CASE WHEN tf0_2 > 0 THEN 1 ELSE 0 END) AS df0_2,
+               sum(CASE WHEN tf1_0 > 0 THEN 1 ELSE 0 END) AS df1_0
+        FROM per),
+      flt AS (
+        SELECT doc_id FROM documents WHERE n_chars >= 300 AND n_chars < 700),
+      scored AS (
+        SELECT doc_id, n_chars,
+               2.0 * ({_bm25_term.format(i='0_0', f='0')}
+                    + {_bm25_term.format(i='0_1', f='0')}
+                    + {_bm25_term.format(i='0_2', f='0')})
+             + 1.0 * ({_bm25_term.format(i='1_0', f='1')}) AS total
+        FROM per, stats)
+      SELECT doc_id,
+             round(total * (1.0 + 0.5 * least(1.0, greatest(0.0,
+                   (n_chars - 200.0) / 600.0))), 6) AS score
+      FROM scored JOIN flt USING (doc_id)
+      WHERE round(total, 6) > 0
+      ORDER BY score DESC, doc_id LIMIT 20
+    """
 
     # maintenance lifecycle: the same profile replay over the LOGICAL
     # post-maintenance corpus — docs ≡ 0 (mod 4) rewritten (text

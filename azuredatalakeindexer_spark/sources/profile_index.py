@@ -216,6 +216,8 @@ def query_profile_index(
     k: int = 20,
     boost: "tuple | None" = None,
     tag_boost: "tuple | None" = None,
+    filter_ids: DataFrame | None = None,
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """Scoring profile served FROM the persisted multi-field index —
     bit-identical to ``scoring_profile_topk(docs, profile, boost=...,
@@ -234,6 +236,14 @@ def query_profile_index(
     ``profile`` / ``boost`` / ``tag_boost`` take the scan-time operator's
     shapes; fields must be among the index's ``field_cols`` and boost /
     tag columns among its ``attr_cols``.
+
+    ``filter_ids`` (one-column id relation) is the service's
+    ``$filter`` + search combination for the profile surface: it
+    restricts which documents can be RETURNED — a candidate-sized
+    semi-join before the top-k — while every corpus statistic (per-field
+    df/N/avgdl) stays index-global, the same Lucene/Azure semantics as
+    ``query_text_index(filter_ids=...)``.  ``broadcast_filter=False``
+    switches to a shuffled semi-join for non-broadcastable filter sets.
     """
     if not profile:
         raise ValueError("query_profile_index needs at least one field")
@@ -389,6 +399,13 @@ def query_profile_index(
         weighted = F.lit(w) * fscore
         total = weighted if total is None else total + weighted
 
+    if filter_ids is not None:
+        fkeys = filter_ids.select(id_col).distinct()
+        scored = scored.join(
+            F.broadcast(fkeys) if broadcast_filter else fkeys,
+            id_col,
+            "left_semi",
+        )
     final = total
     if boost is not None:
         bcol, factor, lo, hi = boost
@@ -420,6 +437,8 @@ def facets_from_index(
     *,
     id_col: str = "doc_id",
     top_n: int = 5,
+    filter_ids: DataFrame | None = None,
+    broadcast_filter: bool = True,
 ) -> DataFrame:
     """Facets over the MATCH SET, fully index-served (r9 — closes VERDICT
     r8 missing-#3): Azure Search computes facets on the documents that
@@ -433,6 +452,9 @@ def facets_from_index(
     ``query`` maps searchable field → query terms (weights, if passed in
     the profile shape ``(terms, w)``, are ignored — matching is boolean).
     ``facet_cols`` must be among the index's persisted ``attr_cols``.
+    ``filter_ids`` narrows the MATCH SET (search + $filter facets — the
+    service computes facets after the filter); candidate-sized semi-join,
+    ``broadcast_filter=False`` for non-broadcastable sets.
     Output ``(field, value, n, rank)`` — exactly the scan-time
     ``operators.search.facet_counts`` contract, computed on the match
     set (test-pinned equal to ``facet_counts(matching_docs, ...)``).
@@ -503,20 +525,27 @@ def facets_from_index(
         vals = vals.join(
             matches.select(id_col).distinct(), id_col, "left_semi"
         )
-        return facet_counts(vals, list(facet_cols), top_n=top_n)
-    match_ids = (
-        spark.read.parquet(f"{path}/postings")
-        .where(F.col("bucket").isin(buckets))
-        .where(F.col("term").isin(all_terms))
-        .where(cond)
-        .select(id_col)
-        .distinct()
-    )
-    vals = (
-        spark.read.parquet(f"{path}/docvals")
-        .select(id_col, *facet_cols)
-        .join(match_ids, id_col, "left_semi")
-    )
+    else:
+        match_ids = (
+            spark.read.parquet(f"{path}/postings")
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(all_terms))
+            .where(cond)
+            .select(id_col)
+            .distinct()
+        )
+        vals = (
+            spark.read.parquet(f"{path}/docvals")
+            .select(id_col, *facet_cols)
+            .join(match_ids, id_col, "left_semi")
+        )
+    if filter_ids is not None:
+        fkeys = filter_ids.select(id_col).distinct()
+        vals = vals.join(
+            F.broadcast(fkeys) if broadcast_filter else fkeys,
+            id_col,
+            "left_semi",
+        )
     return facet_counts(vals, list(facet_cols), top_n=top_n)
 
 

@@ -296,3 +296,92 @@ def test_profile_maintenance_shuffled_fallback_plan(spark, tmp_path):
     assert sorted(tuple(r) for r in st2.collect()) == got_st
     assert delete_from_profile_index(spark, path2, dead) == n
     assert _rows(query_profile_index(spark, path2, PROFILE, k=20)) == got
+
+
+def test_profile_filtered_query_keeps_global_stats(spark, tmp_path):
+    """$filter + profile (r10): the filter restricts which docs can be
+    RETURNED, but per-field BM25 stats stay index-global — the filtered
+    result equals (unfiltered scoring) ∩ (filter set) re-cut to top-k,
+    NOT a profile over the filtered sub-corpus.  Holds with LSM segments
+    pending and on the shuffled-fallback path; facets narrow the match
+    set the same way."""
+    from azuredatalakeindexer_spark.operators.search import facet_counts
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        facets_from_index,
+    )
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        upsert_profile_index_segmented,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "pidx")
+    build_profile_index(
+        docs, path, field_cols=["text", "source"], attr_cols=["n_chars", "source"],
+        n_buckets=16,
+    )
+    allowed = docs.where(
+        (F.col("n_chars") >= 300) & (F.col("n_chars") < 700)
+    ).select("doc_id")
+
+    def expected(logical, k=20):
+        full = scoring_profile_topk(logical, PROFILE, k=10**6)
+        ok = {r["doc_id"] for r in allowed.collect()}
+        rows = [tuple(r) for r in full.collect() if r["doc_id"] in ok]
+        return rows[:k]
+
+    got = _rows(
+        query_profile_index(spark, path, PROFILE, k=20, filter_ids=allowed)
+    )
+    assert got == expected(docs)
+    # NOT a sub-corpus profile (stats would differ)
+    sub = _rows(
+        scoring_profile_topk(docs.join(allowed, "doc_id", "left_semi"),
+                             PROFILE, k=20)
+    )
+    assert got != sub
+    # shuffled fallback is bit-identical
+    assert got == _rows(
+        query_profile_index(
+            spark, path, PROFILE, k=20, filter_ids=allowed,
+            broadcast_filter=False,
+        )
+    )
+
+    # filtered facets = facets over (match ∩ filter)
+    from azuredatalakeindexer_spark.functions.text import tokens as _tok
+
+    hit = F.arrays_overlap(
+        _tok(F.col("text")),
+        F.array(F.lit("merge"), F.lit("query"), F.lit("stream")),
+    )
+    assert sorted(
+        map(
+            tuple,
+            facets_from_index(
+                spark, path, {"text": PROFILE["text"]}, ["source"],
+                filter_ids=allowed,
+            ).collect(),
+        )
+    ) == sorted(
+        map(
+            tuple,
+            facet_counts(
+                docs.where(hit).join(allowed, "doc_id", "left_semi"),
+                ["source"],
+            ).collect(),
+        )
+    )
+
+    # with LSM segments pending, the filter applies to the LIVE corpus
+    delta = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.lit("merge filtered seg "), F.col("text")).alias("text"),
+        F.lit("src1").alias("source"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    upsert_profile_index_segmented(spark, path, delta)
+    logical = docs.join(delta.select("doc_id"), "doc_id", "left_anti").unionByName(delta)
+    got = _rows(
+        query_profile_index(spark, path, PROFILE, k=20, filter_ids=allowed)
+    )
+    assert got == expected(logical)
