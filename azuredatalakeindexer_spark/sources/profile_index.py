@@ -621,7 +621,11 @@ def upsert_profile_index(
     )
 
     deduped = _dedupe_profile_delta(delta, id_col, cols).localCheckpoint()
-    stacked = _stack_fields(deduped, idx_fields, id_col).localCheckpoint()
+    # stacked is consumed only by new_postings/new_lens, which are
+    # themselves checkpointed — re-deriving it from the checkpointed
+    # deduped batch inside those jobs is cheaper than a third
+    # batch-sized materialization (r10 fixed-overhead trim)
+    stacked = _stack_fields(deduped, idx_fields, id_col)
     new_postings = _postings_rows(stacked, id_col, n_buckets).localCheckpoint()
     delta_ids = deduped.select(id_col)
     dkeys = F.broadcast(delta_ids) if broadcast_ids else delta_ids

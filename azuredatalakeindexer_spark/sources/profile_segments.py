@@ -274,7 +274,11 @@ def upsert_profile_index_segmented(
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
-    stacked = _stack_fields(deduped, idx_fields, id_col).localCheckpoint()
+    # stacked is consumed only by new_postings/new_lens, which are
+    # themselves checkpointed — re-deriving it from the checkpointed
+    # deduped batch inside those jobs is cheaper than a third
+    # batch-sized materialization (r10 fixed-overhead trim)
+    stacked = _stack_fields(deduped, idx_fields, id_col)
     new_lens = stacked.select(
         F.col(id_col),
         "field",
