@@ -265,7 +265,7 @@ def upsert_profile_index_segmented(
         StagedCommit,
         recover_for_maintenance,
     )
-    from azuredatalakeindexer_spark.sources.text_index import _buckets_expr
+    from azuredatalakeindexer_spark.sources.text_index import _lens_from_postings
 
     recover_for_maintenance(spark, path)
     n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
@@ -274,17 +274,21 @@ def upsert_profile_index_segmented(
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
-    # stacked is consumed only by new_postings/new_lens, which are
-    # themselves checkpointed — re-deriving it from the checkpointed
-    # deduped batch inside those jobs is cheaper than a third
-    # batch-sized materialization (r10 fixed-overhead trim)
+    # stacked is consumed only by new_postings, which is itself
+    # checkpointed — re-deriving it from the checkpointed deduped batch
+    # inside that job is cheaper than a second batch-sized
+    # materialization (r10 fixed-overhead trim); new_lens then derives
+    # from the CHECKPOINTED postings (dl = sum(tf), bucket set =
+    # collect_set) so the batch is tokenized and hashed exactly once
+    # (r10 verdict wrong-#1)
     stacked = _stack_fields(deduped, idx_fields, id_col)
-    new_lens = stacked.select(
+    new_postings = _postings_rows(stacked, id_col, n_buckets).localCheckpoint()
+    pairs = deduped.select(
         F.col(id_col),
-        "field",
-        F.size("_toks").alias("dl"),
-        _buckets_expr(F.col("_toks"), n_buckets).alias("buckets"),
-        _dbucket(id_col, n_buckets),
+        F.explode(F.array(*[F.lit(f) for f in idx_fields])).alias("field"),
+    )
+    new_lens = _lens_from_postings(
+        new_postings, pairs, id_col, n_buckets, per_field=True
     ).localCheckpoint()
 
     dbuckets = [
@@ -312,7 +316,6 @@ def upsert_profile_index_segmented(
     ).localCheckpoint()
 
     commit = StagedCommit(spark, path)
-    new_postings = _postings_rows(stacked, id_col, n_buckets)
     new_postings.repartition("bucket").sortWithinPartitions(
         "term"
     ).write.partitionBy("bucket").parquet(f"{commit.stage('seg')}/postings")

@@ -685,7 +685,7 @@ def compact_text_index(
     )
     # per-doc postings-bucket sets from the resolved postings: the
     # compacted doclens carries the victim-directory column
-    # (text_index._buckets_expr) — so compacting ALSO upgrades a
+    # (text_index._lens_from_postings) — so compacting ALSO upgrades a
     # pre-bucket-set legacy index to pruned in-place maintenance
     bsets = merged.groupBy(id_col).agg(
         F.array_sort(F.collect_set("bucket")).alias("buckets")
