@@ -37,6 +37,7 @@ from azuredatalakeindexer_spark.sources.text_segments import (
     BASE_SEG,
     _read_or_empty,
     _seg_dir,
+    _seg_union,
     list_segments,
 )
 
@@ -69,44 +70,26 @@ def _all_plens(
 ) -> DataFrame:
     """Union of every segment's (id, field, dl) doclens rows with segment
     provenance; ``dbuckets`` statically prunes each slice."""
-    def slice_(df: DataFrame, seg: int) -> DataFrame:
-        if dbuckets is not None:
-            df = df.where(F.col("dbucket").isin(dbuckets))
-        return df.select(id_col, "field", "dl").withColumn("seg", F.lit(seg))
-
-    parts = [slice_(spark.read.parquet(f"{path}/doclens"), BASE_SEG)]
-    for s in segs:
-        parts.append(
-            slice_(
-                _read_or_empty(
-                    spark,
-                    f"{_seg_dir(path, s)}/doclens",
-                    f"{id_col} long, field string, dl int, dbucket int",
-                ),
-                s,
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    base = spark.read.parquet(f"{path}/doclens")
+    segp = _seg_union(
+        spark, path, segs, "doclens",
+        f"{id_col} long, field string, dl int, dbucket int",
+        prune={"dbucket": dbuckets} if dbuckets is not None else None,
+    )
+    if dbuckets is not None:
+        base = base.where(F.col("dbucket").isin(dbuckets))
+        segp = segp.where(F.col("dbucket").isin(dbuckets))
+    return (
+        base.select(id_col, "field", "dl")
+        .withColumn("seg", F.lit(BASE_SEG))
+        .unionByName(segp.select(id_col, "field", "dl", "seg"))
+    )
 
 
 def _all_tombs(
     spark: SparkSession, path: str, segs: list[int], id_col: str
 ) -> DataFrame:
-    parts = [
-        _read_or_empty(
-            spark, f"{_seg_dir(path, s)}/tombstones", f"{id_col} long"
-        ).withColumn("seg", F.lit(s))
-        for s in segs
-    ]
-    if not parts:
-        return spark.createDataFrame([], f"{id_col} long, seg int")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _seg_union(spark, path, segs, "tombstones", f"{id_col} long")
 
 
 def _alive(
@@ -154,64 +137,78 @@ def live_profile_slices(
     term match).  Every slice is bucket/dbucket-pruned and term-pushed
     exactly like the unsegmented reads; liveness is one doc-level max
     aggregate over the candidates' doclens rows."""
-    def mslice(df: DataFrame, seg: int) -> DataFrame:
+    def mslice(df: DataFrame) -> DataFrame:
         return (
             df.where(F.col("bucket").isin(buckets))
             .where(F.col("term").isin(all_terms))
             .where(cond)
-            .select(id_col, "field", "term", "tf")
-            .withColumn("seg", F.lit(seg))
+            .select(id_col, "field", "term", "tf", "seg")
         )
 
-    parts = [mslice(spark.read.parquet(f"{path}/postings"), BASE_SEG)]
-    for s in segs:
-        parts.append(
-            mslice(
-                _read_or_empty(
-                    spark,
-                    f"{_seg_dir(path, s)}/postings",
-                    f"term string, {id_col} long, field string, tf bigint, bucket bigint",
-                ),
-                s,
+    allm = (
+        mslice(
+            spark.read.parquet(f"{path}/postings").withColumn(
+                "seg", F.lit(BASE_SEG)
             )
         )
-    allm = parts[0]
-    for p in parts[1:]:
-        allm = allm.unionByName(p)
-    allm = allm.localCheckpoint()
+        .unionByName(
+            mslice(
+                _seg_union(
+                    spark,
+                    path,
+                    segs,
+                    "postings",
+                    f"term string, {id_col} long, field string, tf bigint, bucket bigint",
+                    prune={"bucket": buckets},
+                )
+            )
+        )
+        .localCheckpoint()
+    )
 
     cand = allm.select(id_col).distinct()
-    alive = _alive(spark, path, segs, id_col, candidates=cand).localCheckpoint()
+    # ONE doclens relation feeds both the liveness aggregate and the dl
+    # lookup (it used to be assembled twice — half the r10 per-segment
+    # read-tax on this path)
+    plens = _all_plens(spark, path, segs, id_col)
+    latest = (
+        plens.join(cand, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.max("seg").alias("seg"))
+    )
+    tombs = (
+        _all_tombs(spark, path, segs, id_col)
+        .groupBy(id_col)
+        .agg(F.max("seg").alias("_tseg"))
+    )
+    alive = (
+        latest.join(tombs, id_col, "left")
+        .where(F.col("seg") > F.coalesce(F.col("_tseg"), F.lit(-1)))
+        .select(id_col, "seg")
+        .localCheckpoint()
+    )
     matches = allm.join(alive, [id_col, "seg"]).select(
         id_col, "field", "term", "tf"
     )
 
     dls = (
-        _all_plens(spark, path, segs, id_col)
-        .where(F.col("field").isin(fields))
+        plens.where(F.col("field").isin(fields))
         .join(alive, [id_col, "seg"])
         .select(id_col, "field", "dl")
     )
 
     vals = None
     if need_attrs:
-        def vslice(df: DataFrame, seg: int) -> DataFrame:
-            return df.select(id_col, *need_attrs).withColumn("seg", F.lit(seg))
-
         base_vals = spark.read.parquet(f"{path}/docvals")
-        vparts = [vslice(base_vals, BASE_SEG)]
-        for s in segs:
-            vparts.append(
-                vslice(
-                    _read_or_empty_like(
-                        spark, f"{_seg_dir(path, s)}/docvals", base_vals
-                    ),
-                    s,
+        allv = (
+            base_vals.select(id_col, *need_attrs)
+            .withColumn("seg", F.lit(BASE_SEG))
+            .unionByName(
+                _seg_union(spark, path, segs, "docvals", base_vals.schema).select(
+                    id_col, *need_attrs, "seg"
                 )
             )
-        allv = vparts[0]
-        for p in vparts[1:]:
-            allv = allv.unionByName(p)
+        )
         vals = allv.join(alive, [id_col, "seg"]).select(id_col, *need_attrs)
     return matches, dls, vals
 

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from azuredatalakeindexer_spark.functions.text import portable_hash64, tokens
 from azuredatalakeindexer_spark.sources.ann_index import (
@@ -93,6 +94,102 @@ def _read_or_empty(spark: SparkSession, p: str, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def _seg_union(
+    spark: SparkSession,
+    path: str,
+    segs: list[int],
+    rel: str,
+    schema,
+    prune: dict[str, list] | None = None,
+):
+    """Every segment's ``rel`` relation in ONE multi-path parquet read,
+    with segment provenance recovered from the path (``seg=K`` is already
+    a directory component of the layout, so this is a pure read-side
+    change — no format migration).  Replaces the one-DataFrame-per-segment
+    union loops whose per-segment plan/listing fixed cost was the LSM
+    read-tax (r10 verdict wrong-#3: ~0.9 s of per-QUERY overhead per
+    segment on the profile surface): with a single relation the slope is
+    one driver-side ``listStatus`` per segment plus one scan node, and
+    every downstream filter (term pushdown, dbucket) prunes across ALL
+    segments in one plan.
+
+    Missing per-segment relations (tombstones of an upsert-only segment,
+    docvals/docstore of a delete) are skipped by one driver-side existence
+    probe each.  ``schema`` (DDL string or StructType) is the FILE schema
+    including partition columns — passed explicitly so no footer
+    inference runs; the returned frame adds ``seg int``.
+
+    ``prune`` maps a path-partition column (``bucket``/``dbucket``) to the
+    wanted value list; the segment's partition directories are then pruned
+    STATICALLY at path-selection time (the driver lists each segment's
+    ``col=v`` children once and only the wanted directories enter the
+    scan's file index), preserving the "|segments| pruned scans, never
+    |segments| full scans" guarantee the unsegmented reads have via
+    PartitionFilters.
+
+    Why not one read with real partition discovery: the ``seg=K``
+    directory component ABOVE each relation dir makes Spark infer
+    conflicting partition roots across the multi-path read
+    (CONFLICTING_DIRECTORY_STRUCTURES).  With recursiveFileLookup the
+    discovery is off, so the relations' own partition columns (postings
+    are written ``partitionBy("bucket")``, doclens/docvals/docstore
+    ``partitionBy("dbucket")``) are recovered from the file path exactly
+    like ``seg`` — a regexp over the hidden ``_metadata.file_path``
+    column, NOT ``input_file_name()``: the latter is classified
+    non-deterministic, which blocks every downstream data filter (the
+    term IN-list above all) from being pushed through the projection to
+    the parquet reader; ``_metadata`` is a real deterministic column, so
+    ``PushedFilters`` stay intact."""
+    full = spark.createDataFrame([], schema).schema
+    part_names = {f.name for f in full.fields if f.name in ("bucket", "dbucket")}
+    prune = {k: {str(v) for v in vs} for k, vs in (prune or {}).items()}
+
+    paths = []
+    for s in segs:
+        p = f"{_seg_dir(path, s)}/{rel}"
+        fs, hpath = _hadoop_fs(spark, p)
+        if not fs.exists(hpath):
+            continue
+        pruned_here = False
+        for col, wanted in prune.items():
+            if col not in part_names:
+                continue
+            # one listStatus per segment: keep only the wanted col=v dirs
+            for st in fs.listStatus(hpath):
+                name = st.getPath().getName()
+                if (
+                    st.isDirectory()
+                    and name.startswith(f"{col}=")
+                    and name[len(col) + 1 :] in wanted
+                ):
+                    paths.append(f"{p}/{name}")
+            pruned_here = True
+            break
+        if not pruned_here:
+            paths.append(p)
+    if not paths:
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("seg", F.lit(None).cast("int"))
+
+    part_fields = [f for f in full.fields if f.name in part_names]
+    file_schema = StructType([f for f in full.fields if f.name not in part_names])
+    out = (
+        spark.read.schema(file_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(*paths)
+    )
+    fpath = F.col("_metadata.file_path")
+    for f in part_fields:
+        out = out.withColumn(
+            f.name,
+            F.regexp_extract(fpath, f"/{f.name}=([^/]+)/", 1).cast(f.dataType),
+        )
+    out = out.withColumn(
+        "seg", F.regexp_extract(fpath, "/seg=([0-9]+)/", 1).cast("int")
+    )
+    return out.select(*[f.name for f in full.fields], "seg")
+
+
 def _all_doclens(
     spark: SparkSession,
     path: str,
@@ -104,45 +201,25 @@ def _all_doclens(
     ``dbuckets`` statically prunes each segment's id-hash partitions (used
     by the upsert's alive-lookup, where only the batch's dbuckets can
     matter)."""
-    def slice_(df: DataFrame, seg: int) -> DataFrame:
-        if dbuckets is not None:
-            df = df.where(F.col("dbucket").isin(dbuckets))
-        return df.select(id_col, "dl").withColumn("seg", F.lit(seg))
-
-    parts = [slice_(spark.read.parquet(f"{path}/doclens"), BASE_SEG)]
-    for s in segs:
-        parts.append(
-            slice_(
-                _read_or_empty(
-                    spark,
-                    f"{_seg_dir(path, s)}/doclens",
-                    f"{id_col} long, dl int, dbucket int",
-                ),
-                s,
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    base = spark.read.parquet(f"{path}/doclens")
+    segp = _seg_union(
+        spark, path, segs, "doclens", f"{id_col} long, dl int, dbucket int",
+        prune={"dbucket": dbuckets} if dbuckets is not None else None,
+    )
+    if dbuckets is not None:
+        base = base.where(F.col("dbucket").isin(dbuckets))
+        segp = segp.where(F.col("dbucket").isin(dbuckets))
+    return (
+        base.select(id_col, "dl")
+        .withColumn("seg", F.lit(BASE_SEG))
+        .unionByName(segp.select(id_col, "dl", "seg"))
+    )
 
 
 def _all_tombstones(
     spark: SparkSession, path: str, segs: list[int], id_col: str
 ) -> DataFrame:
-    parts = []
-    for s in segs:
-        parts.append(
-            _read_or_empty(
-                spark, f"{_seg_dir(path, s)}/tombstones", f"{id_col} long"
-            ).withColumn("seg", F.lit(s))
-        )
-    if not parts:
-        return spark.createDataFrame([], f"{id_col} long, seg int")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _seg_union(spark, path, segs, "tombstones", f"{id_col} long")
 
 
 def alive_docs(
@@ -197,24 +274,21 @@ def live_postings(
         ", pos array<int>" if "pos" in vcols else ""
     ) + ", bucket int"
 
-    def slice_(df: DataFrame, seg: int) -> DataFrame:
+    def slice_(df: DataFrame) -> DataFrame:
         if buckets is not None:
             df = df.where(F.col("bucket").isin(buckets))
         if terms is not None:
             df = df.where(F.col("term").isin(terms))
-        return df.select(*vcols).withColumn("seg", F.lit(seg))
+        return df.select(*vcols, "seg")
 
-    parts = [slice_(base_postings, BASE_SEG)]
-    for s in segs:
-        parts.append(
-            slice_(
-                _read_or_empty(spark, f"{_seg_dir(path, s)}/postings", empty_schema),
-                s,
+    allp = slice_(base_postings.withColumn("seg", F.lit(BASE_SEG))).unionByName(
+        slice_(
+            _seg_union(
+                spark, path, segs, "postings", empty_schema,
+                prune={"bucket": buckets} if buckets is not None else None,
             )
         )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
+    )
     alive = alive_docs(spark, path, segs, id_col).select(id_col, "seg")
     return allp.join(alive, [id_col, "seg"]).select(*vcols)
 
@@ -242,28 +316,25 @@ def live_query_slice(
     ``materialize=False`` skips the two localCheckpoints (the candidate
     union and the alive set are then recomputed by each consumer) — used
     by the plan-pruning test to inspect the un-checkpointed scan plans."""
-    def slice_(df: DataFrame, seg: int) -> DataFrame:
-        return (
-            df.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-            .select("term", id_col, "tf")
-            .withColumn("seg", F.lit(seg))
-        )
+    def slice_(df: DataFrame) -> DataFrame:
+        return df.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        ).select("term", id_col, "tf", "seg")
 
-    parts = [slice_(spark.read.parquet(f"{path}/postings"), BASE_SEG)]
-    for s in segs:
-        parts.append(
-            slice_(
-                _read_or_empty(
-                    spark,
-                    f"{_seg_dir(path, s)}/postings",
-                    f"term string, {id_col} long, tf bigint, bucket int",
-                ),
-                s,
+    allp = slice_(
+        spark.read.parquet(f"{path}/postings").withColumn("seg", F.lit(BASE_SEG))
+    ).unionByName(
+        slice_(
+            _seg_union(
+                spark,
+                path,
+                segs,
+                "postings",
+                f"term string, {id_col} long, tf bigint, bucket int",
+                prune={"bucket": buckets},
             )
         )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
+    )
     if materialize:
         allp = allp.localCheckpoint()
 
@@ -335,29 +406,28 @@ def live_term_slice(
     stats of term-sorted files) push to the parquet readers; the
     last-writer-wins liveness aggregate then runs only over the docs that
     carry a matching term (candidate-sized, not corpus-sized)."""
-    def slice_(df: DataFrame, seg: int) -> DataFrame:
-        return (
-            df.where(term_pred(F.col("term")))
-            .select("term", id_col)
-            .withColumn("seg", F.lit(seg))
-        )
+    def slice_(df: DataFrame) -> DataFrame:
+        return df.where(term_pred(F.col("term"))).select("term", id_col, "seg")
 
-    parts = [slice_(spark.read.parquet(f"{path}/postings"), BASE_SEG)]
-    for s in segs:
-        parts.append(
-            slice_(
-                _read_or_empty(
-                    spark,
-                    f"{_seg_dir(path, s)}/postings",
-                    f"term string, {id_col} long, bucket int",
-                ),
-                s,
+    allp = (
+        slice_(
+            spark.read.parquet(f"{path}/postings").withColumn(
+                "seg", F.lit(BASE_SEG)
             )
         )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
-    allp = allp.localCheckpoint()
+        .unionByName(
+            slice_(
+                _seg_union(
+                    spark,
+                    path,
+                    segs,
+                    "postings",
+                    f"term string, {id_col} long, bucket int",
+                )
+            )
+        )
+        .localCheckpoint()
+    )
 
     cand = allp.select(id_col).distinct()
     dls = _all_doclens(spark, path, segs, id_col).join(cand, id_col, "left_semi")
@@ -393,29 +463,27 @@ def live_docstore_slice(
     construction newer than any pre-tombstone row.  Cost: each slice is
     statically dbucket-pruned with the id IN-list pushed down —
     candidate-sized × (1 + number of segments), never corpus-sized."""
-    def slice_(df: DataFrame, seg: int) -> DataFrame:
+    def slice_(df: DataFrame) -> DataFrame:
         return (
             df.where(F.col("dbucket").isin(dbs))
             .where(F.col(id_col).isin(ids))
-            .select(id_col, "text")
-            .withColumn("seg", F.lit(seg))
+            .select(id_col, "text", "seg")
         )
 
-    parts = [slice_(spark.read.parquet(f"{path}/docstore"), BASE_SEG)]
-    for s in segs:
-        parts.append(
-            slice_(
-                _read_or_empty(
-                    spark,
-                    f"{_seg_dir(path, s)}/docstore",
-                    f"{id_col} long, text string, dbucket int",
-                ),
-                s,
+    out = slice_(
+        spark.read.parquet(f"{path}/docstore").withColumn("seg", F.lit(BASE_SEG))
+    ).unionByName(
+        slice_(
+            _seg_union(
+                spark,
+                path,
+                segs,
+                "docstore",
+                f"{id_col} long, text string, dbucket int",
+                prune={"dbucket": dbs},
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    )
     return out.groupBy(id_col).agg(F.max_by("text", "seg").alias("text"))
 
 
@@ -758,26 +826,20 @@ def compact_text_index(
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
     if hadoop_path_exists(spark, f"{path}/docstore"):
-        def _store_slice(df: DataFrame, seg: int) -> DataFrame:
-            return df.select(id_col, "text").withColumn("seg", F.lit(seg))
-
-        sparts = [
-            _store_slice(spark.read.parquet(f"{path}/docstore"), BASE_SEG)
-        ]
-        for s in segs:
-            sparts.append(
-                _store_slice(
-                    _read_or_empty(
-                        spark,
-                        f"{_seg_dir(path, s)}/docstore",
-                        f"{id_col} long, text string, dbucket int",
-                    ),
-                    s,
-                )
+        allstore = (
+            spark.read.parquet(f"{path}/docstore")
+            .select(id_col, "text")
+            .withColumn("seg", F.lit(BASE_SEG))
+            .unionByName(
+                _seg_union(
+                    spark,
+                    path,
+                    segs,
+                    "docstore",
+                    f"{id_col} long, text string, dbucket int",
+                ).select(id_col, "text", "seg")
             )
-        allstore = sparts[0]
-        for p in sparts[1:]:
-            allstore = allstore.unionByName(p)
+        )
         live_store = (
             allstore.join(lens.select(id_col), id_col, "left_semi")
             .groupBy(id_col)
