@@ -2716,6 +2716,57 @@ def q_search_with_facets(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_profile_facets_filtered(spark, sf):
+    """Search + $filter facets served from the LSM-RESIDENT profile index
+    mid-stream (r11 — VERDICT r10 next-#7): documents arrive as a file
+    stream, `run_stream_profile_index` lands each micro-batch as an
+    O(batch) segment (compact_every high enough that segments are still
+    pending at serve time), then `facets_from_index` answers with a
+    `$filter` id set (300 <= n_chars < 700) — match-set facets composed
+    with doc-level LWW liveness across base + pending segments on one
+    serving path.  Every doc is written once, so the live corpus is the
+    full table and the oracle is the scan-time filtered facet replay."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        facets_from_index,
+    )
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        run_stream_profile_index,
+    )
+
+    docs = _docs(spark, sf).select("doc_id", "text", "source", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="adls_strfct_")
+    try:
+        docs_dir = os.path.join(root, "docs")
+        docs.repartition(4).write.parquet(docs_dir)
+        schema = spark.read.parquet(docs_dir).schema
+        run_stream_profile_index(
+            spark,
+            docs_dir,
+            schema,
+            os.path.join(root, "index"),
+            os.path.join(root, "ckpt"),
+            field_cols=["text", "source"],
+            attr_cols=["lang", "source", "n_chars"],
+            n_buckets=64,
+            max_files_per_trigger=1,
+            compact_every=8,  # > batch count: segments stay pending
+        )
+        allowed = docs.where(
+            (F.col("n_chars") >= 300) & (F.col("n_chars") < 700)
+        ).select("doc_id")
+        out = facets_from_index(
+            spark,
+            os.path.join(root, "index"),
+            {"text": SEARCH_TERMS, "source": ["src1"]},
+            ["lang", "source"],
+            top_n=5,
+            filter_ids=allowed,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_bpe_train(spark, sf):
     """Distributed BPE tokenizer training (operators/bpe.py): 8 merges
     learned from the vocabulary relation; the oracle unrolls the EXACT
@@ -3377,9 +3428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW this round (r11: synonym expansion and simple-query
         # -- syntax composed with field-weighted scoring profiles on ONE
-        # -- serving path): need first driver rows
+        # -- serving path; $filter facets served from the LSM-resident
+        # -- profile index mid-stream): need first driver rows
         "text_index_profile_synonyms": q_text_index_profile_synonyms,
         "text_index_profile_simple_query": q_text_index_profile_simple_query,
+        "stream_profile_facets_filtered": q_stream_profile_facets_filtered,
         # -- CHANGED this round (r11): every text/profile build & upsert
         # -- now derives doclens (dl + victim-directory bucket set) from
         # -- the postings relation the same job already materializes —
@@ -5104,6 +5157,32 @@ def oracle_sql() -> dict[str, str]:
                   list_filter(string_split_regex(lower(source), '\\s+'),
                               x -> x != ''),
                   x -> x = 'src1')) > 0),
+      pairs AS (
+        SELECT 'lang' AS field, lang AS value FROM m WHERE lang IS NOT NULL
+        UNION ALL
+        SELECT 'source' AS field, source AS value FROM m WHERE source IS NOT NULL),
+      counts AS (SELECT field, value, count(*) AS n FROM pairs GROUP BY field, value),
+      ranked AS (
+        SELECT field, value, n::BIGINT AS n,
+               (row_number() OVER (PARTITION BY field ORDER BY n DESC, value))::INT AS rank
+        FROM counts)
+      SELECT field, value, n, rank FROM ranked WHERE rank <= 5
+    """
+
+    # the LSM-resident streamed variant serves the SAME match-set facets
+    # narrowed by the $filter id set: every doc is written exactly once by
+    # the stream, so the live corpus is the full table and the oracle is
+    # the filtered scan-time facet replay
+    sqls["stream_profile_facets_filtered"] = f"""
+      WITH m AS (
+        SELECT doc_id, lang, source FROM documents
+        WHERE (len(list_filter({_WORDS},
+                   x -> x IN ('merge', 'query', 'stream'))) > 0
+            OR len(list_filter(
+                   list_filter(string_split_regex(lower(source), '\\s+'),
+                               x -> x != ''),
+                   x -> x = 'src1')) > 0)
+          AND n_chars >= 300 AND n_chars < 700),
       pairs AS (
         SELECT 'lang' AS field, lang AS value FROM m WHERE lang IS NOT NULL
         UNION ALL

@@ -32,6 +32,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from azuredatalakeindexer_spark.functions.localrel import tiny_df
 from azuredatalakeindexer_spark.functions.text import tokens
 from azuredatalakeindexer_spark.operators.util import ensure_parallelism
 
@@ -134,7 +135,7 @@ def train_bpe(
         # blow plan depth, so the cadence bounds it at 4
         if rank % 4 == 0:
             vocab = vocab.localCheckpoint()
-    return spark.createDataFrame(merges, MERGE_SCHEMA)
+    return tiny_df(spark, merges, MERGE_SCHEMA)
 
 
 #: above this many merges the expression-stack encoder is swapped for the

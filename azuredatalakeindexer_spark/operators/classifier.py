@@ -32,6 +32,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from azuredatalakeindexer_spark.functions.localrel import tiny_df
 from azuredatalakeindexer_spark.functions.text import portable_hash64, tokens
 
 #: default hashed-feature dimensionality.  Fixture-scale; size it like any
@@ -185,8 +186,8 @@ def train_classifier(
     bias = 0.0
     for _ in range(iters):
         if w:
-            wdf = spark.createDataFrame(
-                [(b, v) for b, v in w.items()], "bucket long, w double"
+            wdf = tiny_df(
+                spark, [(b, v) for b, v in w.items()], "bucket long, w double"
             )
             joined = feats.join(F.broadcast(wdf), "bucket", "left").withColumn(
                 "w", F.coalesce("w", F.lit(0.0))
@@ -217,8 +218,8 @@ def train_classifier(
         bias += lr * mean_err
         for r in grad_rows:
             w[r["bucket"]] = w.get(r["bucket"], 0.0) + lr * r["g"] / max(n_docs, 1)
-    wdf = spark.createDataFrame(
-        [(b, v) for b, v in w.items()] or [(0, 0.0)], "bucket long, w double"
+    wdf = tiny_df(
+        spark, [(b, v) for b, v in w.items()] or [(0, 0.0)], "bucket long, w double"
     )
     return wdf, bias
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation
 
+from azuredatalakeindexer_spark.functions.localrel import tiny_df
+
 
 def observe_reads(df: DataFrame, failed_predicate) -> tuple[DataFrame, Observation]:
     """A2: count mapped vs failed documents on the flowing rows
@@ -44,7 +46,8 @@ def run_metrics(
     too_large: int,
 ) -> DataFrame:
     """A3: assemble the IndexerRunMetrics row (Models/IndexerRunMetrics.cs:3-12)."""
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [
             (
                 path_count,

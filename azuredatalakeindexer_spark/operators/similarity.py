@@ -21,6 +21,8 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from azuredatalakeindexer_spark.functions.localrel import tiny_df
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision (left-to-right fold, IEEE-deterministic)."""
@@ -334,7 +336,7 @@ def kmeans_centroids(
 
     def to_df(mat: "np.ndarray") -> DataFrame:
         rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
-        return spark.createDataFrame(rows, f"cid int, cvec array<double>")
+        return tiny_df(spark, rows, "cid int, cvec array<double>")
 
     corpus = corpus.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     for _ in range(iters):
@@ -836,7 +838,7 @@ def learned_pq_codebooks(
             for s in range(m)
             for c in range(k_pq)
         ]
-        return spark.createDataFrame(rows, "sub int, code long, cvec array<double>")
+        return tiny_df(spark, rows, "sub int, code long, cvec array<double>")
 
     corpus = corpus.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     sub_start = F.col("sub").cast("int") * d_sub + 1
@@ -925,8 +927,8 @@ def pq_topk(
             nn = fold([c * c for c in cvec])
             lut.append((qr["query_id"], s, cr["code"], dq, nn, qn))
     spark = corpus.sparkSession
-    lut_df = spark.createDataFrame(
-        lut, "query_id long, sub int, code long, dq double, nn double, qn double"
+    lut_df = tiny_df(
+        spark, lut, "query_id long, sub int, code long, dq double, nn double, qn double"
     )
 
     joined = codes.join(F.broadcast(lut_df), ["sub", "code"])

@@ -33,6 +33,7 @@ import json
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from azuredatalakeindexer_spark.functions.localrel import tiny_df
 from azuredatalakeindexer_spark.operators.similarity import (
     assign_cells,
     cosine_expr,
@@ -881,8 +882,8 @@ def query_pq_index(
                     qn,
                 )
             )
-    lut_df = spark.createDataFrame(
-        lut, "query_id long, sub int, code long, dq double, nn double, qn double"
+    lut_df = tiny_df(
+        spark, lut, "query_id long, sub int, code long, dq double, nn double, qn double"
     )
 
     # a vector participates for a query iff its cell is among the query's

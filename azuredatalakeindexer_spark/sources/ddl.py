@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from azuredatalakeindexer_spark.functions.localrel import tiny_df
+
 #: capability keys understood by the reference's field attributes
 CAPABILITIES = ("key", "searchable", "filterable", "sortable", "facetable")
 
@@ -52,7 +54,8 @@ def index_field_capabilities(spark: SparkSession, schema: StructType) -> DataFra
                 md.get("analyzer"),
             )
         )
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         rows,
         "field string, type string, is_key boolean, searchable boolean, "
         "filterable boolean, sortable boolean, facetable boolean, analyzer string",

@@ -58,6 +58,7 @@ import json
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from azuredatalakeindexer_spark.functions.localrel import tiny_df
 from azuredatalakeindexer_spark.functions.text import portable_hash64, tokens
 from azuredatalakeindexer_spark.sources.text_index import _py_bucket
 
@@ -171,10 +172,11 @@ def build_profile_index(
         docs.select(F.col(id_col), *attr_cols, _dbucket(id_col, n_buckets)).repartition(
             "dbucket"
         ).write.mode("overwrite").partitionBy("dbucket").parquet(f"{path}/docvals")
-    spark.createDataFrame(
+    tiny_df(
+        spark,
         [(int(n_buckets), ",".join(field_cols), ",".join(attr_cols))],
         "n_buckets int, fields string, attrs string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     # JSON sidecar: every op learns the layout with one driver-side FS
     # read instead of a Spark parquet job (same pattern as the ANN
     # dirmeta.json — r9 verdict wrong-#4 fixed overhead)

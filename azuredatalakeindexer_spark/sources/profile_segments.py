@@ -33,6 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from azuredatalakeindexer_spark.functions.localrel import tiny_df
 from azuredatalakeindexer_spark.sources.text_segments import (
     BASE_SEG,
     _read_or_empty,
@@ -231,9 +232,9 @@ def _write_fieldstats_exact(
     rows = [
         (f, n, s / n, s) for f, (n, s) in sorted(stats.items()) if n > 0
     ]
-    spark.createDataFrame(
-        rows, "field string, n_docs bigint, avgdl double, sum_dl bigint"
-    ).coalesce(1).write.parquet(target)
+    tiny_df(
+        spark, rows, "field string, n_docs bigint, avgdl double, sum_dl bigint"
+    ).write.parquet(target)
 
 
 def upsert_profile_index_segmented(

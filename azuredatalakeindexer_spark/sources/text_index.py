@@ -45,6 +45,7 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from azuredatalakeindexer_spark.functions.localrel import tiny_df
 from azuredatalakeindexer_spark.functions.text import portable_hash64, tokens
 
 
@@ -274,6 +275,7 @@ def build_text_index(
     n_buckets: int = 64,
     positions: bool = False,
     store_text: bool = False,
+    _bsets: bool = True,
 ) -> None:
     """Write the inverted index for ``docs`` under ``path``.
 
@@ -315,11 +317,16 @@ def build_text_index(
     # is tokenized ONCE (the postings pass) and the bucket hash is computed
     # ONCE (r10 verdict wrong-#1: the old `_buckets_expr` doclens pass
     # re-tokenized and re-hashed the whole corpus, doubling build cost).
+    # _bsets=False writes the legacy (pre-victim-directory) doclens layout;
+    # only tools/bench_vdir_scale.py uses it, to keep the column's build
+    # cost measured (r10 verdict next-#1: "build cost can never regress
+    # unmeasured again")
     doclens = _lens_from_postings(
         docs.sparkSession.read.parquet(f"{path}/postings"),
         docs.select(F.col(id_col)),
         id_col,
         n_buckets,
+        bsets=_bsets,
     )
     doclens.repartition("dbucket").write.mode("overwrite").partitionBy(
         "dbucket"
@@ -1135,7 +1142,8 @@ def delete_from_text_index(
         )
         .first()
     )
-    stats = spark.createDataFrame(
+    stats = tiny_df(
+        spark,
         [(_srow["n_docs"], _srow["avgdl"], int(_srow["sum_dl"]), n_buckets)],
         "n_docs bigint, avgdl double, sum_dl bigint, n_buckets int",
     )
@@ -1926,7 +1934,8 @@ def highlight_from_index(
         return spark.createDataFrame(
             [], f"{id_col} long, score double, hit_pos int, snippet string"
         )
-    scores = spark.createDataFrame(
+    scores = tiny_df(
+        spark,
         [(r[id_col], float(r["bm25"])) for r in rows],
         f"{id_col} long, score double",
     )

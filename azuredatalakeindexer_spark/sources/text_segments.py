@@ -57,6 +57,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from azuredatalakeindexer_spark.functions.localrel import tiny_df
 from azuredatalakeindexer_spark.functions.text import portable_hash64, tokens
 from azuredatalakeindexer_spark.sources.ann_index import (
     _hadoop_fs,
@@ -528,7 +529,8 @@ def _write_stats(
     performs, so scores stay bit-identical to a fresh build.  ``target``
     redirects the write into a staged commit."""
     avgdl = (sum_dl / n_docs) if n_docs else None
-    spark.createDataFrame(
+    tiny_df(
+        spark,
         [(n_docs, avgdl, sum_dl, n_buckets)],
         "n_docs bigint, avgdl double, sum_dl bigint, n_buckets int",
     ).write.mode("overwrite").parquet(target if target is not None else f"{path}/stats")

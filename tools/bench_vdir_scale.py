@@ -81,15 +81,16 @@ def measure(spark, n_docs: int) -> list[dict]:
         build_s = round(time.time() - t0, 2)
         postings_rows = spark.read.parquet(f"{modern}/postings").count()
 
-        # legacy copy: same index, doclens rewritten without the column
-        build_text_index(docs, legacy, n_buckets=N_BUCKETS)
-        lens = spark.read.parquet(f"{legacy}/doclens").select(
-            "doc_id", "dl", "dbucket"
-        ).localCheckpoint()
-        shutil.rmtree(f"{legacy}/doclens")
-        lens.repartition("dbucket").write.partitionBy("dbucket").parquet(
-            f"{legacy}/doclens"
-        )
+        # legacy build: the REAL pre-victim-directory layout, timed as a
+        # full build so the column's build-side cost stays on the matrix
+        # (r10 verdict next-#1 — the r10 run only timed the upsert side
+        # and the build regression landed unmeasured).  Since r11 the
+        # bucket sets derive from the postings being written
+        # (collect_set(bucket), zero extra hashing), so these two numbers
+        # should track each other within noise.
+        t0 = time.time()
+        build_text_index(docs, legacy, n_buckets=N_BUCKETS, _bsets=False)
+        build_legacy_s = round(time.time() - t0, 2)
 
         for batch_docs in BATCHES:
             stride = n_docs // batch_docs
@@ -104,6 +105,7 @@ def measure(spark, n_docs: int) -> list[dict]:
                 "vocab": VOCAB,
                 "words_per_doc": WORDS_PER_DOC,
                 "build_s": build_s,
+                "build_legacy_s": build_legacy_s,
                 "postings_rows": postings_rows,
             }
 
