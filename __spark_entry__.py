@@ -3424,8 +3424,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the boundary has a green row in a prior round's file and is replayed
     locally each round (tools/check_correctness.py + the env-gated
     tests/test_full_correctness.py).
+
+    r11 window (``_R11_WINDOW`` below): the registry outgrew
+    50-per-round rotation (157 entries; 57 still carried r6/r7
+    evidence), so this round spends the slots on EVIDENCE AGE — the 3
+    first-row entries, 2 re-proofs for the rewritten segment read path
+    (`_seg_union`: one covers the text LSM tier end-to-end, one the
+    profile LSM tier), all 22 r6-evidence entries, and 23 of the 35
+    r7-evidence entries (the multimodal pair prioritized: their
+    operator gained the codec probe this round).  The other
+    result-preserving r11 perf changes (postings-derived doclens,
+    tiny_df Arrow-batch metadata writes) are re-proven by the full
+    157/157 local replay at sf0.01 plus the --vanilla spot-check, so
+    their r10 driver rows stay within the 3-round budget.
     """
-    return {
+    base = {
         # -- NEW this round (r11: synonym expansion and simple-query
         # -- syntax composed with field-weighted scoring profiles on ONE
         # -- serving path; $filter facets served from the LSM-resident
@@ -3600,6 +3613,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
     }
+    head = {k: base.pop(k) for k in _R11_WINDOW}
+    return head | base
+
+
+#: the 50 entries the r11 driver window replays, in order (see the
+#: queries() docstring for the selection rationale)
+_R11_WINDOW = [
+    # first driver rows needed
+    "text_index_profile_synonyms",
+    "text_index_profile_simple_query",
+    "stream_profile_facets_filtered",
+    # re-proof of the rewritten segment read path (_seg_union)
+    "stream_text_index_lsm",
+    "stream_profile_index",
+    # r6-evidence cohort (all 22)
+    "region_revenue",
+    "shipping_priority",
+    "late_orders_exists",
+    "events_gapfill",
+    "user_running_stats",
+    "distinct_users_daily",
+    "salted_counts",
+    "events_sessionize",
+    "pack_sequences",
+    "weighted_sample",
+    "hash_sample",
+    "repetition_stats",
+    "stratified_sample",
+    "event_quantiles",
+    "pii_redaction",
+    "token_budget_mix",
+    "tfidf_top_terms",
+    "profile_orders",
+    "value_histogram",
+    "temperature_mix",
+    "shuffle_shards",
+    "embedding_quantize",
+    # r7-evidence cohort (23 of 35; remainder next round)
+    "search_phrase",
+    "search_near",
+    "search_near_unordered",
+    "batch_packing",
+    "batch_packing_greedy",
+    "run_metrics",
+    "dedup_exact",
+    "dedup_simhash",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "embedding_topk",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprints",
+    "cluster_canonical",
+    "stream_exact_dedup",
+    "stream_curated_dedup",
+    "stream_sessionize",
+    "stream_windowed_counts",
+    "multimodal_features",
+    "multimodal_frames",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+]
 
 
 def oracle_sql() -> dict[str, str]:

@@ -142,6 +142,55 @@ def main() -> None:
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
+    elif which == "profile":
+        from azuredatalakeindexer_spark.sources.profile_index import (
+            build_profile_index,
+            delete_from_profile_index,
+            query_profile_index,
+            upsert_profile_index,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text", "source", "n_chars"
+        )
+        base = docs.where(F.col("doc_id") % 100 != 0)
+        delta = docs.where(F.col("doc_id") % 100 == 0).select(
+            "doc_id",
+            F.concat(F.lit("merge body "), F.col("text")).alias("text"),
+            "source",
+            "n_chars",
+        )
+        prof = {"text": (["merge", "query", "stream"], 2.0), "source": (["src1"], 1.0)}
+        root = tempfile.mkdtemp(prefix="prof_pfl_")
+        try:
+            _phase(
+                sc,
+                "build",
+                lambda: build_profile_index(
+                    base,
+                    root,
+                    field_cols=["text", "source"],
+                    attr_cols=["n_chars", "source"],
+                    n_buckets=64,
+                ),
+            )
+            _phase(
+                sc, "upsert", lambda: upsert_profile_index(spark, root, delta).count()
+            )
+            _phase(
+                sc,
+                "delete",
+                lambda: delete_from_profile_index(
+                    spark, root, delta.select("doc_id").limit(50)
+                ),
+            )
+            _phase(
+                sc,
+                "query",
+                lambda: query_profile_index(spark, root, prof, k=20).count(),
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
     else:
         raise SystemExit(f"unknown target {which!r}")
 
