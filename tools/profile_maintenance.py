@@ -55,8 +55,21 @@ def _patch_all():
     ann_index._dedupe_vec_delta = _timed(
         "_dedupe_vec_delta(expr only)", ann_index._dedupe_vec_delta
     )
-    DataFrame.localCheckpoint = _timed(
-        "DataFrame.localCheckpoint", DataFrame.localCheckpoint
+    # Spark 4: instances are pyspark.sql.classic.dataframe.DataFrame, which
+    # OVERRIDES the pyspark.sql.DataFrame base methods — patch the classic
+    # class or the timers never fire
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as CDF
+    except Exception:
+        CDF = DataFrame
+    CDF.localCheckpoint = _timed("DataFrame.localCheckpoint", CDF.localCheckpoint)
+    CDF.collect = _timed("DataFrame.collect", CDF.collect)
+    CDF.count = _timed("DataFrame.count", CDF.count)
+    CDF.first = _timed("DataFrame.first", CDF.first)
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    DataFrameWriter.parquet = _timed(
+        "DataFrameWriter.parquet", DataFrameWriter.parquet
     )
 
 
