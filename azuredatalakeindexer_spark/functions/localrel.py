@@ -28,10 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 def tiny_df(spark: SparkSession, rows, schema) -> DataFrame:
     """``rows`` (tuples/lists or dicts, already driver-resident) as a
-    ONE-partition DataFrame with exactly the Spark ``schema`` (DDL string
-    or StructType).  Falls back to the classic ``createDataFrame`` for
-    empty input (Arrow needs at least the schema anyway — same result)
-    or types Arrow cannot carry."""
+    DataFrame with exactly the Spark ``schema`` (DDL string or
+    StructType), entering the JVM as Arrow batches — NO Python workers on
+    the execution path (a 1-row relation is literally one partition; a
+    larger one at most a handful of Arrow slices, all JVM-side either
+    way).  Falls back to the classic ``createDataFrame`` for empty input
+    (Arrow needs at least the schema anyway — same result) or types Arrow
+    cannot carry."""
     st = spark.createDataFrame([], schema).schema  # normalize DDL → StructType
     if not rows:
         return spark.createDataFrame([], st)
