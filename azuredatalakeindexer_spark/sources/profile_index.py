@@ -758,7 +758,10 @@ def upsert_profile_index(
             .join(dkeys, id_col, "left_anti")
             .select(id_col, *idx_attrs, "dbucket")
         )
-        vmerged = vkeep.unionByName(new_vals).localCheckpoint()
+        # single consumer (this write, pre-promote, against the still-live
+        # base) — a localCheckpoint here would be a pure extra
+        # materialization
+        vmerged = vkeep.unionByName(new_vals)
         vmerged.repartition("dbucket").write.partitionBy("dbucket").parquet(
             commit.stage("docvals")
         )
@@ -903,12 +906,12 @@ def delete_from_profile_index(
     commit.swap("fieldstats", "fieldstats")
 
     if idx_attrs:
+        # single consumer (the staged write) — no checkpoint needed
         vkeep = (
             spark.read.parquet(f"{path}/docvals")
             .where(F.col("dbucket").isin(daffected))
             .join(keys, id_col, "left_anti")
             .select(id_col, *idx_attrs, "dbucket")
-            .localCheckpoint()
         )
         if index_emptied:
             vkeep.write.parquet(commit.stage("docvals"))

@@ -614,7 +614,10 @@ def upsert_text_index(
             .join(dkeys, id_col, "left_anti")
             .select(id_col, "text", "dbucket")
         )
-        smerged = skeep.unionByName(new_store).localCheckpoint()
+        # single consumer (this write, pre-promote, against the still-live
+        # base) — a localCheckpoint here would be a pure extra
+        # materialization
+        smerged = skeep.unionByName(new_store)
         smerged.repartition("dbucket").write.partitionBy("dbucket").parquet(
             commit.stage("docstore")
         )
@@ -1241,12 +1244,12 @@ def delete_from_text_index(
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
     if daffected and hadoop_path_exists(spark, f"{path}/docstore"):
+        # single consumer (the staged write) — no checkpoint needed
         skeep = (
             spark.read.parquet(f"{path}/docstore")
             .where(F.col("dbucket").isin(daffected))
             .join(keys, id_col, "left_anti")
             .select(id_col, "text", "dbucket")
-            .localCheckpoint()
         )
         if index_emptied:
             skeep.write.parquet(commit.stage("docstore"))
