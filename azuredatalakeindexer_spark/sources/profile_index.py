@@ -704,13 +704,23 @@ def upsert_profile_index(
         .join(dkeys, id_col, "left_anti")
         .select("term", id_col, "field", "tf", "bucket")
     )
+    # single evaluation: the merge writes straight to the stage dir (its
+    # only consumer), and the surviving bucket set is read off the staged
+    # directory names — no checkpoint materialization, no collect job
     merged = keep.unionByName(
         new_postings.select("term", id_col, "field", "tf", "bucket")
-    ).localCheckpoint()
-    present = [r["bucket"] for r in merged.select("bucket").distinct().collect()]
+    )
     merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
         "bucket"
     ).parquet(commit.stage("postings"))
+    from azuredatalakeindexer_spark.sources.ann_index import (
+        _partition_dir_names,
+    )
+
+    present = [
+        int(n.split("=", 1)[1])
+        for n in _partition_dir_names(spark, commit.stage("postings"), "bucket")
+    ]
     for b in affected:
         if b in present:
             commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")

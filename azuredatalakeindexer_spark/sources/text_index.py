@@ -554,10 +554,19 @@ def upsert_text_index(
         # swap in and a victim bucket whose postings ALL belonged to
         # replaced docs whose new terms hash elsewhere (zero survivors)
         # is removed
-        present = [r["bucket"] for r in merged.select("bucket").distinct().collect()]
         merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
             "bucket"
         ).parquet(commit.stage("postings"))
+        # surviving buckets read off the staged directory names — the
+        # write just enumerated them, so no extra collect job
+        from azuredatalakeindexer_spark.sources.ann_index import (
+            _partition_dir_names,
+        )
+
+        present = [
+            int(n.split("=", 1)[1])
+            for n in _partition_dir_names(spark, commit.stage("postings"), "bucket")
+        ]
         for b in affected:
             if b in present:
                 commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
