@@ -6,10 +6,13 @@ writes the full per-query maps to BENCH_detail.json next to this file —
 the r5 driver tail-capture truncated the old long line and lost the Spark
 per-query timings (VERDICT r5 wrong-#2).
 
-Every query is executed TWICE and the headline total reports the SECOND
-(warm) execution: cold-start JIT/codegen variance at sub-second real work
-was repeatedly mistaken for round-over-round regressions (VERDICT r5
-wrong-#3; r4 next-#4).  Cold times are kept in the detail file.
+Every query is executed TWICE and the headline total reports the BEST of
+the two executions; the DuckDB oracle side is likewise min-of-2 (r11).
+Cold-start JIT/codegen variance was repeatedly mistaken for regressions
+(VERDICT r5 wrong-#3), and single-pass oracle numbers swung the
+denominator by tens of seconds on identical code (r10 wrong-#2a);
+min-of-N on BOTH engines is the standard symmetric estimator.  Both raw
+passes are kept in the detail file.
 
 The same oracle SQL is timed on DuckDB over the same parquet files so the
 spark/duckdb ratio is a falsifiable per-round number (VERDICT r2 §perf).
@@ -115,6 +118,29 @@ HEADLINE = [
     "text_index_simple_query",
 ]
 
+#: the build+maintain+serve lifecycle entries (each builds, incrementally
+#: maintains, and serves a PERSISTED index end-to-end while the DuckDB
+#: oracle computes the final relation from parquet in one scan) — the
+#: structurally-non-comparable set named in notes.headline_composition;
+#: the emitted `spark_vs_duckdb_lifecycle_excluded` is the like-for-like
+#: ratio over the remaining entries
+LIFECYCLE_QUERIES = {
+    "text_index_upsert_topk",
+    "text_index_delete_topk",
+    "text_index_lsm_topk",
+    "text_index_profile_upsert",
+    "stream_text_index",
+    "ann_upsert_topk",
+    "saved_hybrid_search",
+    "bpe_pipeline",
+    "text_index_profile_topk",
+    "text_index_highlight_topk",
+    "search_with_facets",
+    "ann_filtered_index_topk",
+    "text_index_synonyms",
+    "text_index_simple_query",
+}
+
 
 def sustained_pq_metrics(spark, sf_dir: str, n_batches: int = 16) -> dict:
     """Sustained IVF-PQ ingestion (VERDICT r8 stretch-#8 — the curve, not
@@ -215,9 +241,17 @@ def duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
     for name in names:
         if name not in sqls:
             continue
-        t0 = time.time()
-        con.execute(sqls[name]).fetchall()
-        out[name] = round(time.time() - t0, 3)
+        # best-of-2, symmetric with the Spark side's min(cold, warm):
+        # single-pass oracle numbers swung the denominator by tens of
+        # seconds round-to-round (ngram_jaccard measured 60 s one round
+        # and 83 s the next on identical code — r10 verdict wrong-#2a)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(sqls[name]).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     con.close()
     return out
 
@@ -643,7 +677,14 @@ def main() -> None:
             fn(spark, sf_dir).count()
             warm[name] = round(time.time() - t0, 3)
             _release_session_state(spark)
-    timings = warm if warm_pass else cold
+    # best-of-2 per query (cold vs warm execution), mirrored by the
+    # DuckDB side's two-pass min — machine-level drift on this box swings
+    # single measurements by ±30-40% (measured: identical code, 8.1 s vs
+    # 16.5 s for the same query three hours apart), and min-of-N is the
+    # standard estimator that discards one-sided scheduling noise
+    timings = (
+        {k: min(cold[k], warm[k]) for k in warm} if warm_pass else cold
+    )
 
     recall = ann_recall_metrics(spark, sf_dir)
     lifecycle = index_lifecycle_metrics(spark, sf_dir)
@@ -683,7 +724,7 @@ def main() -> None:
     )
     detail = {
         "sf": sf,
-        "timing_mode": "warm (second execution per query)" if warm_pass else "cold",
+        "timing_mode": "best-of-2 (min of cold/warm execution; duckdb min-of-2)" if warm_pass else "cold",
         "queries_cold": cold,
         "queries_warm": warm,
         "duckdb": duck,
@@ -732,9 +773,19 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": timings,
-                "timing": "warm" if warm_pass else "cold",
+                "timing": "best-of-2" if warm_pass else "cold",
                 "duckdb_total": duck_total,
                 "spark_vs_duckdb": round(total / duck_total, 3) if duck_total else None,
+                **(
+                    (lambda s, dd: {
+                        "spark_vs_duckdb_lifecycle_excluded": round(s / dd, 3)
+                    } if dd else {})(
+                        sum(v for k, v in timings.items() if k not in LIFECYCLE_QUERIES and k in duck),
+                        sum(v for k, v in duck.items() if k not in LIFECYCLE_QUERIES),
+                    )
+                    if duck
+                    else {}
+                ),
                 "ann_recall": recall,
                 "index_lifecycle": lifecycle,
                 **({"sustained_lsm": sustained} if sustained else {}),
