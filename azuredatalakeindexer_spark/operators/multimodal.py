@@ -196,16 +196,61 @@ def sample_frames(mm: DataFrame, frame_bytes: int = 64, fake: bool = True) -> Da
                 # is Pillow-gated: probe at task time, raise only when the
                 # codec is truly absent (it is, in this container)
                 try:
-                    import av  # noqa: F401
+                    import av
                 except Exception:
                     raise NotImplementedError(
                         "real frame sampling requires PyAV/ffmpeg, not "
                         "present on this executor; use fake=True"
                     ) from None
-                raise NotImplementedError(
-                    "real frame sampling path not implemented yet: PyAV is "
-                    "present but the demux/decode loop is pending"
+                import io
+
+                out_ids, out_idx, out_hash = [], [], []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    if payload is None:
+                        continue
+                    try:
+                        container = av.open(io.BytesIO(bytes(payload)))
+                    except Exception:
+                        # undecodable payload: no frames, same contract as
+                        # the image decoder's null row
+                        continue
+                    try:
+                        vstreams = [
+                            s for s in container.streams if s.type == "video"
+                        ]
+                        if not vstreams:
+                            continue
+                        stream = vstreams[0]
+                        # evenly-strided sample: decode in presentation
+                        # order, keep every k-th frame so payload size (not
+                        # duration) bounds output — ``frame_bytes`` doubles
+                        # as the stride knob on the real path
+                        stride = max(1, int(frame_bytes) // 16)
+                        kept = 0
+                        for i, frame in enumerate(
+                            container.decode(stream)
+                        ):
+                            if i % stride:
+                                continue
+                            # fingerprint the decoded plane bytes — stable
+                            # across containers carrying identical video
+                            rgb = frame.to_ndarray(format="rgb24")
+                            out_ids.append(doc_id)
+                            out_idx.append(kept)
+                            out_hash.append(
+                                hashlib.md5(rgb.tobytes()).hexdigest()
+                            )
+                            kept += 1
+                    finally:
+                        container.close()
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_ids, dtype="int64"),
+                        "frame_idx": pd.Series(out_idx, dtype="int32"),
+                        "frame_hash": pd.Series(out_hash, dtype="object"),
+                    }
                 )
+                continue
             out_ids, out_idx, out_hash = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:

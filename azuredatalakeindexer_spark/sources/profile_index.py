@@ -87,6 +87,36 @@ def _dbucket(id_col: str, n_buckets: int):
     return F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket")
 
 
+def _stack_stored(
+    docs: DataFrame, field_cols, id_col: str, n_buckets: int
+) -> DataFrame:
+    """One ``(id, field, text, dbucket)`` row per (document, searchable
+    field) carrying the field's ORIGINAL text — the profile docstore
+    shape (phrase predicates are substring semantics over stored text,
+    per field so the 'phrase in at least one searched field' rule can
+    restrict to the query's weighted fields)."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(fld).alias("field"),
+                        F.col(fld).cast("string").alias("text"),
+                    )
+                    for fld in field_cols
+                ]
+            )
+        ).alias("_s"),
+        _dbucket(id_col, n_buckets),
+    ).select(
+        id_col,
+        F.col("_s.field").alias("field"),
+        F.col("_s.text").alias("text"),
+        "dbucket",
+    )
+
+
 def _postings_rows(stacked: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
     """(term, id, tf, field, bucket) from the stacked (id, field, toks)
     relation — one map-side-combined aggregate; the shuffle carries
@@ -126,6 +156,7 @@ def build_profile_index(
     attr_cols=(),
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    store_fields: bool = False,
 ) -> None:
     """Write the multi-field inverted index for ``docs`` under ``path``.
 
@@ -135,6 +166,15 @@ def build_profile_index(
     and filters.  Cost: one corpus scan stacked over the fields + one
     (term, doc, field) aggregate + bucket-partitioned writes — the
     amortized-away pass, same discipline as ``build_text_index``.
+
+    ``store_fields=True`` additionally writes ``<path>/docstore`` —
+    ``(id, field, text, dbucket)``, one row per (doc, searchable field)
+    carrying that field's ORIGINAL text, id-hash-partitioned like
+    doclens.  It is the profile layout's *retrievable*-field store (the
+    reference marks fields retrievable, `IndexModels/TextIndexModel.cs:
+    24-34`) and what ``simple_query_profile_from_index`` evaluates
+    PHRASE predicates against (substring semantics need stored text).
+    All maintenance ops — in-place and segmented — advance it.
     """
     if not field_cols:
         raise ValueError("build_profile_index needs at least one field")
@@ -162,16 +202,41 @@ def build_profile_index(
         n_buckets,
         per_field=True,
     )
-    doclens.repartition("dbucket").write.mode("overwrite").partitionBy(
-        "dbucket"
-    ).parquet(f"{path}/doclens")
+    # doclens (postings read-back) and docvals (corpus projection) are
+    # independent — overlap them; fieldstats needs the written doclens
+    # and the meta marker stays LAST (it is what flips the streaming
+    # build-vs-upsert decision, so nothing may exist after it doesn't)
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
+    run_concurrent(
+        lambda: doclens.repartition("dbucket")
+        .write.mode("overwrite")
+        .partitionBy("dbucket")
+        .parquet(f"{path}/doclens"),
+        (
+            lambda: docs.select(
+                F.col(id_col), *attr_cols, _dbucket(id_col, n_buckets)
+            )
+            .repartition("dbucket")
+            .write.mode("overwrite")
+            .partitionBy("dbucket")
+            .parquet(f"{path}/docvals")
+        )
+        if attr_cols
+        else None,
+        (
+            lambda: _stack_stored(docs, field_cols, id_col, n_buckets)
+            .repartition("dbucket")
+            .write.mode("overwrite")
+            .partitionBy("dbucket")
+            .parquet(f"{path}/docstore")
+        )
+        if store_fields
+        else None,
+    )
     _write_fieldstats_from(
         spark.read.parquet(f"{path}/doclens"), path
     )
-    if attr_cols:
-        docs.select(F.col(id_col), *attr_cols, _dbucket(id_col, n_buckets)).repartition(
-            "dbucket"
-        ).write.mode("overwrite").partitionBy("dbucket").parquet(f"{path}/docvals")
     tiny_df(
         spark,
         [(int(n_buckets), ",".join(field_cols), ",".join(attr_cols))],
@@ -777,6 +842,26 @@ def upsert_profile_index(
         )
         for b in daffected:
             commit.swap(f"docvals/dbucket={b}", f"docvals/dbucket={b}")
+
+    # docstore (stored per-field texts, phrase-enabled indexes): replace
+    # the delta docs' rows in their own dbuckets under the same journal —
+    # identical partition discipline to docvals
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    if hadoop_path_exists(spark, f"{path}/docstore"):
+        new_store = _stack_stored(deduped, idx_fields, id_col, n_buckets)
+        skeep = (
+            spark.read.parquet(f"{path}/docstore")
+            .where(F.col("dbucket").isin(daffected))
+            .join(dkeys, id_col, "left_anti")
+            .select(id_col, "field", "text", "dbucket")
+        )
+        # single consumer (this write, pre-promote) — no checkpoint
+        skeep.unionByName(new_store).repartition("dbucket").write.partitionBy(
+            "dbucket"
+        ).parquet(commit.stage("docstore"))
+        for b in daffected:
+            commit.swap(f"docstore/dbucket={b}", f"docstore/dbucket={b}")
     commit.promote()
     return statuses
 
@@ -937,6 +1022,30 @@ def delete_from_profile_index(
                 else:
                     commit.remove(f"docvals/dbucket={b}")
 
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    if hadoop_path_exists(spark, f"{path}/docstore"):
+        # single consumer (the staged write) — no checkpoint needed
+        skeep = (
+            spark.read.parquet(f"{path}/docstore")
+            .where(F.col("dbucket").isin(daffected))
+            .join(keys, id_col, "left_anti")
+            .select(id_col, "field", "text", "dbucket")
+        )
+        if index_emptied:
+            skeep.write.parquet(commit.stage("docstore"))
+            commit.swap("docstore", "docstore")
+        else:
+            if dpresent:
+                skeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
+                    commit.stage("docstore")
+                )
+            for b in daffected:
+                if b in dpresent:
+                    commit.swap(f"docstore/dbucket={b}", f"docstore/dbucket={b}")
+                else:
+                    commit.remove(f"docstore/dbucket={b}")
+
     commit.promote()
     return int(n_removed)
 
@@ -1028,11 +1137,16 @@ def simple_query_profile_from_index(
     without reweighting idf, the same Lucene/Azure semantics as the
     single-field ``simple_query_from_index``.
 
-    Phrase predicates are substring semantics over stored text; the
-    profile layout persists no docstore, so ``"a phrase"`` tokens are
-    refused — use the docstore-backed single-field index
-    (``simple_query_from_index``) or the scan-time
-    ``operators.search.simple_query_topk``."""
+    PHRASE predicates (``+"a phrase"`` / ``-"a phrase"``) are substring
+    semantics over stored text: a required phrase must appear in AT LEAST
+    ONE of the weighted fields, an excluded phrase in NONE of them — the
+    per-field rule mirroring the term predicates.  They are evaluated
+    with scan-time ``instr`` expressions over the per-field DOCSTORE
+    texts (requires ``build_profile_index(store_fields=True)``; on a
+    segmented index the stored texts resolve by doc-level max-segment,
+    same LWW as every other tier), then narrow the returnable set without
+    reweighting idf — identical dialect and results to the scan-time
+    ``operators.search.simple_query_topk`` over the same fields."""
     from azuredatalakeindexer_spark.operators.search import parse_simple_query
     from azuredatalakeindexer_spark.sources.profile_segments import (
         _alive,
@@ -1044,13 +1158,6 @@ def simple_query_profile_from_index(
     optional, required, excluded, req_phrases, exc_phrases = parse_simple_query(
         query
     )
-    if req_phrases or exc_phrases:
-        raise ValueError(
-            "simple_query_profile_from_index: phrase predicates need stored "
-            "text and the profile layout persists no docstore — use the "
-            "docstore-backed simple_query_from_index or the scan-time "
-            "operators.search.simple_query_topk"
-        )
     positives = sorted(set(optional) | set(required))
     if not positives:
         raise ValueError(
@@ -1109,6 +1216,84 @@ def simple_query_profile_from_index(
                         .distinct()
                     )
             allowed = allowed.join(ti, id_col, "left_anti")
+    if req_phrases or exc_phrases:
+        from azuredatalakeindexer_spark.sources.ann_index import (
+            hadoop_path_exists,
+        )
+
+        if not hadoop_path_exists(spark, f"{path}/docstore"):
+            raise ValueError(
+                f"simple_query_profile_from_index: index at {path} has no "
+                "docstore — phrase predicates are substring semantics over "
+                "stored text; build with "
+                "build_profile_index(store_fields=True)"
+            )
+        psegs = list_segments(spark, path)
+        if psegs:
+            from azuredatalakeindexer_spark.sources.profile_segments import (
+                BASE_SEG,
+                _read_or_empty,
+                _seg_dir,
+            )
+
+            def _sslice(df: DataFrame, seg: int) -> DataFrame:
+                return df.select(id_col, "field", "text").withColumn(
+                    "seg", F.lit(seg)
+                )
+
+            store = _sslice(spark.read.parquet(f"{path}/docstore"), BASE_SEG)
+            for s in psegs:
+                store = store.unionByName(
+                    _sslice(
+                        _read_or_empty(
+                            spark,
+                            f"{_seg_dir(path, s)}/docstore",
+                            f"{id_col} long, field string, text string, "
+                            "dbucket int",
+                        ),
+                        s,
+                    )
+                )
+            # per-(doc, field) LWW: the newest segment's stored text wins;
+            # dead docs need no filter here — the ranking downstream only
+            # ever sees LIVE candidates, so stale ids in the allowed set
+            # are unreachable
+            store = store.groupBy(id_col, "field").agg(
+                F.max_by("text", "seg").alias("text")
+            )
+        else:
+            store = spark.read.parquet(f"{path}/docstore").select(
+                id_col, "field", "text"
+            )
+        store = store.where(F.col("field").isin(flds))
+        lowered = F.lower(F.col("text"))
+        # ONE aggregate answers every phrase: per doc, does phrase i
+        # appear in at least one weighted field's stored text?
+        flags = store.groupBy(id_col).agg(
+            *[
+                F.max(
+                    F.when(F.instr(lowered, p) > 0, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"_req_{i}")
+                for i, p in enumerate(req_phrases)
+            ],
+            *[
+                F.max(
+                    F.when(F.instr(lowered, p) > 0, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"_exc_{i}")
+                for i, p in enumerate(exc_phrases)
+            ],
+        )
+        pcond = F.lit(True)
+        for i in range(len(req_phrases)):
+            pcond = pcond & (F.col(f"_req_{i}") == 1)
+        for i in range(len(exc_phrases)):
+            pcond = pcond & (F.col(f"_exc_{i}") == 0)
+        matching = flags.where(pcond).select(id_col)
+        allowed = (
+            matching
+            if allowed is None
+            else allowed.join(matching, id_col, "left_semi")
+        )
     return query_profile_index(
         spark,
         path,

@@ -293,15 +293,35 @@ def upsert_profile_index_segmented(
         r["dbucket"] for r in new_lens.select("dbucket").distinct().collect()
     ]
     # old per-field dl of the batch's LIVE predecessors — statuses and the
-    # exact fieldstats deltas both derive from this one batch-sized frame
-    alive = _alive(spark, path, segs, id_col, dbuckets=dbuckets)
-    old = (
+    # exact fieldstats deltas both derive from this one batch-sized frame.
+    # ONE dbucket-pruned doclens scan, restricted to the batch's ids
+    # BEFORE any aggregation (the old shape evaluated _all_plens twice —
+    # inside _alive and again for the winning-row join — and aggregated
+    # every live doc in the pruned dbuckets, not just the batch's
+    # predecessors; measured 1.6-2.2 s of the ~6 s micro-batch upsert)
+    ids_b = F.broadcast(deduped.select(id_col))
+    dls = (
         _all_plens(spark, path, segs, id_col, dbuckets=dbuckets)
-        .join(alive.withColumnRenamed("seg", "_wseg"), id_col)
-        .where(F.col("seg") == F.col("_wseg"))
-        .join(F.broadcast(deduped.select(id_col)), id_col, "left_semi")
-        .select(id_col, "field", F.col("dl").alias("_old_dl"))
+        .join(ids_b, id_col, "left_semi")
         .localCheckpoint()
+    )
+    tmax = (
+        _all_tombs(spark, path, segs, id_col)
+        .join(ids_b, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.max("seg").alias("_tseg"))
+    )
+    win = (
+        dls.groupBy(id_col)
+        .agg(F.max("seg").alias("_wseg"))
+        .join(tmax, id_col, "left")
+        .where(F.col("_wseg") > F.coalesce(F.col("_tseg"), F.lit(-1)))
+        .select(id_col, "_wseg")
+    )
+    old = (
+        dls.join(F.broadcast(win), id_col)
+        .where(F.col("seg") == F.col("_wseg"))
+        .select(id_col, "field", F.col("dl").alias("_old_dl"))
     )
     old_ids = old.select(id_col).distinct()
     statuses = deduped.select(id_col).join(
@@ -314,38 +334,66 @@ def upsert_profile_index_segmented(
     ).localCheckpoint()
 
     commit = StagedCommit(spark, path)
-    new_postings.repartition("bucket").sortWithinPartitions(
-        "term"
-    ).write.partitionBy("bucket").parquet(f"{commit.stage('seg')}/postings")
-    new_lens.repartition("dbucket").write.partitionBy("dbucket").parquet(
-        f"{commit.stage('seg')}/doclens"
-    )
-    if idx_attrs:
-        deduped.select(
-            F.col(id_col), *idx_attrs, _dbucket(id_col, n_buckets)
-        ).repartition("dbucket").write.partitionBy("dbucket").parquet(
-            f"{commit.stage('seg')}/docvals"
+    # a docstore-backed (phrase-enabled) profile index versions its stored
+    # field texts through the segments too: the batch's rows land in
+    # seg=K/docstore and the max-segment rule serves the live version
+    # until compaction folds them into the base
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    has_store = hadoop_path_exists(spark, f"{path}/docstore")
+    # the segment relations are independent checkpointed/batch-sized
+    # frames writing to disjoint staged dirs — submit them concurrently so
+    # the per-write scheduling + dynamic-partition commit latencies
+    # overlap instead of stacking (run_concurrent)
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+    from azuredatalakeindexer_spark.sources.profile_index import _stack_stored
+
+    seg_dir = commit.stage("seg")
+    run_concurrent(
+        lambda: new_postings.repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.partitionBy("bucket")
+        .parquet(f"{seg_dir}/postings"),
+        lambda: new_lens.repartition("dbucket")
+        .write.partitionBy("dbucket")
+        .parquet(f"{seg_dir}/doclens"),
+        (
+            lambda: deduped.select(
+                F.col(id_col), *idx_attrs, _dbucket(id_col, n_buckets)
+            )
+            .repartition("dbucket")
+            .write.partitionBy("dbucket")
+            .parquet(f"{seg_dir}/docvals")
         )
+        if idx_attrs
+        else None,
+        (
+            lambda: _stack_stored(deduped, idx_fields, id_col, n_buckets)
+            .repartition("dbucket")
+            .write.partitionBy("dbucket")
+            .parquet(f"{seg_dir}/docstore")
+        )
+        if has_store
+        else None,
+    )
     commit.swap("seg", f"segments/seg={new_seg}")
 
     # exact per-field stats: created docs add a row per field; replaced
     # docs swap their old per-field dl for the new one
     stats = _read_fieldstats(spark, path)
-    n_created = int(
-        statuses.where(F.col("status") == 201).count()
-    )
-    adds = {
-        r["field"]: int(r["s"])
-        for r in new_lens.groupBy("field")
+    # three independent batch-sized aggregates — overlap their job latency
+    n_created_rows, adds_rows, subs_rows = run_concurrent(
+        lambda: statuses.where(F.col("status") == 201).count(),
+        lambda: new_lens.groupBy("field")
         .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
-        .collect()
-    }
-    subs = {
-        r["field"]: int(r["s"])
-        for r in old.groupBy("field")
+        .collect(),
+        lambda: old.groupBy("field")
         .agg(F.coalesce(F.sum("_old_dl"), F.lit(0)).alias("s"))
-        .collect()
-    }
+        .collect(),
+    )
+    n_created = int(n_created_rows)
+    adds = {r["field"]: int(r["s"]) for r in adds_rows}
+    subs = {r["field"]: int(r["s"]) for r in subs_rows}
     for fld in idx_fields:
         n, s = stats.get(fld, (0, 0))
         stats[fld] = (
@@ -581,6 +629,48 @@ def compact_profile_index(
                 commit.stage("docvals")
             )
         commit.swap("docvals", "docvals")
+
+    # docstore-backed index: fold the segments' stored field texts into
+    # the base store — the live text of every ALIVE (doc, field) is its
+    # max-segment docstore row (deleted docs drop out via the alive join)
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    if hadoop_path_exists(spark, f"{path}/docstore"):
+        def sslice(df: DataFrame, seg: int) -> DataFrame:
+            return df.select(id_col, "field", "text").withColumn(
+                "seg", F.lit(seg)
+            )
+
+        sparts = [sslice(spark.read.parquet(f"{path}/docstore"), BASE_SEG)]
+        for s in segs:
+            sparts.append(
+                sslice(
+                    _read_or_empty(
+                        spark,
+                        f"{_seg_dir(path, s)}/docstore",
+                        f"{id_col} long, field string, text string, dbucket int",
+                    ),
+                    s,
+                )
+            )
+        alls = sparts[0]
+        for p in sparts[1:]:
+            alls = alls.unionByName(p)
+        live_store = (
+            alls.join(alive, [id_col, "seg"])
+            .select(id_col, "field", "text")
+            .withColumn(
+                "dbucket", F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets))
+            )
+            .localCheckpoint()
+        )
+        if live_store.isEmpty():
+            live_store.write.parquet(commit.stage("docstore"))
+        else:
+            live_store.repartition("dbucket").write.partitionBy(
+                "dbucket"
+            ).parquet(commit.stage("docstore"))
+        commit.swap("docstore", "docstore")
     commit.remove("segments")
     commit.promote()
     return len(segs)

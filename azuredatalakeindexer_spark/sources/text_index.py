@@ -328,9 +328,36 @@ def build_text_index(
         n_buckets,
         bsets=_bsets,
     )
-    doclens.repartition("dbucket").write.mode("overwrite").partitionBy(
-        "dbucket"
-    ).parquet(f"{path}/doclens")
+    # doclens (postings read-back), docstore (corpus projection) and the
+    # terms rollup (vocabulary-sized postings read-back) are mutually
+    # independent once the postings are on disk — overlap them; stats
+    # stays LAST because it is the existence marker the streaming drain
+    # keys build-vs-upsert on (run_stream_text_index)
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
+    run_concurrent(
+        lambda: doclens.repartition("dbucket")
+        .write.mode("overwrite")
+        .partitionBy("dbucket")
+        .parquet(f"{path}/doclens"),
+        (
+            lambda: docs.select(
+                F.col(id_col),
+                F.col(text_col).alias("text"),
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
+            )
+            .repartition("dbucket")
+            .write.mode("overwrite")
+            .partitionBy("dbucket")
+            .parquet(f"{path}/docstore")
+        )
+        if store_text
+        else None,
+        # the (term, df) autocomplete rollup, derived from the WRITTEN
+        # postings (a vocabulary-sized read-back, far cheaper than a
+        # second corpus scan)
+        lambda: _rebuild_terms_rollup(docs.sparkSession, path, id_col),
+    )
     # stats from the doclens just WRITTEN (a 2-column read-back), not from
     # the expression tree — recomputing it re-tokenized the whole corpus a
     # second time (r9 verdict wrong-#4: build fixed overhead)
@@ -340,17 +367,6 @@ def build_text_index(
         docs.sparkSession.read.parquet(f"{path}/doclens"),
         n_buckets,
     )
-    if store_text:
-        docs.select(
-            F.col(id_col),
-            F.col(text_col).alias("text"),
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
-        ).repartition("dbucket").write.mode("overwrite").partitionBy(
-            "dbucket"
-        ).parquet(f"{path}/docstore")
-    # the (term, df) autocomplete rollup, derived from the WRITTEN postings
-    # (a vocabulary-sized read-back, far cheaper than a second corpus scan)
-    _rebuild_terms_rollup(docs.sparkSession, path, id_col)
 
 
 def _write_stats_from(

@@ -618,20 +618,34 @@ def upsert_text_index_segmented(
     # LWW resolution and compaction unchanged)
     has_pos = "pos" in spark.read.parquet(f"{path}/postings").columns
     new_postings = _postings_from(base, id_col, n_buckets, positions=has_pos)
-    new_postings.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
-        "bucket"
-    ).parquet(f"{commit.stage('seg')}/postings")
-    enriched.select(id_col, "dl", "dbucket").repartition("dbucket").write.partitionBy(
-        "dbucket"
-    ).parquet(f"{commit.stage('seg')}/doclens")
-    if has_store:
-        deduped.select(
-            F.col(id_col),
-            F.col(text_col).alias("text"),
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
-        ).repartition("dbucket").write.partitionBy("dbucket").parquet(
-            f"{commit.stage('seg')}/docstore"
+    # independent staged writes from checkpointed batch-sized inputs —
+    # submit concurrently so scheduling + dynamic-partition commit
+    # latencies overlap instead of stacking
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
+    seg_dir = commit.stage("seg")
+    run_concurrent(
+        lambda: new_postings.repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.partitionBy("bucket")
+        .parquet(f"{seg_dir}/postings"),
+        lambda: enriched.select(id_col, "dl", "dbucket")
+        .repartition("dbucket")
+        .write.partitionBy("dbucket")
+        .parquet(f"{seg_dir}/doclens"),
+        (
+            lambda: deduped.select(
+                F.col(id_col),
+                F.col(text_col).alias("text"),
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
+            )
+            .repartition("dbucket")
+            .write.partitionBy("dbucket")
+            .parquet(f"{seg_dir}/docstore")
         )
+        if has_store
+        else None,
+    )
     commit.swap("seg", f"segments/seg={new_seg}")
 
     # exact stats delta: replaced docs swap their dl, created docs add one

