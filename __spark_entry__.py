@@ -2312,6 +2312,45 @@ def q_text_index_highlight_topk(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_profile_highlight(spark, sf):
+    """Index-served hit highlighting on the PROFILE surface
+    (`profile_index.highlight_profile_from_index`, r12 — VERDICT r11
+    stretch-#7, the last text-surface feature composed with field-weighted
+    profiles): the scoring profile ranks top-20 from the multi-field
+    index, then the winners' stored 'text'-field rows are fetched BY ID
+    from the per-field docstore (static dbucket pruning + pushed id
+    IN-list + field equality — candidate-sized, the corpus never
+    rescanned) and highlighted with the scan-time `keyword_snippets`
+    expressions.  The oracle replays the profile scores joined to each
+    winner's first-hit position/snippet."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        highlight_profile_from_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="adls_pih_")
+    try:
+        build_profile_index(
+            _docs(spark, sf),
+            root,
+            field_cols=["text", "source"],
+            attr_cols=["n_chars", "source"],
+            n_buckets=64,
+            store_fields=True,
+        )
+        out = highlight_profile_from_index(
+            spark,
+            root,
+            {"text": (SEARCH_TERMS, 2.0), "source": (["src1"], 1.0)},
+            "merge",
+            k=20,
+            radius=20,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_index_synonyms(spark, sf):
     """Synonym-expanded search served FROM the persisted index
     (`sources/text_index.py::synonyms_from_index`, r10 — closes VERDICT r9
@@ -3475,14 +3514,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_full_correctness.py).
 
     r12 window (``_R12_WINDOW`` below), continuing the evidence-age
-    policy: the new entry (`text_index_profile_phrase`) leads, then 6
+    policy: the two new entries (`text_index_profile_phrase`,
+    `text_index_profile_highlight`) lead, then 6
     re-proofs of the paths this round's perf work rewrote (concurrent
     independent build/segment writes in build_text_index /
     build_profile_index / both segmented upserts; the one-scan
     batch-restricted predecessor lookup in the segmented profile
     upsert; the profile compaction docstore fold), then every entry by
     oldest driver evidence first — all 12 remaining r7-evidence
-    entries, all 26 r8s, and the 5 oldest r9s.  After this window no
+    entries, all 26 r8s, and the 4 oldest r9s.  After this window no
     registered entry's newest driver row is older than r9.  All
     result-preserving changes are additionally re-proven by the full
     local replay at sf0.01 (tools/check_correctness.py).
@@ -3495,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_profile_synonyms": q_text_index_profile_synonyms,
         "text_index_profile_simple_query": q_text_index_profile_simple_query,
         "text_index_profile_phrase": q_text_index_profile_phrase,
+        "text_index_profile_highlight": q_text_index_profile_highlight,
         "stream_profile_facets_filtered": q_stream_profile_facets_filtered,
         # -- CHANGED this round (r11): every text/profile build & upsert
         # -- now derives doclens (dl + victim-directory bucket set) from
@@ -3672,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R12_WINDOW = [
     # new this round
     "text_index_profile_phrase",
+    "text_index_profile_highlight",
     # re-proofs of the r12-rewritten paths (concurrent build/segment
     # writes, one-scan predecessor lookup, compaction docstore fold)
     "text_index_topk",
@@ -3720,12 +3762,11 @@ _R12_WINDOW = [
     "search_synonyms",
     "search_wildcard",
     "semantic_dedup",
-    # oldest r9-evidence entries (5 of them; remainder next round)
+    # oldest r9-evidence entries (4 of them; remainder next round)
     "dedup_last_writer",
     "dedup_minhash_lsh",
     "deleted_anti_join",
     "events_json_extract",
-    "events_to_path_rows",
 ]
 
 
@@ -5543,6 +5584,54 @@ def oracle_sql() -> dict[str, str]:
       FROM scored JOIN allowed USING (doc_id)
       WHERE round(total, 6) > 0
       ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+    # profile-surface highlight: the same multi-field profile replay (no
+    # boost), each winner joined to its text field's first-hit
+    # position/snippet for 'merge' (radius 20 → 45-char window)
+    sqls["text_index_profile_highlight"] = f"""
+      WITH raw AS (
+        SELECT doc_id, {_WORDS} AS tw,
+               list_filter(string_split_regex(lower(source), '\\s+'), x -> x != '') AS sw
+        FROM documents),
+      per AS (
+        SELECT doc_id,
+               len(tw) AS dl0,
+               len(list_filter(tw, x -> x = 'merge'))  AS tf0_0,
+               len(list_filter(tw, x -> x = 'query'))  AS tf0_1,
+               len(list_filter(tw, x -> x = 'stream')) AS tf0_2,
+               len(sw) AS dl1,
+               len(list_filter(sw, x -> x = 'src1'))   AS tf1_0
+        FROM raw),
+      stats AS (
+        SELECT count(*) AS n,
+               avg(dl0) AS avgdl0, avg(dl1) AS avgdl1,
+               sum(CASE WHEN tf0_0 > 0 THEN 1 ELSE 0 END) AS df0_0,
+               sum(CASE WHEN tf0_1 > 0 THEN 1 ELSE 0 END) AS df0_1,
+               sum(CASE WHEN tf0_2 > 0 THEN 1 ELSE 0 END) AS df0_2,
+               sum(CASE WHEN tf1_0 > 0 THEN 1 ELSE 0 END) AS df1_0
+        FROM per),
+      scored AS (
+        SELECT doc_id,
+               2.0 * ({_bm25_term.format(i='0_0', f='0')}
+                    + {_bm25_term.format(i='0_1', f='0')}
+                    + {_bm25_term.format(i='0_2', f='0')})
+             + 1.0 * ({_bm25_term.format(i='1_0', f='1')}) AS total
+        FROM per, stats),
+      topk AS (
+        SELECT doc_id, round(total, 6) AS score
+        FROM scored
+        WHERE round(total, 6) > 0
+        ORDER BY score DESC, doc_id LIMIT 20)
+      SELECT t.doc_id, t.score,
+             CASE WHEN strpos(lower(d.text), 'merge') > 0
+                  THEN strpos(lower(d.text), 'merge') ELSE 0 END::INT AS hit_pos,
+             CASE WHEN strpos(lower(d.text), 'merge') > 0
+                  THEN substring(d.text,
+                                 greatest(1, strpos(lower(d.text), 'merge') - 20),
+                                 45)
+             END AS snippet
+      FROM topk t JOIN documents d USING (doc_id)
     """
 
     # phrase predicates on the profile surface: positives merge/value rank

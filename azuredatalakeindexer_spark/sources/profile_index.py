@@ -763,35 +763,6 @@ def upsert_profile_index(
     ).localCheckpoint()
 
     commit = StagedCommit(spark, path)
-    keep = (
-        spark.read.parquet(postings_path)
-        .where(F.col("bucket").isin(affected))
-        .join(dkeys, id_col, "left_anti")
-        .select("term", id_col, "field", "tf", "bucket")
-    )
-    # single evaluation: the merge writes straight to the stage dir (its
-    # only consumer), and the surviving bucket set is read off the staged
-    # directory names — no checkpoint materialization, no collect job
-    merged = keep.unionByName(
-        new_postings.select("term", id_col, "field", "tf", "bucket")
-    )
-    merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
-        "bucket"
-    ).parquet(commit.stage("postings"))
-    from azuredatalakeindexer_spark.sources.ann_index import (
-        _partition_dir_names,
-    )
-
-    present = [
-        int(n.split("=", 1)[1])
-        for n in _partition_dir_names(spark, commit.stage("postings"), "bucket")
-    ]
-    for b in affected:
-        if b in present:
-            commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
-        else:
-            commit.remove(f"postings/bucket={b}")
-
     dkeep = (
         spark.read.parquet(f"{path}/doclens")
         .where(F.col("dbucket").isin(daffected))
@@ -805,25 +776,63 @@ def upsert_profile_index(
         )
     )
     dmerged = dkeep.unionByName(new_lens).localCheckpoint()
-    dmerged.repartition("dbucket").write.partitionBy("dbucket").parquet(
-        commit.stage("doclens")
-    )
-    for b in daffected:
-        # every delta dbucket carries its own delta rows, so none empties
-        commit.swap(f"doclens/dbucket={b}", f"doclens/dbucket={b}")
 
-    # per-field stats from the POST-state doclens (unaffected live rows ∪
-    # the staged merge — the live read happens pre-promote)
-    stats_src = (
-        spark.read.parquet(f"{path}/doclens")
-        .where(~F.col("dbucket").isin(daffected))
-        .select(id_col, "field", "dl", "dbucket")
-        .unionByName(dmerged.select(id_col, "field", "dl", "dbucket"))
-    )
-    _write_fieldstats_from(stats_src, path, target=commit.stage("fieldstats"))
-    commit.swap("fieldstats", "fieldstats")
+    # every tier's staged write derives from checkpointed batch-sized
+    # frames or pre-promote live reads no other tier moves — five
+    # mutually independent actions, submitted concurrently so their
+    # scheduling + dynamic-partition commit latencies overlap
+    # (run_concurrent); promote stays one sequential rename pass
+    def _w_postings() -> None:
+        keep = (
+            spark.read.parquet(postings_path)
+            .where(F.col("bucket").isin(affected))
+            .join(dkeys, id_col, "left_anti")
+            .select("term", id_col, "field", "tf", "bucket")
+        )
+        # single evaluation: the merge writes straight to the stage dir
+        # (its only consumer), and the surviving bucket set is read off
+        # the staged directory names — no checkpoint, no collect job
+        merged = keep.unionByName(
+            new_postings.select("term", id_col, "field", "tf", "bucket")
+        )
+        merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
+            "bucket"
+        ).parquet(commit.stage("postings"))
+        from azuredatalakeindexer_spark.sources.ann_index import (
+            _partition_dir_names,
+        )
 
-    if idx_attrs:
+        present = [
+            int(n.split("=", 1)[1])
+            for n in _partition_dir_names(spark, commit.stage("postings"), "bucket")
+        ]
+        for b in affected:
+            if b in present:
+                commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
+            else:
+                commit.remove(f"postings/bucket={b}")
+
+    def _w_doclens() -> None:
+        dmerged.repartition("dbucket").write.partitionBy("dbucket").parquet(
+            commit.stage("doclens")
+        )
+        for b in daffected:
+            # every delta dbucket carries its own delta rows, so none empties
+            commit.swap(f"doclens/dbucket={b}", f"doclens/dbucket={b}")
+
+    def _w_fieldstats() -> None:
+        # per-field stats from the POST-state doclens (unaffected live
+        # rows ∪ the staged merge — the live read happens pre-promote)
+        stats_src = (
+            spark.read.parquet(f"{path}/doclens")
+            .where(~F.col("dbucket").isin(daffected))
+            .select(id_col, "field", "dl", "dbucket")
+            .unionByName(dmerged.select(id_col, "field", "dl", "dbucket"))
+        )
+        _write_fieldstats_from(stats_src, path, target=commit.stage("fieldstats"))
+        commit.swap("fieldstats", "fieldstats")
+
+    def _w_docvals() -> None:
         new_vals = deduped.select(
             F.col(id_col), *idx_attrs, _dbucket(id_col, n_buckets)
         )
@@ -836,19 +845,16 @@ def upsert_profile_index(
         # single consumer (this write, pre-promote, against the still-live
         # base) — a localCheckpoint here would be a pure extra
         # materialization
-        vmerged = vkeep.unionByName(new_vals)
-        vmerged.repartition("dbucket").write.partitionBy("dbucket").parquet(
-            commit.stage("docvals")
-        )
+        vkeep.unionByName(new_vals).repartition("dbucket").write.partitionBy(
+            "dbucket"
+        ).parquet(commit.stage("docvals"))
         for b in daffected:
             commit.swap(f"docvals/dbucket={b}", f"docvals/dbucket={b}")
 
-    # docstore (stored per-field texts, phrase-enabled indexes): replace
-    # the delta docs' rows in their own dbuckets under the same journal —
-    # identical partition discipline to docvals
-    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
-
-    if hadoop_path_exists(spark, f"{path}/docstore"):
+    def _w_docstore() -> None:
+        # docstore (stored per-field texts, phrase-enabled indexes):
+        # replace the delta docs' rows in their own dbuckets under the
+        # same journal — identical partition discipline to docvals
         new_store = _stack_stored(deduped, idx_fields, id_col, n_buckets)
         skeep = (
             spark.read.parquet(f"{path}/docstore")
@@ -862,6 +868,17 @@ def upsert_profile_index(
         ).parquet(commit.stage("docstore"))
         for b in daffected:
             commit.swap(f"docstore/dbucket={b}", f"docstore/dbucket={b}")
+
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    run_concurrent(
+        _w_postings,
+        _w_doclens,
+        _w_fieldstats,
+        _w_docvals if idx_attrs else None,
+        _w_docstore if hadoop_path_exists(spark, f"{path}/docstore") else None,
+    )
     commit.promote()
     return statuses
 
@@ -942,6 +959,8 @@ def delete_from_profile_index(
         ]
     else:
         affected = sorted(vic_buckets)
+    keep = None
+    present: list = []
     if affected:
         keep = (
             spark.read.parquet(postings_path)
@@ -951,24 +970,6 @@ def delete_from_profile_index(
             .localCheckpoint()
         )
         present = [r["bucket"] for r in keep.select("bucket").distinct().collect()]
-        survivors_elsewhere = bool(
-            set(_partition_dir_names(spark, postings_path, "bucket"))
-            - {f"bucket={b}" for b in affected}
-        )
-        if index_emptied or (not present and not survivors_elsewhere):
-            keep.write.parquet(commit.stage("postings"))
-            commit.swap("postings", "postings")
-        else:
-            if present:
-                keep.repartition("bucket").sortWithinPartitions(
-                    "term"
-                ).write.partitionBy("bucket").parquet(commit.stage("postings"))
-            for b in affected:
-                if b in present:
-                    commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
-                else:
-                    commit.remove(f"postings/bucket={b}")
-
     dkeep = (
         full_lens.where(F.col("dbucket").isin(daffected))
         .join(keys, id_col, "left_anti")
@@ -982,10 +983,33 @@ def delete_from_profile_index(
         .localCheckpoint()
     )
     dpresent = [r["dbucket"] for r in dkeep.select("dbucket").distinct().collect()]
-    if index_emptied:
-        dkeep.write.parquet(commit.stage("doclens"))
-        commit.swap("doclens", "doclens")
-    else:
+
+    # survivor relations checkpointed, present/dpresent collected — the
+    # tier writes below are mutually independent; submit concurrently
+    def _w_postings() -> None:
+        survivors_elsewhere = bool(
+            set(_partition_dir_names(spark, postings_path, "bucket"))
+            - {f"bucket={b}" for b in affected}
+        )
+        if index_emptied or (not present and not survivors_elsewhere):
+            keep.write.parquet(commit.stage("postings"))
+            commit.swap("postings", "postings")
+            return
+        if present:
+            keep.repartition("bucket").sortWithinPartitions(
+                "term"
+            ).write.partitionBy("bucket").parquet(commit.stage("postings"))
+        for b in affected:
+            if b in present:
+                commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
+            else:
+                commit.remove(f"postings/bucket={b}")
+
+    def _w_doclens() -> None:
+        if index_emptied:
+            dkeep.write.parquet(commit.stage("doclens"))
+            commit.swap("doclens", "doclens")
+            return
         if dpresent:
             dkeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
                 commit.stage("doclens")
@@ -996,11 +1020,12 @@ def delete_from_profile_index(
             else:
                 commit.remove(f"doclens/dbucket={b}")
 
-    # per-field stats over ALL survivors (aggregated pre-promote)
-    _write_fieldstats_from(survivors, path, target=commit.stage("fieldstats"))
-    commit.swap("fieldstats", "fieldstats")
+    def _w_fieldstats() -> None:
+        # per-field stats over ALL survivors (aggregated pre-promote)
+        _write_fieldstats_from(survivors, path, target=commit.stage("fieldstats"))
+        commit.swap("fieldstats", "fieldstats")
 
-    if idx_attrs:
+    def _w_docvals() -> None:
         # single consumer (the staged write) — no checkpoint needed
         vkeep = (
             spark.read.parquet(f"{path}/docvals")
@@ -1011,20 +1036,18 @@ def delete_from_profile_index(
         if index_emptied:
             vkeep.write.parquet(commit.stage("docvals"))
             commit.swap("docvals", "docvals")
-        else:
-            if dpresent:
-                vkeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
-                    commit.stage("docvals")
-                )
-            for b in daffected:
-                if b in dpresent:
-                    commit.swap(f"docvals/dbucket={b}", f"docvals/dbucket={b}")
-                else:
-                    commit.remove(f"docvals/dbucket={b}")
+            return
+        if dpresent:
+            vkeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
+                commit.stage("docvals")
+            )
+        for b in daffected:
+            if b in dpresent:
+                commit.swap(f"docvals/dbucket={b}", f"docvals/dbucket={b}")
+            else:
+                commit.remove(f"docvals/dbucket={b}")
 
-    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
-
-    if hadoop_path_exists(spark, f"{path}/docstore"):
+    def _w_docstore() -> None:
         # single consumer (the staged write) — no checkpoint needed
         skeep = (
             spark.read.parquet(f"{path}/docstore")
@@ -1035,17 +1058,27 @@ def delete_from_profile_index(
         if index_emptied:
             skeep.write.parquet(commit.stage("docstore"))
             commit.swap("docstore", "docstore")
-        else:
-            if dpresent:
-                skeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
-                    commit.stage("docstore")
-                )
-            for b in daffected:
-                if b in dpresent:
-                    commit.swap(f"docstore/dbucket={b}", f"docstore/dbucket={b}")
-                else:
-                    commit.remove(f"docstore/dbucket={b}")
+            return
+        if dpresent:
+            skeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
+                commit.stage("docstore")
+            )
+        for b in daffected:
+            if b in dpresent:
+                commit.swap(f"docstore/dbucket={b}", f"docstore/dbucket={b}")
+            else:
+                commit.remove(f"docstore/dbucket={b}")
 
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    run_concurrent(
+        _w_postings if affected else None,
+        _w_doclens,
+        _w_fieldstats,
+        _w_docvals if idx_attrs else None,
+        _w_docstore if hadoop_path_exists(spark, f"{path}/docstore") else None,
+    )
     commit.promote()
     return int(n_removed)
 
@@ -1306,4 +1339,151 @@ def simple_query_profile_from_index(
         tag_boost=tag_boost,
         filter_ids=allowed,
         broadcast_filter=False,  # the allowed set can be corpus-sized
+    )
+
+
+def highlight_profile_from_index(
+    spark: SparkSession,
+    path: str,
+    profile: "dict[str, tuple]",
+    highlight_term: str | None = None,
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    boost: "tuple | None" = None,
+    tag_boost: "tuple | None" = None,
+    highlight_field: str | None = None,
+    radius: int = 20,
+) -> DataFrame:
+    """Hit-highlighted search on the PROFILE surface (r12 — the last
+    text-surface feature composed with field-weighted profiles): the
+    scoring profile ranks via ``query_profile_index`` (bucket-pruned,
+    term-pushed, index-global stats), then the ``k`` winners' stored
+    texts for ``highlight_field`` (default: the first profile field) are
+    fetched BY ID from the per-field docstore written by
+    ``build_profile_index(store_fields=True)`` and highlighted with
+    exactly the scan-time ``keyword_snippets`` expressions — first-hit
+    position + ``radius``-char context for ``highlight_term`` (default:
+    the first term of the highlight field's term list).  Top-k docs not
+    containing the term return ``hit_pos=0`` and a NULL snippet.
+
+    Output ``(id_col, score, hit_pos, snippet)`` ordered score-desc,
+    id-asc — identical shape to ``text_index.highlight_from_index``.
+
+    Scale shape: the candidate fetch is candidate-sized, never
+    corpus-sized — the k result-page ids are collected (model-sized by
+    construction), their dbuckets computed, and the docstore read
+    statically prunes to those dbuckets with the id IN-list + field
+    equality pushed into the surviving files; on a segmented index the
+    slice resolves per (id, field) by the max-segment rule over the SAME
+    candidate-restricted rows.
+    """
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    if not hadoop_path_exists(spark, f"{path}/docstore"):
+        raise ValueError(
+            f"highlight_profile_from_index: index at {path} has no "
+            "docstore — build with build_profile_index(store_fields=True) "
+            "to serve highlights from the index"
+        )
+    n_buckets, idx_fields, _attrs = _read_meta(spark, path)
+    fld = highlight_field if highlight_field is not None else list(profile)[0]
+    if fld not in idx_fields:
+        raise ValueError(
+            f"highlight_profile_from_index: field {fld!r} is not indexed "
+            f"(index fields: {idx_fields})"
+        )
+    needle = (
+        highlight_term
+        if highlight_term is not None
+        else list(profile[fld][0])[0]
+    ).lower()
+    top = query_profile_index(
+        spark,
+        path,
+        profile,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+        k=k,
+        boost=boost,
+        tag_boost=tag_boost,
+    )
+    rows = top.collect()  # k rows — the result page, model-sized
+    if not rows:
+        return spark.createDataFrame(
+            [], f"{id_col} long, score double, hit_pos int, snippet string"
+        )
+    scores = tiny_df(
+        spark,
+        [(r[id_col], float(r["score"])) for r in rows],
+        f"{id_col} long, score double",
+    )
+    dbs = sorted(
+        r["b"]
+        for r in scores.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    ids = [r[id_col] for r in rows]
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        BASE_SEG,
+        _read_or_empty,
+        _seg_dir,
+        list_segments,
+    )
+
+    segs = list_segments(spark, path)
+    if segs:
+        # candidate-restricted slices of base + every segment's docstore,
+        # resolved per (id, field) by the max-segment rule
+        def _slice(df: DataFrame, seg: int) -> DataFrame:
+            return (
+                df.where(F.col("dbucket").isin(dbs))
+                .where(F.col(id_col).isin(ids))
+                .where(F.col("field") == fld)
+                .select(id_col, "text")
+                .withColumn("seg", F.lit(seg))
+            )
+
+        alls = _slice(spark.read.parquet(f"{path}/docstore"), BASE_SEG)
+        for s in segs:
+            alls = alls.unionByName(
+                _slice(
+                    _read_or_empty(
+                        spark,
+                        f"{_seg_dir(path, s)}/docstore",
+                        f"{id_col} long, field string, text string, "
+                        "dbucket int",
+                    ),
+                    s,
+                )
+            )
+        fetched = alls.groupBy(id_col).agg(
+            F.max_by("text", "seg").alias("text")
+        )
+    else:
+        fetched = (
+            spark.read.parquet(f"{path}/docstore")
+            .where(F.col("dbucket").isin(dbs))
+            .where(F.col(id_col).isin(ids))
+            .where(F.col("field") == fld)
+            .select(id_col, "text")
+        )
+    pos = F.instr(F.lower(F.col("text")), needle)
+    start = F.greatest(F.lit(1), pos - F.lit(radius))
+    snippet = F.substring(F.col("text"), start, F.lit(2 * radius + len(needle)))
+    return (
+        fetched.join(F.broadcast(scores), id_col)
+        .select(
+            F.col(id_col),
+            "score",
+            F.when(pos > 0, pos).otherwise(F.lit(0)).alias("hit_pos"),
+            F.when(pos > 0, snippet).alias("snippet"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
     )

@@ -129,12 +129,19 @@ class StagedCommit:
     """
 
     def __init__(self, spark: SparkSession, root: str):
+        import threading
+
         self.spark = spark
         self.root = root.rstrip("/")
         self.stage_id = uuid.uuid4().hex[:12]
         self.stage_dir = f"{self.root}/{STAGING_PREFIX}{self.stage_id}"
         self.swaps: list[dict] = []
         self._last_beat = time.time()
+        # stage()/swap() are called from concurrent writer threads
+        # (functions/parallel.run_concurrent): the lease renewal writes a
+        # FIXED tmp name (LEASE.tmp), so two unsynchronized heartbeats
+        # race create-vs-rename — serialize them
+        self._beat_lock = threading.Lock()
         # the lease marks this staging as LIVE: recover_for_maintenance
         # refuses to reclaim it until LEASE_TTL_SEC has passed
         _write_file_atomic(
@@ -157,20 +164,21 @@ class StagedCommit:
         Renewals are throttled to once per LEASE_TTL_SEC/20 so the
         per-bucket swap loops (up to n_buckets calls per op) don't issue
         one lease PUT each on object stores."""
-        now = time.time()
-        if now - self._last_beat < LEASE_TTL_SEC / 20.0:
-            return
-        self._last_beat = now
-        fs, _ = _hadoop_fs(self.spark, self.root)
-        lease = f"{self.stage_dir}/{LEASE_FILE}"
-        if fs.exists(_jpath(self.spark, lease)):
-            _write_file_atomic(
-                self.spark,
-                lease,
-                json.dumps(
-                    {"stage_id": self.stage_id, "renewed_unix": time.time()}
-                ),
-            )
+        with self._beat_lock:
+            now = time.time()
+            if now - self._last_beat < LEASE_TTL_SEC / 20.0:
+                return
+            self._last_beat = now
+            fs, _ = _hadoop_fs(self.spark, self.root)
+            lease = f"{self.stage_dir}/{LEASE_FILE}"
+            if fs.exists(_jpath(self.spark, lease)):
+                _write_file_atomic(
+                    self.spark,
+                    lease,
+                    json.dumps(
+                        {"stage_id": self.stage_id, "renewed_unix": time.time()}
+                    ),
+                )
 
     def stage(self, name: str) -> str:
         """Absolute path under the staging dir to write ``name`` into."""

@@ -558,36 +558,6 @@ def upsert_text_index(
     # dir is invisible to readers and GC'd by the next maintenance op)
     commit = StagedCommit(spark, path)
     base_empty = old_postings.isEmpty()  # delete-all left a 0-row sentinel layout
-    if base_empty:
-        # whole-dir swap replaces the unpartitioned sentinel with a clean
-        # partitioned layout
-        merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
-            "bucket"
-        ).parquet(commit.stage("postings"))
-        commit.swap("postings", "postings")
-    else:
-        # stage only the affected buckets; at promote time present buckets
-        # swap in and a victim bucket whose postings ALL belonged to
-        # replaced docs whose new terms hash elsewhere (zero survivors)
-        # is removed
-        merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
-            "bucket"
-        ).parquet(commit.stage("postings"))
-        # surviving buckets read off the staged directory names — the
-        # write just enumerated them, so no extra collect job
-        from azuredatalakeindexer_spark.sources.ann_index import (
-            _partition_dir_names,
-        )
-
-        present = [
-            int(n.split("=", 1)[1])
-            for n in _partition_dir_names(spark, commit.stage("postings"), "bucket")
-        ]
-        for b in affected:
-            if b in present:
-                commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
-            else:
-                commit.remove(f"postings/bucket={b}")
 
     # doclens: same affected-partition staging keyed by the id-hash bucket.
     # has_bsets: this index's doclens carries the per-doc bucket-set
@@ -612,22 +582,63 @@ def upsert_text_index(
     # postings but non-empty doclens, and a whole-dir swap here would drop
     # doclens rows in unaffected dbuckets
     doclens_empty = spark.read.parquet(doclens_path).isEmpty()
-    dmerged.repartition("dbucket").write.partitionBy("dbucket").parquet(
-        commit.stage("doclens")
-    )
-    if doclens_empty:
-        commit.swap("doclens", "doclens")
-    else:
-        # every daffected dbucket carries new_lens rows, so none empties
-        for b in daffected:
-            commit.swap(f"doclens/dbucket={b}", f"doclens/dbucket={b}")
-
-    # docstore (retrievable text, highlight-enabled indexes): replace the
-    # delta docs' rows in their own dbuckets under the same journal —
-    # identical partition discipline to doclens (same id-hash key)
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
-    if hadoop_path_exists(spark, f"{path}/docstore"):
+    has_store = hadoop_path_exists(spark, f"{path}/docstore")
+
+    # every tier's staged write now derives from CHECKPOINTED batch-sized
+    # frames (merged / dmerged / deduped / victims) or pre-promote live
+    # reads that no other tier moves — five mutually independent actions,
+    # submitted concurrently so their scheduling + dynamic-partition
+    # commit latencies overlap instead of stacking (run_concurrent); the
+    # per-tier swaps are recorded inside each thunk (disjoint live paths,
+    # so journal order is irrelevant) and promote stays a single
+    # sequential rename pass at the end
+    def _w_postings() -> None:
+        merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
+            "bucket"
+        ).parquet(commit.stage("postings"))
+        if base_empty:
+            # whole-dir swap replaces the unpartitioned sentinel with a
+            # clean partitioned layout
+            commit.swap("postings", "postings")
+            return
+        # stage only the affected buckets; at promote time present buckets
+        # swap in and a victim bucket whose postings ALL belonged to
+        # replaced docs whose new terms hash elsewhere (zero survivors)
+        # is removed.  Surviving buckets read off the staged directory
+        # names — the write just enumerated them, so no extra collect job
+        from azuredatalakeindexer_spark.sources.ann_index import (
+            _partition_dir_names,
+        )
+
+        present = [
+            int(n.split("=", 1)[1])
+            for n in _partition_dir_names(spark, commit.stage("postings"), "bucket")
+        ]
+        for b in affected:
+            if b in present:
+                commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
+            else:
+                commit.remove(f"postings/bucket={b}")
+
+    def _w_doclens() -> None:
+        dmerged.repartition("dbucket").write.partitionBy("dbucket").parquet(
+            commit.stage("doclens")
+        )
+        if doclens_empty:
+            commit.swap("doclens", "doclens")
+        else:
+            # every daffected dbucket carries new_lens rows, so none empties
+            for b in daffected:
+                commit.swap(f"doclens/dbucket={b}", f"doclens/dbucket={b}")
+
+    def _w_docstore() -> None:
+        # docstore (retrievable text, highlight-enabled indexes): replace
+        # the delta docs' rows in their own dbuckets under the same
+        # journal — identical partition discipline to doclens (same
+        # id-hash key); single consumer (this write, pre-promote, against
+        # the still-live base) so no checkpoint
         new_store = deduped.select(
             F.col(id_col),
             F.col(text_col).alias("text"),
@@ -639,13 +650,9 @@ def upsert_text_index(
             .join(dkeys, id_col, "left_anti")
             .select(id_col, "text", "dbucket")
         )
-        # single consumer (this write, pre-promote, against the still-live
-        # base) — a localCheckpoint here would be a pure extra
-        # materialization
-        smerged = skeep.unionByName(new_store)
-        smerged.repartition("dbucket").write.partitionBy("dbucket").parquet(
-            commit.stage("docstore")
-        )
+        skeep.unionByName(new_store).repartition("dbucket").write.partitionBy(
+            "dbucket"
+        ).parquet(commit.stage("docstore"))
         if doclens_empty:
             commit.swap("docstore", "docstore")
         else:
@@ -653,40 +660,56 @@ def upsert_text_index(
             for b in daffected:
                 commit.swap(f"docstore/dbucket={b}", f"docstore/dbucket={b}")
 
-    # stats from the POST-state doclens: unaffected live rows ∪ the staged
-    # merge (the live read happens pre-promote and those rows don't move)
-    stats_src = (
-        dmerged.select(id_col, "dl", "dbucket")
-        if doclens_empty
-        else spark.read.parquet(doclens_path)
-        .where(~F.col("dbucket").isin(daffected))
-        .select(id_col, "dl", "dbucket")
-        .unionByName(dmerged.select(id_col, "dl", "dbucket"))
+    def _w_stats() -> None:
+        # stats from the POST-state doclens: unaffected live rows ∪ the
+        # staged merge (the live read happens pre-promote and those rows
+        # don't move)
+        stats_src = (
+            dmerged.select(id_col, "dl", "dbucket")
+            if doclens_empty
+            else spark.read.parquet(doclens_path)
+            .where(~F.col("dbucket").isin(daffected))
+            .select(id_col, "dl", "dbucket")
+            .unionByName(dmerged.select(id_col, "dl", "dbucket"))
+        )
+        _write_stats_from(
+            spark, path, stats_src, n_buckets, target=commit.stage("stats")
+        )
+        commit.swap("stats", "stats")
+
+    def _w_terms() -> None:
+        # exact (term, df) delta: the delta's new pairs minus the victims'
+        # old pairs — both batch-sized frames already materialized above.
+        # The pre-rollup rebuild derives from the post-state postings
+        # (unaffected live buckets ∪ the staged merge)
+        rebuild_src = (
+            merged.select("term")
+            if base_empty
+            else spark.read.parquet(postings_path)
+            .where(~F.col("bucket").isin(affected))
+            .select("term")
+            .unionByName(merged.select("term"))
+        )
+        _advance_terms_rollup(
+            spark,
+            path,
+            added=new_postings.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
+            removed=victims.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
+            id_col=id_col,
+            target=commit.stage("terms"),
+            rebuild_from=rebuild_src,
+        )
+        commit.swap("terms", "terms")
+
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
+    run_concurrent(
+        _w_postings,
+        _w_doclens,
+        _w_docstore if has_store else None,
+        _w_stats,
+        _w_terms,
     )
-    _write_stats_from(spark, path, stats_src, n_buckets, target=commit.stage("stats"))
-    commit.swap("stats", "stats")
-    # exact (term, df) delta: the delta's new pairs minus the victims' old
-    # pairs — both batch-sized frames already materialized above.  The
-    # pre-rollup rebuild derives from the post-state postings (unaffected
-    # live buckets ∪ the staged merge)
-    rebuild_src = (
-        merged.select("term")
-        if base_empty
-        else spark.read.parquet(postings_path)
-        .where(~F.col("bucket").isin(affected))
-        .select("term")
-        .unionByName(merged.select("term"))
-    )
-    _advance_terms_rollup(
-        spark,
-        path,
-        added=new_postings.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
-        removed=victims.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
-        id_col=id_col,
-        target=commit.stage("terms"),
-        rebuild_from=rebuild_src,
-    )
-    commit.swap("terms", "terms")
     commit.promote()
     return statuses
 
@@ -1204,6 +1227,7 @@ def delete_from_text_index(
     )
     affected = [r["bucket"] for r in victims.select("bucket").distinct().collect()]
     keep = None
+    present: list = []
     if affected:
         keep = (
             spark.read.parquet(postings_path)
@@ -1213,28 +1237,8 @@ def delete_from_text_index(
             .localCheckpoint()
         )
         present = [r["bucket"] for r in keep.select("bucket").distinct().collect()]
-        survivors_elsewhere = bool(
-            set(_partition_dir_names(spark, postings_path, "bucket"))
-            - {f"bucket={b}" for b in affected}
-        )
-        if index_emptied or (not present and not survivors_elsewhere):
-            # every doc deleted — or every token-bearing doc deleted while
-            # zero-token docs remain: the layout would lose its last data
-            # file, so stage the typed 0-row unpartitioned sentinel
-            # (upsert routes back through the static build write on it)
-            keep.write.parquet(commit.stage("postings"))
-            commit.swap("postings", "postings")
-        else:
-            if present:
-                keep.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
-                    "bucket"
-                ).parquet(commit.stage("postings"))
-            for b in affected:
-                if b in present:
-                    commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
-                else:
-                    commit.remove(f"postings/bucket={b}")
-
+    dkeep = None
+    dpresent: list = []
     if daffected:
         dkeep = (
             spark.read.parquet(doclens_path)
@@ -1249,27 +1253,54 @@ def delete_from_text_index(
             .localCheckpoint()
         )
         dpresent = [r["dbucket"] for r in dkeep.select("dbucket").distinct().collect()]
+
+    # the survivor relations are checkpointed and the present/dpresent
+    # bucket sets collected — the four tier writes below are mutually
+    # independent, so submit them concurrently (run_concurrent) and let
+    # promote stay one sequential rename pass
+    def _w_postings() -> None:
+        survivors_elsewhere = bool(
+            set(_partition_dir_names(spark, postings_path, "bucket"))
+            - {f"bucket={b}" for b in affected}
+        )
+        if index_emptied or (not present and not survivors_elsewhere):
+            # every doc deleted — or every token-bearing doc deleted while
+            # zero-token docs remain: the layout would lose its last data
+            # file, so stage the typed 0-row unpartitioned sentinel
+            # (upsert routes back through the static build write on it)
+            keep.write.parquet(commit.stage("postings"))
+            commit.swap("postings", "postings")
+            return
+        if present:
+            keep.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
+                "bucket"
+            ).parquet(commit.stage("postings"))
+        for b in affected:
+            if b in present:
+                commit.swap(f"postings/bucket={b}", f"postings/bucket={b}")
+            else:
+                commit.remove(f"postings/bucket={b}")
+
+    def _w_doclens() -> None:
         if index_emptied:
             dkeep.write.parquet(commit.stage("doclens"))
             commit.swap("doclens", "doclens")
-        else:
-            if dpresent:
-                dkeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
-                    commit.stage("doclens")
-                )
-            for b in daffected:
-                if b in dpresent:
-                    commit.swap(f"doclens/dbucket={b}", f"doclens/dbucket={b}")
-                else:
-                    commit.remove(f"doclens/dbucket={b}")
+            return
+        if dpresent:
+            dkeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
+                commit.stage("doclens")
+            )
+        for b in daffected:
+            if b in dpresent:
+                commit.swap(f"doclens/dbucket={b}", f"doclens/dbucket={b}")
+            else:
+                commit.remove(f"doclens/dbucket={b}")
 
-    # docstore (retrievable text): victims leave their dbuckets under the
-    # same journal; emptied dbuckets are removed; delete-all drops to the
-    # typed 0-row unpartitioned sentinel like doclens
-    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
-
-    if daffected and hadoop_path_exists(spark, f"{path}/docstore"):
-        # single consumer (the staged write) — no checkpoint needed
+    def _w_docstore() -> None:
+        # docstore (retrievable text): victims leave their dbuckets under
+        # the same journal; emptied dbuckets are removed; delete-all drops
+        # to the typed 0-row unpartitioned sentinel like doclens.  Single
+        # consumer (the staged write) — no checkpoint needed
         skeep = (
             spark.read.parquet(f"{path}/docstore")
             .where(F.col("dbucket").isin(daffected))
@@ -1279,45 +1310,60 @@ def delete_from_text_index(
         if index_emptied:
             skeep.write.parquet(commit.stage("docstore"))
             commit.swap("docstore", "docstore")
-        else:
-            # docstore rows mirror doclens rows id-for-id, so the same
-            # dbuckets survive (dpresent) and the same ones empty
-            if dpresent:
-                skeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
-                    commit.stage("docstore")
-                )
-            for b in daffected:
-                if b in dpresent:
-                    commit.swap(f"docstore/dbucket={b}", f"docstore/dbucket={b}")
-                else:
-                    commit.remove(f"docstore/dbucket={b}")
+            return
+        # docstore rows mirror doclens rows id-for-id, so the same
+        # dbuckets survive (dpresent) and the same ones empty
+        if dpresent:
+            skeep.repartition("dbucket").write.partitionBy("dbucket").parquet(
+                commit.stage("docstore")
+            )
+        for b in daffected:
+            if b in dpresent:
+                commit.swap(f"docstore/dbucket={b}", f"docstore/dbucket={b}")
+            else:
+                commit.remove(f"docstore/dbucket={b}")
 
-    stats.write.parquet(commit.stage("stats"))
-    commit.swap("stats", "stats")
-    if index_emptied:
-        spark.createDataFrame([], "term string, df bigint").write.parquet(
-            commit.stage("terms")
-        )
-    else:
-        # post-state postings for the pre-rollup rebuild fallback:
-        # unaffected live buckets ∪ the staged survivors
-        rebuild_src = (
-            old_postings.where(~F.col("bucket").isin(affected)).select("term")
-            if not affected
-            else old_postings.where(~F.col("bucket").isin(affected))
-            .select("term")
-            .unionByName(keep.select("term"))
-        )
-        _advance_terms_rollup(
-            spark,
-            path,
-            added=None,
-            removed=victims.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
-            id_col=id_col,
-            target=commit.stage("terms"),
-            rebuild_from=rebuild_src,
-        )
-    commit.swap("terms", "terms")
+    def _w_stats_terms() -> None:
+        stats.write.parquet(commit.stage("stats"))
+        commit.swap("stats", "stats")
+        if index_emptied:
+            spark.createDataFrame([], "term string, df bigint").write.parquet(
+                commit.stage("terms")
+            )
+        else:
+            # post-state postings for the pre-rollup rebuild fallback:
+            # unaffected live buckets ∪ the staged survivors
+            rebuild_src = (
+                old_postings.where(~F.col("bucket").isin(affected)).select("term")
+                if not affected
+                else old_postings.where(~F.col("bucket").isin(affected))
+                .select("term")
+                .unionByName(keep.select("term"))
+            )
+            _advance_terms_rollup(
+                spark,
+                path,
+                added=None,
+                removed=victims.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
+                id_col=id_col,
+                target=commit.stage("terms"),
+                rebuild_from=rebuild_src,
+            )
+        commit.swap("terms", "terms")
+
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    run_concurrent(
+        _w_postings if affected else None,
+        _w_doclens if daffected else None,
+        (
+            _w_docstore
+            if daffected and hadoop_path_exists(spark, f"{path}/docstore")
+            else None
+        ),
+        _w_stats_terms,
+    )
     commit.promote()
     return int(n_removed)
 

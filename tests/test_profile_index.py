@@ -660,3 +660,89 @@ def test_profile_phrase_through_full_maintenance_lifecycle(spark, tmp_path):
         _rows(simple_query_profile_from_index(spark, path, query, weights, k=15))
         == pre
     )
+
+
+def test_profile_highlight_served_and_segmented(spark, tmp_path):
+    """Index-served highlight on the profile surface (r12 stretch-#7):
+    the served (id, score, hit_pos, snippet) page must equal the
+    scan-time profile ranking joined to keyword-snippet expressions —
+    and a segmented index must serve each winner's LIVE (max-segment)
+    text, bit-identically after compaction folds it."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        highlight_profile_from_index,
+    )
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        compact_profile_index,
+        upsert_profile_index_segmented,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "pidx")
+    profile = {"text": (["merge", "query", "stream"], 2.0), "source": (["src1"], 1.0)}
+
+    def expected(corpus, k=20):
+        full = scoring_profile_topk(corpus, profile, k=k)
+        pos = F.instr(F.lower(F.col("text")), "merge")
+        start = F.greatest(F.lit(1), pos - F.lit(20))
+        snip = F.substring(F.col("text"), start, F.lit(45))
+        return sorted(
+            tuple(r)
+            for r in full.join(corpus.select("doc_id", "text"), "doc_id")
+            .select(
+                "doc_id",
+                F.col("score"),
+                F.when(pos > 0, pos).otherwise(F.lit(0)).alias("hit_pos"),
+                F.when(pos > 0, snip).alias("snippet"),
+            )
+            .collect()
+        )
+
+    build_profile_index(
+        docs,
+        path,
+        field_cols=["text", "source"],
+        attr_cols=["n_chars"],
+        store_fields=True,
+    )
+    got = sorted(
+        tuple(r)
+        for r in highlight_profile_from_index(
+            spark, path, profile, "merge", k=20, radius=20
+        ).collect()
+    )
+    assert got == expected(docs)
+    assert any(r[2] > 0 for r in got)  # at least one real hit highlighted
+
+    # segmented: replacements rewrite winners' texts in a pending segment;
+    # the served snippet must come from the LIVE version
+    delta = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.lit("merge rewritten body "), F.col("text")).alias("text"),
+        F.lit("src1").alias("source"),
+        "n_chars",
+    )
+    upsert_profile_index_segmented(spark, path, delta)
+    logical = docs.join(delta.select("doc_id"), "doc_id", "left_anti").unionByName(
+        delta.select("doc_id", "text", "source", "n_chars")
+    )
+    got_seg = sorted(
+        tuple(r)
+        for r in highlight_profile_from_index(
+            spark, path, profile, "merge", k=20, radius=20
+        ).collect()
+    )
+    assert got_seg == expected(logical)
+    compact_profile_index(spark, path)
+    got_compacted = sorted(
+        tuple(r)
+        for r in highlight_profile_from_index(
+            spark, path, profile, "merge", k=20, radius=20
+        ).collect()
+    )
+    assert got_compacted == got_seg
+
+    # no docstore → loud refusal, same contract as the text surface
+    bare = str(tmp_path / "bare")
+    build_profile_index(docs, bare, field_cols=["text"], attr_cols=[])
+    with pytest.raises(ValueError, match="no docstore"):
+        highlight_profile_from_index(spark, bare, {"text": (["merge"], 1.0)}, k=5)
