@@ -183,36 +183,44 @@ def build_profile_index(
     spark = docs.sparkSession
     stacked = _stack_fields(docs, field_cols, id_col)
     postings = _postings_rows(stacked, id_col, n_buckets)
-    postings.repartition("bucket").sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{path}/postings")
-    # per-(doc, field) dl + victim-directory bucket set DERIVED from the
-    # postings just written (narrow read-back) plus an id-only corpus
-    # projection crossed with the static field list for the zero-token
-    # rows — one tokenize pass, one hash pass total (r10 verdict wrong-#1:
-    # the old `_buckets_expr` doclens pass doubled the build cost)
-    pairs = docs.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.lit(f) for f in field_cols])).alias("field"),
-    )
-    doclens = _lens_from_postings(
-        spark.read.parquet(f"{path}/postings"),
-        pairs,
-        id_col,
-        n_buckets,
-        per_field=True,
-    )
-    # doclens (postings read-back) and docvals (corpus projection) are
-    # independent — overlap them; fieldstats needs the written doclens
-    # and the meta marker stays LAST (it is what flips the streaming
-    # build-vs-upsert decision, so nothing may exist after it doesn't)
+
+    def _postings_chain() -> None:
+        # the DEPENDENT chain: postings on disk → per-(doc, field) dl +
+        # victim-directory bucket set DERIVED from the postings just
+        # written (narrow read-back) plus an id-only corpus projection
+        # crossed with the static field list for the zero-token rows —
+        # one tokenize pass, one hash pass total (r10 verdict wrong-#1:
+        # the old `_buckets_expr` doclens pass doubled the build cost) →
+        # fieldstats from the written doclens (2-column read-back)
+        postings.repartition("bucket").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(f"{path}/postings")
+        pairs = docs.select(
+            F.col(id_col),
+            F.explode(F.array(*[F.lit(f) for f in field_cols])).alias("field"),
+        )
+        doclens = _lens_from_postings(
+            spark.read.parquet(f"{path}/postings"),
+            pairs,
+            id_col,
+            n_buckets,
+            per_field=True,
+        )
+        doclens.repartition("dbucket").write.mode("overwrite").partitionBy(
+            "dbucket"
+        ).parquet(f"{path}/doclens")
+        _write_fieldstats_from(spark.read.parquet(f"{path}/doclens"), path)
+
+    # docvals and docstore are corpus projections independent of the
+    # postings→doclens→fieldstats chain — overlap them with the WHOLE
+    # chain, not just its tail (r12: the old shape serialized them behind
+    # the postings write, the build's single longest action).  The meta
+    # marker stays LAST (it is what flips the streaming build-vs-upsert
+    # decision, so nothing may exist after it doesn't).
     from azuredatalakeindexer_spark.functions.parallel import run_concurrent
 
     run_concurrent(
-        lambda: doclens.repartition("dbucket")
-        .write.mode("overwrite")
-        .partitionBy("dbucket")
-        .parquet(f"{path}/doclens"),
+        _postings_chain,
         (
             lambda: docs.select(
                 F.col(id_col), *attr_cols, _dbucket(id_col, n_buckets)
@@ -233,9 +241,6 @@ def build_profile_index(
         )
         if store_fields
         else None,
-    )
-    _write_fieldstats_from(
-        spark.read.parquet(f"{path}/doclens"), path
     )
     tiny_df(
         spark,

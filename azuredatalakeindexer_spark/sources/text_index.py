@@ -306,40 +306,52 @@ def build_text_index(
     toks = tokens(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("_toks"))
     postings = _postings_from(base, id_col, n_buckets, positions)
-    # term-sorted within each bucket's files: pushed term predicates
-    # (IN-lists, startswith) then prune row groups via min/max stats
-    postings.repartition("bucket").sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{path}/postings")
-    # doclens (dl, victim-directory bucket set) DERIVED from the postings
-    # just written — a narrow (id, tf, bucket) read-back — plus an id-only
-    # column-pruned corpus projection for the zero-token rows.  The corpus
-    # is tokenized ONCE (the postings pass) and the bucket hash is computed
-    # ONCE (r10 verdict wrong-#1: the old `_buckets_expr` doclens pass
-    # re-tokenized and re-hashed the whole corpus, doubling build cost).
-    # _bsets=False writes the legacy (pre-victim-directory) doclens layout;
-    # only tools/bench_vdir_scale.py uses it, to keep the column's build
-    # cost measured (r10 verdict next-#1: "build cost can never regress
-    # unmeasured again")
-    doclens = _lens_from_postings(
-        docs.sparkSession.read.parquet(f"{path}/postings"),
-        docs.select(F.col(id_col)),
-        id_col,
-        n_buckets,
-        bsets=_bsets,
-    )
-    # doclens (postings read-back), docstore (corpus projection) and the
-    # terms rollup (vocabulary-sized postings read-back) are mutually
-    # independent once the postings are on disk — overlap them; stats
-    # stays LAST because it is the existence marker the streaming drain
-    # keys build-vs-upsert on (run_stream_text_index)
+
+    def _postings_chain() -> None:
+        # the DEPENDENT chain.  Postings first — term-sorted within each
+        # bucket's files so pushed term predicates (IN-lists, startswith)
+        # prune row groups via min/max stats.  Then doclens (dl,
+        # victim-directory bucket set) DERIVED from the postings just
+        # written — a narrow (id, tf, bucket) read-back — plus an id-only
+        # column-pruned corpus projection for the zero-token rows: the
+        # corpus is tokenized ONCE (the postings pass) and the bucket hash
+        # computed ONCE (r10 verdict wrong-#1: the old `_buckets_expr`
+        # doclens pass re-tokenized and re-hashed the whole corpus,
+        # doubling build cost).  The (term, df) autocomplete rollup is a
+        # vocabulary-sized read-back of the same written postings,
+        # independent of doclens — nested overlap.
+        # _bsets=False writes the legacy (pre-victim-directory) doclens
+        # layout; only tools/bench_vdir_scale.py uses it, to keep the
+        # column's build cost measured (r10 verdict next-#1: "build cost
+        # can never regress unmeasured again")
+        postings.repartition("bucket").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(f"{path}/postings")
+        doclens = _lens_from_postings(
+            docs.sparkSession.read.parquet(f"{path}/postings"),
+            docs.select(F.col(id_col)),
+            id_col,
+            n_buckets,
+            bsets=_bsets,
+        )
+        run_concurrent(
+            lambda: doclens.repartition("dbucket")
+            .write.mode("overwrite")
+            .partitionBy("dbucket")
+            .parquet(f"{path}/doclens"),
+            lambda: _rebuild_terms_rollup(docs.sparkSession, path, id_col),
+        )
+
+    # the docstore is a corpus projection independent of the postings →
+    # doclens → terms chain — overlap it with the WHOLE chain, not just
+    # its tail (r12: the old shape serialized it behind the postings
+    # write, the build's single longest action); stats stays LAST because
+    # it is the existence marker the streaming drain keys build-vs-upsert
+    # on (run_stream_text_index)
     from azuredatalakeindexer_spark.functions.parallel import run_concurrent
 
     run_concurrent(
-        lambda: doclens.repartition("dbucket")
-        .write.mode("overwrite")
-        .partitionBy("dbucket")
-        .parquet(f"{path}/doclens"),
+        _postings_chain,
         (
             lambda: docs.select(
                 F.col(id_col),
@@ -353,10 +365,6 @@ def build_text_index(
         )
         if store_text
         else None,
-        # the (term, df) autocomplete rollup, derived from the WRITTEN
-        # postings (a vocabulary-sized read-back, far cheaper than a
-        # second corpus scan)
-        lambda: _rebuild_terms_rollup(docs.sparkSession, path, id_col),
     )
     # stats from the doclens just WRITTEN (a 2-column read-back), not from
     # the expression tree — recomputing it re-tokenized the whole corpus a
