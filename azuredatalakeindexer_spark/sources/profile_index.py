@@ -698,89 +698,112 @@ def upsert_profile_index(
         _victim_buckets,
     )
 
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
     deduped = _dedupe_profile_delta(delta, id_col, cols).localCheckpoint()
     # stacked is consumed only by new_postings/new_lens, which are
     # themselves checkpointed — re-deriving it from the checkpointed
     # deduped batch inside those jobs is cheaper than a third
     # batch-sized materialization (r10 fixed-overhead trim)
     stacked = _stack_fields(deduped, idx_fields, id_col)
-    new_postings = _postings_rows(stacked, id_col, n_buckets).localCheckpoint()
     delta_ids = deduped.select(id_col)
     dkeys = F.broadcast(delta_ids) if broadcast_ids else delta_ids
-    daffected = [
-        r["b"]
-        for r in deduped.select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
     postings_path = f"{path}/postings"
-    # victim buckets via the doclens bucket-set column (dbucket-pruned
-    # read, O(batch buckets)); legacy indexes without the column fall
-    # back to the full column-pruned postings projection (r9 wrong-#3)
-    vic_buckets = _victim_buckets(spark, path, dkeys, daffected, id_col)
-    has_bsets = vic_buckets is not None
-    # dl + bucket set derived from the CHECKPOINTED delta postings plus the
-    # batch's (id, field) pairs for zero-token rows — no second tokenize or
-    # hash pass over the batch (r10 verdict wrong-#1)
-    pairs = deduped.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.lit(f) for f in idx_fields])).alias("field"),
-    )
-    new_lens = _lens_from_postings(
-        new_postings, pairs, id_col, n_buckets, per_field=True, bsets=has_bsets
-    ).localCheckpoint()
-    if vic_buckets is None:
-        victims = (
-            spark.read.parquet(postings_path)
-            .select(id_col, "bucket")
-            .join(dkeys, id_col, "left_semi")
-        )
-        affected = [
-            r["bucket"]
-            for r in new_postings.select("bucket")
-            .union(victims.select("bucket"))
+    # bucket-set column presence is a schema probe (parquet footers,
+    # driver-side) — no Spark job
+    has_bsets = "buckets" in spark.read.parquet(f"{path}/doclens").columns
+
+    # The pre-write critical path is latency-bound sequential driver
+    # actions (same r12 finding as upsert_text_index) — layer by data
+    # dependency and run each layer's independent members concurrently.
+    #
+    # Layer 1: the delta postings checkpoint and the batch's id-hash
+    # partition list.
+    new_postings, daffected = run_concurrent(
+        lambda: _postings_rows(stacked, id_col, n_buckets).localCheckpoint(),
+        lambda: [
+            r["b"]
+            for r in deduped.select(
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+            )
             .distinct()
             .collect()
-        ]
-    else:
-        new_buckets = [
-            r["bucket"]
-            for r in new_postings.select("bucket").distinct().collect()
-        ]
-        affected = sorted(set(new_buckets) | set(vic_buckets))
-    existing = (
-        spark.read.parquet(f"{path}/doclens")
-        .where(F.col("dbucket").isin(daffected))
-        .select(id_col)
-        .join(dkeys, id_col, "left_semi")
-        .distinct()
-        .withColumn("_old", F.lit(1))
+        ],
     )
-    statuses = delta_ids.join(
-        F.broadcast(existing) if broadcast_ids else existing, id_col, "left"
-    ).select(
-        id_col,
-        F.when(F.col("_old").isNotNull(), F.lit(200))
-        .otherwise(F.lit(201))
-        .alias("status"),
-    ).localCheckpoint()
+
+    # Layer 2: three mutually independent chains over layer-1 outputs.
+    def _chain_affected():
+        # victim buckets via the doclens bucket-set column (dbucket-pruned
+        # read, O(batch buckets)); legacy indexes without the column fall
+        # back to the full column-pruned postings projection (r9 wrong-#3)
+        vic_buckets = _victim_buckets(spark, path, dkeys, daffected, id_col)
+        if vic_buckets is None:
+            victims = (
+                spark.read.parquet(postings_path)
+                .select(id_col, "bucket")
+                .join(dkeys, id_col, "left_semi")
+            )
+            return [
+                r["bucket"]
+                for r in new_postings.select("bucket")
+                .union(victims.select("bucket"))
+                .distinct()
+                .collect()
+            ]
+        new_buckets = [
+            r["bucket"] for r in new_postings.select("bucket").distinct().collect()
+        ]
+        return sorted(set(new_buckets) | set(vic_buckets))
+
+    def _chain_doclens():
+        # dl + bucket set derived from the CHECKPOINTED delta postings plus
+        # the batch's (id, field) pairs for zero-token rows — no second
+        # tokenize or hash pass over the batch (r10 verdict wrong-#1)
+        pairs = deduped.select(
+            F.col(id_col),
+            F.explode(F.array(*[F.lit(f) for f in idx_fields])).alias("field"),
+        )
+        new_lens = _lens_from_postings(
+            new_postings, pairs, id_col, n_buckets, per_field=True, bsets=has_bsets
+        ).localCheckpoint()
+        dkeep = (
+            spark.read.parquet(f"{path}/doclens")
+            .where(F.col("dbucket").isin(daffected))
+            .join(dkeys, id_col, "left_anti")
+            .select(
+                id_col,
+                "field",
+                "dl",
+                *(["buckets"] if has_bsets else []),
+                "dbucket",
+            )
+        )
+        dmerged = dkeep.unionByName(new_lens).localCheckpoint()
+        return new_lens, dmerged
+
+    def _chain_statuses():
+        existing = (
+            spark.read.parquet(f"{path}/doclens")
+            .where(F.col("dbucket").isin(daffected))
+            .select(id_col)
+            .join(dkeys, id_col, "left_semi")
+            .distinct()
+            .withColumn("_old", F.lit(1))
+        )
+        return delta_ids.join(
+            F.broadcast(existing) if broadcast_ids else existing, id_col, "left"
+        ).select(
+            id_col,
+            F.when(F.col("_old").isNotNull(), F.lit(200))
+            .otherwise(F.lit(201))
+            .alias("status"),
+        ).localCheckpoint()
+
+    affected, (new_lens, dmerged), statuses = run_concurrent(
+        _chain_affected, _chain_doclens, _chain_statuses
+    )
 
     commit = StagedCommit(spark, path)
-    dkeep = (
-        spark.read.parquet(f"{path}/doclens")
-        .where(F.col("dbucket").isin(daffected))
-        .join(dkeys, id_col, "left_anti")
-        .select(
-            id_col,
-            "field",
-            "dl",
-            *(["buckets"] if has_bsets else []),
-            "dbucket",
-        )
-    )
-    dmerged = dkeep.unionByName(new_lens).localCheckpoint()
 
     # every tier's staged write derives from checkpointed batch-sized
     # frames or pre-promote live reads no other tier moves — five
@@ -921,73 +944,102 @@ def delete_from_profile_index(
     keys = F.broadcast(ids) if broadcast_ids else ids
 
     doclens_path = f"{path}/doclens"
-    full_lens = spark.read.parquet(doclens_path)
-    # the dead ids' own dbuckets are computable from the ids alone —
-    # statically prune the victim lookup and the doclens rewrite
-    id_dbuckets = [
-        r["b"]
-        for r in ids.select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
-    dvictims = (
-        full_lens.where(F.col("dbucket").isin(id_dbuckets))
-        .select(id_col, "dbucket")
-        .join(keys, id_col, "left_semi")
-    )
-    daffected = [
-        r["dbucket"] for r in dvictims.select("dbucket").distinct().collect()
-    ]
-    n_removed = dvictims.select(id_col).distinct().count()
-    if not daffected:
-        return 0
-    survivors = full_lens.join(keys, id_col, "left_anti")
-    index_emptied = survivors.isEmpty()
-
-    commit = StagedCommit(spark, path)
     postings_path = f"{path}/postings"
-    # victim buckets via the doclens bucket-set column (dbucket-pruned);
-    # legacy fallback scans the full column-pruned postings projection
+    full_lens = spark.read.parquet(doclens_path)
+    survivors = full_lens.join(keys, id_col, "left_anti")
+    has_bsets = "buckets" in full_lens.columns
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
     from azuredatalakeindexer_spark.sources.text_index import _victim_buckets
 
-    vic_buckets = _victim_buckets(spark, path, keys, id_dbuckets, id_col)
-    if vic_buckets is None:
-        victims = (
-            spark.read.parquet(postings_path)
-            .select(id_col, "bucket")
+    # Layered like delete_from_text_index (r12): the pre-write critical
+    # path is latency-bound sequential driver actions — run each layer's
+    # independent members concurrently.
+    #
+    # Layer 1: the dead ids' own dbuckets (computable from the ids alone —
+    # statically prune the victim lookup and the doclens rewrite) and the
+    # emptied-index probe.
+    id_dbuckets, index_emptied = run_concurrent(
+        lambda: [
+            r["b"]
+            for r in ids.select(
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ],
+        lambda: survivors.isEmpty(),
+    )
+
+    # Layer 2: the postings-side and doclens-side survivor chains.
+    def _chain_postings():
+        # victim buckets via the doclens bucket-set column (dbucket-
+        # pruned); legacy fallback scans the full column-pruned postings
+        # projection
+        vic_buckets = _victim_buckets(spark, path, keys, id_dbuckets, id_col)
+        if vic_buckets is None:
+            victims = (
+                spark.read.parquet(postings_path)
+                .select(id_col, "bucket")
+                .join(keys, id_col, "left_semi")
+            )
+            affected = [
+                r["bucket"] for r in victims.select("bucket").distinct().collect()
+            ]
+        else:
+            affected = sorted(vic_buckets)
+        keep = None
+        present: list = []
+        if affected:
+            keep = (
+                spark.read.parquet(postings_path)
+                .where(F.col("bucket").isin(affected))
+                .join(keys, id_col, "left_anti")
+                .select("term", id_col, "field", "tf", "bucket")
+                .localCheckpoint()
+            )
+            present = [
+                r["bucket"] for r in keep.select("bucket").distinct().collect()
+            ]
+        return affected, keep, present
+
+    def _chain_doclens():
+        dvictims = (
+            full_lens.where(F.col("dbucket").isin(id_dbuckets))
+            .select(id_col, "dbucket")
             .join(keys, id_col, "left_semi")
         )
-        affected = [
-            r["bucket"] for r in victims.select("bucket").distinct().collect()
+        daffected = [
+            r["dbucket"] for r in dvictims.select("dbucket").distinct().collect()
         ]
-    else:
-        affected = sorted(vic_buckets)
-    keep = None
-    present: list = []
-    if affected:
-        keep = (
-            spark.read.parquet(postings_path)
-            .where(F.col("bucket").isin(affected))
+        n_removed = dvictims.select(id_col).distinct().count()
+        if not daffected:
+            return daffected, n_removed, None, []
+        dkeep = (
+            full_lens.where(F.col("dbucket").isin(daffected))
             .join(keys, id_col, "left_anti")
-            .select("term", id_col, "field", "tf", "bucket")
+            .select(
+                id_col,
+                "field",
+                "dl",
+                *(["buckets"] if has_bsets else []),
+                "dbucket",
+            )
             .localCheckpoint()
         )
-        present = [r["bucket"] for r in keep.select("bucket").distinct().collect()]
-    dkeep = (
-        full_lens.where(F.col("dbucket").isin(daffected))
-        .join(keys, id_col, "left_anti")
-        .select(
-            id_col,
-            "field",
-            "dl",
-            *(["buckets"] if vic_buckets is not None else []),
-            "dbucket",
-        )
-        .localCheckpoint()
+        dpresent = [
+            r["dbucket"] for r in dkeep.select("dbucket").distinct().collect()
+        ]
+        return daffected, n_removed, dkeep, dpresent
+
+    (affected, keep, present), (daffected, n_removed, dkeep, dpresent) = (
+        run_concurrent(_chain_postings, _chain_doclens)
     )
-    dpresent = [r["dbucket"] for r in dkeep.select("dbucket").distinct().collect()]
+    if not daffected:
+        # none of the ids exist: every tier is untouched (the postings
+        # chain found no victims either) — idempotent no-op, and no
+        # StagedCommit was opened so no staging dir or lease is left
+        return 0
+    commit = StagedCommit(spark, path)
 
     # survivor relations checkpointed, present/dpresent collected — the
     # tier writes below are mutually independent; submit concurrently

@@ -481,115 +481,157 @@ def upsert_text_index(
         recover_for_maintenance,
     )
 
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
     recover_for_maintenance(spark, path)
     _require_unsegmented(spark, path, "upsert_text_index")
     _check_n_buckets(spark, path, n_buckets, "upsert_text_index")
     toks = tokens(F.col(text_col))
-    deduped = _dedupe_delta(delta, id_col, text_col).localCheckpoint()
-    base = deduped.select(F.col(id_col), toks.alias("_toks")).localCheckpoint()
-    postings_path = f"{path}/postings"
-    old_postings = spark.read.parquet(postings_path)
-    vcols = _postings_cols(old_postings, id_col)  # carries pos on positional indexes
-    new_postings = _postings_from(
-        base, id_col, n_buckets, positions="pos" in vcols
-    ).localCheckpoint()
-    delta_ids = base.select(id_col)
-    dkeys = F.broadcast(delta_ids) if broadcast_ids else delta_ids
-    # the batch's id-hash partitions — prunes the doclens alive-lookup,
-    # the vdir victim lookup, and every id-keyed tier rewrite below
-    delta_dbuckets = [
-        r["b"]
-        for r in base.select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
-
-    # victims carry term as well as bucket: the same column-pruned scan
-    # yields the affected buckets AND the per-term removal counts the
-    # terms-rollup delta needs (no extra pass).  The doclens bucket-set
-    # column statically prunes the scan to the buckets actually holding
-    # stale postings of the batch's ids (O(batch buckets)); legacy
-    # indexes without one fall back to the full postings projection.
-    vic_buckets = _victim_buckets(spark, path, dkeys, delta_dbuckets, id_col)
-    vsrc = (
-        old_postings
-        if vic_buckets is None
-        else old_postings.where(F.col("bucket").isin(vic_buckets))
-    )
-    victims = (
-        vsrc.select("term", id_col, "bucket")
-        .join(dkeys, id_col, "left_semi")
+    # ONE batch materialization carries both consumers' columns: the
+    # deduped (id, text) rows the docstore tier re-writes and the
+    # tokenized (id, _toks) rows everything else derives from (r12: two
+    # separate checkpoints paid the fixed job latency twice)
+    ck = (
+        _dedupe_delta(delta, id_col, text_col)
+        .select(F.col(id_col), F.col(text_col), toks.alias("_toks"))
         .localCheckpoint()
     )
-    affected = [
-        r["bucket"]
-        for r in new_postings.select("bucket")
-        .union(victims.select("bucket"))
-        .distinct()
-        .collect()
-    ]
-    # statuses are judged from the DOCLENS side, not the postings victims:
-    # every existing doc has a doclens row, but a zero-token doc has no
-    # postings and a postings-side lookup would misreport its replacement
-    # as 201-created (the segmented path already judges from doclens —
-    # same contract, test-pinned equal).
-    existing_ids = (
-        spark.read.parquet(f"{path}/doclens")
-        .where(F.col("dbucket").isin(delta_dbuckets))
-        .select(id_col)
-        .join(dkeys, id_col, "left_semi")
-    )
-    _old_ids = existing_ids.withColumn("_old", F.lit(1))
-    statuses = delta_ids.join(
-        F.broadcast(_old_ids) if broadcast_ids else _old_ids,
-        id_col,
-        "left",
-    ).select(
-        id_col,
-        F.when(F.col("_old").isNotNull(), F.lit(200)).otherwise(F.lit(201)).alias("status"),
-    ).localCheckpoint()
+    deduped = ck.select(F.col(id_col), F.col(text_col))
+    base = ck.select(F.col(id_col), F.col("_toks"))
+    postings_path = f"{path}/postings"
+    doclens_path = f"{path}/doclens"
+    old_postings = spark.read.parquet(postings_path)
+    vcols = _postings_cols(old_postings, id_col)  # carries pos on positional indexes
+    delta_ids = base.select(id_col)
+    dkeys = F.broadcast(delta_ids) if broadcast_ids else delta_ids
 
-    keep = (
-        spark.read.parquet(postings_path)
-        .where(F.col("bucket").isin(affected))
-        .join(dkeys, id_col, "left_anti")
-        .select(*vcols, "bucket")
+    # Every driver-side action below is latency-bound, not compute-bound,
+    # at batch scale — the pre-write critical path is SEQUENTIAL fixed
+    # job latencies (r12: ~14 of them, over half the measured upsert
+    # wall).  Layer them by data dependency and run each layer's
+    # independent members concurrently (run_concurrent), exactly like the
+    # staged writes below.
+    #
+    # Layer 1 — everything that needs only the checkpointed batch:
+    # the delta postings checkpoint, the batch's id-hash partition list
+    # (prunes the doclens alive-lookup, the vdir victim lookup, and every
+    # id-keyed tier rewrite below), and the two emptiness probes.
+    new_postings, delta_dbuckets, base_empty, doclens_empty = run_concurrent(
+        lambda: _postings_from(
+            base, id_col, n_buckets, positions="pos" in vcols
+        ).localCheckpoint(),
+        lambda: [
+            r["b"]
+            for r in base.select(
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ],
+        # delete-all left a 0-row sentinel layout; gate doclens on ITS OWN
+        # emptiness, not the postings-derived one: a base whose surviving
+        # docs are all zero-token has empty postings but non-empty doclens,
+        # and a whole-dir swap there would drop rows in unaffected dbuckets
+        lambda: old_postings.isEmpty(),
+        lambda: spark.read.parquet(doclens_path).isEmpty(),
     )
-    merged = keep.unionByName(
-        new_postings.select(*vcols, "bucket")
-    ).localCheckpoint()
+
+    # Layer 2 — three mutually independent chains over layer-1 outputs.
+    vic_state: dict = {}
+
+    def _chain_postings():
+        # victims carry term as well as bucket: the same column-pruned
+        # scan yields the affected buckets AND the per-term removal counts
+        # the terms-rollup delta needs (no extra pass).  The doclens
+        # bucket-set column statically prunes the scan to the buckets
+        # actually holding stale postings of the batch's ids (O(batch
+        # buckets)); legacy indexes without one fall back to the full
+        # postings projection.
+        vic_buckets = _victim_buckets(spark, path, dkeys, delta_dbuckets, id_col)
+        vic_state["has_bsets"] = vic_buckets is not None
+        vsrc = (
+            old_postings
+            if vic_buckets is None
+            else old_postings.where(F.col("bucket").isin(vic_buckets))
+        )
+        victims = (
+            vsrc.select("term", id_col, "bucket")
+            .join(dkeys, id_col, "left_semi")
+            .localCheckpoint()
+        )
+        affected = [
+            r["bucket"]
+            for r in new_postings.select("bucket")
+            .union(victims.select("bucket"))
+            .distinct()
+            .collect()
+        ]
+        keep = (
+            spark.read.parquet(postings_path)
+            .where(F.col("bucket").isin(affected))
+            .join(dkeys, id_col, "left_anti")
+            .select(*vcols, "bucket")
+        )
+        merged = keep.unionByName(
+            new_postings.select(*vcols, "bucket")
+        ).localCheckpoint()
+        return victims, affected, merged
+
+    def _chain_doclens():
+        # dl + bucket set derived from the CHECKPOINTED delta postings
+        # (see _lens_from_postings) — no second hash pass over the batch's
+        # tokens.  has_bsets mirrors the victim chain's detection but is
+        # read from the relation directly so the chains stay independent.
+        has_bsets = "buckets" in spark.read.parquet(doclens_path).columns
+        new_lens = _lens_from_postings(
+            new_postings, delta_ids, id_col, n_buckets, bsets=has_bsets
+        ).localCheckpoint()
+        daffected = [
+            r["dbucket"] for r in new_lens.select("dbucket").distinct().collect()
+        ]
+        dkeep = (
+            spark.read.parquet(doclens_path)
+            .where(F.col("dbucket").isin(daffected))
+            .join(dkeys, id_col, "left_anti")
+            .select(id_col, "dl", *(["buckets"] if has_bsets else []), "dbucket")
+        )
+        dmerged = dkeep.unionByName(new_lens).localCheckpoint()
+        return new_lens, daffected, dmerged
+
+    def _chain_statuses():
+        # statuses are judged from the DOCLENS side, not the postings
+        # victims: every existing doc has a doclens row, but a zero-token
+        # doc has no postings and a postings-side lookup would misreport
+        # its replacement as 201-created (the segmented path already
+        # judges from doclens — same contract, test-pinned equal).
+        existing_ids = (
+            spark.read.parquet(doclens_path)
+            .where(F.col("dbucket").isin(delta_dbuckets))
+            .select(id_col)
+            .join(dkeys, id_col, "left_semi")
+        )
+        _old_ids = existing_ids.withColumn("_old", F.lit(1))
+        return delta_ids.join(
+            F.broadcast(_old_ids) if broadcast_ids else _old_ids,
+            id_col,
+            "left",
+        ).select(
+            id_col,
+            F.when(F.col("_old").isNotNull(), F.lit(200))
+            .otherwise(F.lit(201))
+            .alias("status"),
+        ).localCheckpoint()
+
+    (victims, affected, merged), (new_lens, daffected, dmerged), statuses = (
+        run_concurrent(_chain_postings, _chain_doclens, _chain_statuses)
+    )
+    has_bsets = vic_state["has_bsets"]
+
     # every relation's new version is STAGED under <path>/.staging-<id>
     # and promoted by one journaled rename pass at the end — a crash at
     # any earlier point leaves the live index byte-identical (the staged
     # dir is invisible to readers and GC'd by the next maintenance op)
     commit = StagedCommit(spark, path)
-    base_empty = old_postings.isEmpty()  # delete-all left a 0-row sentinel layout
-
-    # doclens: same affected-partition staging keyed by the id-hash bucket.
-    # has_bsets: this index's doclens carries the per-doc bucket-set
-    # column (vic_buckets found it above); legacy layouts stay legacy.
-    has_bsets = vic_buckets is not None
-    doclens_path = f"{path}/doclens"
-    # dl + bucket set derived from the CHECKPOINTED delta postings (see
-    # _lens_from_postings) — no second hash pass over the batch's tokens
-    new_lens = _lens_from_postings(
-        new_postings, delta_ids, id_col, n_buckets, bsets=has_bsets
-    ).localCheckpoint()
-    daffected = [r["dbucket"] for r in new_lens.select("dbucket").distinct().collect()]
-    dkeep = (
-        spark.read.parquet(doclens_path)
-        .where(F.col("dbucket").isin(daffected))
-        .join(dkeys, id_col, "left_anti")
-        .select(id_col, "dl", *(["buckets"] if has_bsets else []), "dbucket")
-    )
-    dmerged = dkeep.unionByName(new_lens).localCheckpoint()
-    # gate on the DOCLENS relation's own emptiness, not the postings-derived
-    # base_empty: a base whose surviving docs are all zero-token has empty
-    # postings but non-empty doclens, and a whole-dir swap here would drop
-    # doclens rows in unaffected dbuckets
-    doclens_empty = spark.read.parquet(doclens_path).isEmpty()
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
     has_store = hadoop_path_exists(spark, f"{path}/docstore")
@@ -1165,6 +1207,8 @@ def delete_from_text_index(
         recover_for_maintenance,
     )
 
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
     recover_for_maintenance(spark, path)
     _require_unsegmented(spark, path, "delete_from_text_index")
     _check_n_buckets(spark, path, n_buckets, "delete_from_text_index")
@@ -1172,34 +1216,37 @@ def delete_from_text_index(
     keys = F.broadcast(ids) if broadcast_ids else ids
 
     doclens_path = f"{path}/doclens"
+    postings_path = f"{path}/postings"
     full_lens = spark.read.parquet(doclens_path)
-    # the dead ids' own dbuckets are computable from the ids alone —
-    # statically prune BOTH the victim lookup and the doclens rewrite
-    id_dbuckets = [
-        r["b"]
-        for r in ids.select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
-    dvictims = (
-        full_lens.where(F.col("dbucket").isin(id_dbuckets))
-        .select(id_col, "dbucket")
-        .join(keys, id_col, "left_semi")
-    )
-    daffected = [r["dbucket"] for r in dvictims.select("dbucket").distinct().collect()]
-    n_removed = dvictims.select(id_col).distinct().count()
-    # stats must reflect ALL surviving docs; aggregate before the rewrite so
-    # a fully-emptied doclens layout never has to be re-read
-    _srow = (
-        full_lens.join(keys, id_col, "left_anti")
+    old_postings = spark.read.parquet(postings_path)
+    vcols = _postings_cols(old_postings, id_col)  # carries pos on positional indexes
+    has_bsets = "buckets" in full_lens.columns
+
+    # The pre-write critical path is latency-bound sequential driver
+    # actions (same r12 finding as the upsert) — layer by dependency and
+    # run each layer's independent members concurrently.
+    #
+    # Layer 1: the dead ids' own dbuckets (computable from the ids alone —
+    # statically prune BOTH the victim lookup and the doclens rewrite) and
+    # the survivor stats (must reflect ALL surviving docs; aggregated
+    # before the rewrite so a fully-emptied doclens layout never has to be
+    # re-read).
+    id_dbuckets, _srow = run_concurrent(
+        lambda: [
+            r["b"]
+            for r in ids.select(
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ],
+        lambda: full_lens.join(keys, id_col, "left_anti")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.avg("dl").alias("avgdl"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         )
-        .first()
+        .first(),
     )
     stats = tiny_df(
         spark,
@@ -1214,53 +1261,75 @@ def delete_from_text_index(
     index_emptied = _srow["n_docs"] == 0
 
     commit = StagedCommit(spark, path)
-    postings_path = f"{path}/postings"
-    old_postings = spark.read.parquet(postings_path)
-    vcols = _postings_cols(old_postings, id_col)  # carries pos on positional indexes
-    # victims carry term too: the same scan feeds the affected-bucket list
-    # and the per-term removal counts for the terms-rollup delta.  The
-    # doclens bucket-set column statically prunes the scan to the buckets
-    # actually holding the dead ids' postings (legacy indexes fall back
-    # to the full projection).
-    vic_buckets = _victim_buckets(spark, path, keys, id_dbuckets, id_col)
-    vsrc = (
-        old_postings
-        if vic_buckets is None
-        else old_postings.where(F.col("bucket").isin(vic_buckets))
-    )
-    victims = (
-        vsrc.select("term", id_col, "bucket")
-        .join(keys, id_col, "left_semi")
-        .localCheckpoint()
-    )
-    affected = [r["bucket"] for r in victims.select("bucket").distinct().collect()]
-    keep = None
-    present: list = []
-    if affected:
-        keep = (
-            spark.read.parquet(postings_path)
-            .where(F.col("bucket").isin(affected))
-            .join(keys, id_col, "left_anti")
-            .select(*vcols, "bucket")
+
+    # Layer 2: the postings-side and doclens-side survivor chains are
+    # mutually independent given the layer-1 outputs.
+    def _chain_postings():
+        # victims carry term too: the same scan feeds the affected-bucket
+        # list and the per-term removal counts for the terms-rollup delta.
+        # The doclens bucket-set column statically prunes the scan to the
+        # buckets actually holding the dead ids' postings (legacy indexes
+        # fall back to the full projection).
+        vic_buckets = _victim_buckets(spark, path, keys, id_dbuckets, id_col)
+        vsrc = (
+            old_postings
+            if vic_buckets is None
+            else old_postings.where(F.col("bucket").isin(vic_buckets))
+        )
+        victims = (
+            vsrc.select("term", id_col, "bucket")
+            .join(keys, id_col, "left_semi")
             .localCheckpoint()
         )
-        present = [r["bucket"] for r in keep.select("bucket").distinct().collect()]
-    dkeep = None
-    dpresent: list = []
-    if daffected:
-        dkeep = (
-            spark.read.parquet(doclens_path)
-            .where(F.col("dbucket").isin(daffected))
-            .join(keys, id_col, "left_anti")
-            .select(
-                id_col,
-                "dl",
-                *(["buckets"] if vic_buckets is not None else []),
-                "dbucket",
+        affected = [
+            r["bucket"] for r in victims.select("bucket").distinct().collect()
+        ]
+        keep = None
+        present: list = []
+        if affected:
+            keep = (
+                spark.read.parquet(postings_path)
+                .where(F.col("bucket").isin(affected))
+                .join(keys, id_col, "left_anti")
+                .select(*vcols, "bucket")
+                .localCheckpoint()
             )
-            .localCheckpoint()
+            present = [r["bucket"] for r in keep.select("bucket").distinct().collect()]
+        return victims, affected, keep, present
+
+    def _chain_doclens():
+        dvictims = (
+            full_lens.where(F.col("dbucket").isin(id_dbuckets))
+            .select(id_col, "dbucket")
+            .join(keys, id_col, "left_semi")
         )
-        dpresent = [r["dbucket"] for r in dkeep.select("dbucket").distinct().collect()]
+        daffected = [
+            r["dbucket"] for r in dvictims.select("dbucket").distinct().collect()
+        ]
+        n_removed = dvictims.select(id_col).distinct().count()
+        dkeep = None
+        dpresent: list = []
+        if daffected:
+            dkeep = (
+                spark.read.parquet(doclens_path)
+                .where(F.col("dbucket").isin(daffected))
+                .join(keys, id_col, "left_anti")
+                .select(
+                    id_col,
+                    "dl",
+                    *(["buckets"] if has_bsets else []),
+                    "dbucket",
+                )
+                .localCheckpoint()
+            )
+            dpresent = [
+                r["dbucket"] for r in dkeep.select("dbucket").distinct().collect()
+            ]
+        return daffected, n_removed, dkeep, dpresent
+
+    (victims, affected, keep, present), (daffected, n_removed, dkeep, dpresent) = (
+        run_concurrent(_chain_postings, _chain_doclens)
+    )
 
     # the survivor relations are checkpointed and the present/dpresent
     # bucket sets collected — the four tier writes below are mutually
