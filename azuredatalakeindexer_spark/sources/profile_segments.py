@@ -571,32 +571,49 @@ def compact_profile_index(
         .localCheckpoint()
     )
 
-    commit = StagedCommit(spark, path)
-    if merged.isEmpty():
-        merged.select("term", id_col, "field", "tf", "bucket").write.parquet(
-            commit.stage("postings")
-        )
-    else:
-        merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
-            "bucket"
-        ).parquet(commit.stage("postings"))
-    commit.swap("postings", "postings")
-    if lens.isEmpty():
-        lens.write.parquet(commit.stage("doclens"))
-    else:
-        lens.repartition("dbucket").write.partitionBy("dbucket").parquet(
-            commit.stage("doclens")
-        )
-    commit.swap("doclens", "doclens")
-    # fieldstats from the resolved doclens (exact, same avg division)
-    lens.groupBy("field").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
-    ).coalesce(1).write.parquet(commit.stage("fieldstats"))
-    commit.swap("fieldstats", "fieldstats")
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
-    if idx_attrs:
+    commit = StagedCommit(spark, path)
+    merged_empty, lens_empty = run_concurrent(
+        lambda: merged.isEmpty(), lambda: lens.isEmpty()
+    )
+
+    # the five staged tier writes below derive from the checkpointed
+    # resolved relations (or their own LWW resolution of disjoint
+    # relations) — mutually independent, submitted concurrently (r12,
+    # same shape as compact_text_index); per-tier swaps record inside
+    # each thunk, promote stays one sequential rename pass
+    def _w_postings() -> None:
+        if merged_empty:
+            merged.select("term", id_col, "field", "tf", "bucket").write.parquet(
+                commit.stage("postings")
+            )
+        else:
+            merged.repartition("bucket").sortWithinPartitions(
+                "term"
+            ).write.partitionBy("bucket").parquet(commit.stage("postings"))
+        commit.swap("postings", "postings")
+
+    def _w_doclens() -> None:
+        if lens_empty:
+            lens.write.parquet(commit.stage("doclens"))
+        else:
+            lens.repartition("dbucket").write.partitionBy("dbucket").parquet(
+                commit.stage("doclens")
+            )
+        commit.swap("doclens", "doclens")
+
+    def _w_fieldstats() -> None:
+        # fieldstats from the resolved doclens (exact, same avg division)
+        lens.groupBy("field").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+        ).coalesce(1).write.parquet(commit.stage("fieldstats"))
+        commit.swap("fieldstats", "fieldstats")
+
+    def _w_docvals() -> None:
         def vslice(df: DataFrame, seg: int) -> DataFrame:
             return df.select(id_col, *idx_attrs).withColumn("seg", F.lit(seg))
 
@@ -620,9 +637,10 @@ def compact_profile_index(
             .withColumn(
                 "dbucket", F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets))
             )
-            .localCheckpoint()
         )
-        if vals.isEmpty():
+        if lens_empty:
+            # docvals rows mirror doclens docs id-for-id: an emptied
+            # corpus drops to the typed 0-row unpartitioned sentinel
             vals.write.parquet(commit.stage("docvals"))
         else:
             vals.repartition("dbucket").write.partitionBy("dbucket").parquet(
@@ -630,12 +648,11 @@ def compact_profile_index(
             )
         commit.swap("docvals", "docvals")
 
-    # docstore-backed index: fold the segments' stored field texts into
-    # the base store — the live text of every ALIVE (doc, field) is its
-    # max-segment docstore row (deleted docs drop out via the alive join)
-    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
-
-    if hadoop_path_exists(spark, f"{path}/docstore"):
+    def _w_docstore() -> None:
+        # docstore-backed index: fold the segments' stored field texts
+        # into the base store — the live text of every ALIVE (doc, field)
+        # is its max-segment docstore row (deleted docs drop out via the
+        # alive join)
         def sslice(df: DataFrame, seg: int) -> DataFrame:
             return df.select(id_col, "field", "text").withColumn(
                 "seg", F.lit(seg)
@@ -662,15 +679,22 @@ def compact_profile_index(
             .withColumn(
                 "dbucket", F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets))
             )
-            .localCheckpoint()
         )
-        if live_store.isEmpty():
+        if lens_empty:
             live_store.write.parquet(commit.stage("docstore"))
         else:
             live_store.repartition("dbucket").write.partitionBy(
                 "dbucket"
             ).parquet(commit.stage("docstore"))
         commit.swap("docstore", "docstore")
+
+    run_concurrent(
+        _w_postings,
+        _w_doclens,
+        _w_fieldstats,
+        _w_docvals if idx_attrs else None,
+        _w_docstore if hadoop_path_exists(spark, f"{path}/docstore") else None,
+    )
     commit.remove("segments")
     commit.promote()
     return len(segs)

@@ -624,6 +624,30 @@ def upsert_text_index_segmented(
     from azuredatalakeindexer_spark.functions.parallel import run_concurrent
 
     seg_dir = commit.stage("seg")
+
+    def _w_stats() -> None:
+        # exact stats delta: replaced docs swap their dl, created docs add
+        # one.  Derives from the checkpointed enriched frame + the 1-row
+        # live stats — independent of the segment writes, so it rides the
+        # same concurrent submission (r12)
+        n_docs, sum_dl, _pin = _read_segstats(spark, path, id_col)
+        agg = enriched.agg(
+            F.coalesce(F.sum(F.when(F.col("_old_dl").isNull(), 1)), F.lit(0)).alias(
+                "created"
+            ),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("added_dl"),
+            F.coalesce(F.sum("_old_dl"), F.lit(0)).alias("removed_dl"),
+        ).first()
+        _write_stats(
+            spark,
+            path,
+            n_docs + int(agg["created"]),
+            sum_dl + int(agg["added_dl"]) - int(agg["removed_dl"]),
+            _pin if _pin is not None else n_buckets,
+            target=commit.stage("stats"),
+        )
+        commit.swap("stats", "stats")
+
     run_concurrent(
         lambda: new_postings.repartition("bucket")
         .sortWithinPartitions("term")
@@ -645,25 +669,9 @@ def upsert_text_index_segmented(
         )
         if has_store
         else None,
+        _w_stats,
     )
     commit.swap("seg", f"segments/seg={new_seg}")
-
-    # exact stats delta: replaced docs swap their dl, created docs add one
-    n_docs, sum_dl, _pin = _read_segstats(spark, path, id_col)
-    agg = enriched.agg(
-        F.coalesce(F.sum(F.when(F.col("_old_dl").isNull(), 1)), F.lit(0)).alias("created"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("added_dl"),
-        F.coalesce(F.sum("_old_dl"), F.lit(0)).alias("removed_dl"),
-    ).first()
-    _write_stats(
-        spark,
-        path,
-        n_docs + int(agg["created"]),
-        sum_dl + int(agg["added_dl"]) - int(agg["removed_dl"]),
-        _pin if _pin is not None else n_buckets,
-        target=commit.stage("stats"),
-    )
-    commit.swap("stats", "stats")
     commit.promote()
     return statuses
 
@@ -707,27 +715,40 @@ def delete_from_text_index_segmented(
         .join(keys, id_col, "left_semi")
         .localCheckpoint()
     )
-    n_removed = victims.count()
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
+    # two aggregates over the checkpointed victims — overlap their job
+    # latency (r12)
+    n_removed, stats = run_concurrent(
+        lambda: victims.count(),
+        lambda: victims.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).first(),
+    )
     if n_removed == 0:
         return 0
-    stats = victims.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).first()
     # tombstone only the ACTUAL victims: absent ids carry no information,
     # and dropping them keeps redelivered mixed batches from resurrecting
     # nothing while still shrinking the tombstone relation to live hits.
-    # Segment + stats are staged and promoted together (journaled renames)
+    # Segment + stats are staged and promoted together (journaled renames);
+    # the two staged writes are independent — submit them concurrently
     commit = StagedCommit(spark, path)
-    victims.select(id_col).write.parquet(f"{commit.stage('seg')}/tombstones")
-    commit.swap("seg", f"segments/seg={new_seg}")
-    n_docs, sum_dl, _pin = _read_segstats(spark, path, id_col)
-    _write_stats(
-        spark,
-        path,
-        n_docs - n_removed,
-        sum_dl - int(stats["s"]),
-        _pin,
-        target=commit.stage("stats"),
-    )
-    commit.swap("stats", "stats")
+
+    def _w_seg() -> None:
+        victims.select(id_col).write.parquet(f"{commit.stage('seg')}/tombstones")
+        commit.swap("seg", f"segments/seg={new_seg}")
+
+    def _w_stats() -> None:
+        n_docs, sum_dl, _pin = _read_segstats(spark, path, id_col)
+        _write_stats(
+            spark,
+            path,
+            n_docs - n_removed,
+            sum_dl - int(stats["s"]),
+            _pin,
+            target=commit.stage("stats"),
+        )
+        commit.swap("stats", "stats")
+
+    run_concurrent(_w_seg, _w_stats)
     commit.promote()
     return int(n_removed)
 
@@ -809,39 +830,58 @@ def compact_text_index(
         _write_terms_rollup,
     )
 
-    commit = StagedCommit(spark, path)
-    if merged.isEmpty():
-        merged.write.parquet(commit.stage("postings"))
-    else:
-        merged.repartition("bucket").sortWithinPartitions("term").write.partitionBy(
-            "bucket"
-        ).parquet(commit.stage("postings"))
-    commit.swap("postings", "postings")
-    if lens.isEmpty():
-        lens.write.parquet(commit.stage("doclens"))
-    else:
-        lens.repartition("dbucket").write.partitionBy("dbucket").parquet(
-            commit.stage("doclens")
-        )
-    commit.swap("doclens", "doclens")
-    _write_stats_from(spark, path, lens, n_buckets, target=commit.stage("stats"))
-    commit.swap("stats", "stats")
-    # refresh the autocomplete rollup from the resolved live postings
-    # (already checkpointed): after compaction the rollup is exact again
-    # and segment-free suggest serves purely from it
-    _write_terms_rollup(
-        spark,
-        path,
-        merged.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
-        target=commit.stage("terms"),
-    )
-    commit.swap("terms", "terms")
-    # docstore-backed index: fold the segments' stored texts into the base
-    # store — the live text of every ALIVE doc is its max-segment docstore
-    # row (dead docs' texts are physically dropped here)
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
-    if hadoop_path_exists(spark, f"{path}/docstore"):
+    commit = StagedCommit(spark, path)
+    # both resolved relations are checkpointed, so the emptiness probes
+    # are first-partition peeks, and the five staged tier writes below are
+    # mutually independent — submit them concurrently (r12, same shape as
+    # the in-place maintenance ops); per-tier swaps record inside each
+    # thunk (disjoint live paths) and promote stays one sequential rename
+    # pass
+    merged_empty, lens_empty = run_concurrent(
+        lambda: merged.isEmpty(), lambda: lens.isEmpty()
+    )
+
+    def _w_postings() -> None:
+        if merged_empty:
+            merged.write.parquet(commit.stage("postings"))
+        else:
+            merged.repartition("bucket").sortWithinPartitions(
+                "term"
+            ).write.partitionBy("bucket").parquet(commit.stage("postings"))
+        commit.swap("postings", "postings")
+
+    def _w_doclens() -> None:
+        if lens_empty:
+            lens.write.parquet(commit.stage("doclens"))
+        else:
+            lens.repartition("dbucket").write.partitionBy("dbucket").parquet(
+                commit.stage("doclens")
+            )
+        commit.swap("doclens", "doclens")
+
+    def _w_stats() -> None:
+        _write_stats_from(spark, path, lens, n_buckets, target=commit.stage("stats"))
+        commit.swap("stats", "stats")
+
+    def _w_terms() -> None:
+        # refresh the autocomplete rollup from the resolved live postings
+        # (already checkpointed): after compaction the rollup is exact
+        # again and segment-free suggest serves purely from it
+        _write_terms_rollup(
+            spark,
+            path,
+            merged.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
+            target=commit.stage("terms"),
+        )
+        commit.swap("terms", "terms")
+
+    def _w_docstore() -> None:
+        # docstore-backed index: fold the segments' stored texts into the
+        # base store — the live text of every ALIVE doc is its max-segment
+        # docstore row (dead docs' texts are physically dropped here)
         allstore = (
             spark.read.parquet(f"{path}/docstore")
             .select(id_col, "text")
@@ -865,13 +905,21 @@ def compact_text_index(
                 F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)),
             )
         )
-        if lens.isEmpty():
+        if lens_empty:
             live_store.write.parquet(commit.stage("docstore"))
         else:
             live_store.repartition("dbucket").write.partitionBy(
                 "dbucket"
             ).parquet(commit.stage("docstore"))
         commit.swap("docstore", "docstore")
+
+    run_concurrent(
+        _w_postings,
+        _w_doclens,
+        _w_stats,
+        _w_terms,
+        _w_docstore if hadoop_path_exists(spark, f"{path}/docstore") else None,
+    )
     commit.remove("segments")
     commit.promote()
     return len(segs)
