@@ -324,65 +324,99 @@ def upsert_ivf_index(
     dkeys = F.broadcast(delta_ids) if broadcast_ids else delta_ids
     # stale versions of replaced ids (their cell may differ from the new one)
     victims = old_keys.join(dkeys, id_col, "left_semi")
-    affected = [
-        r["cell"]
-        for r in assigned.select("cell")
-        .union(victims.select("cell"))
-        .distinct()
-        .collect()
-    ]
-    vkeys = victims.select(id_col).distinct().withColumn("_old", F.lit(1))
-    statuses = dl.select(id_col).join(
-        F.broadcast(vkeys) if broadcast_ids else vkeys,
-        id_col,
-        "left",
-    ).select(
-        id_col,
-        F.when(F.col("_old").isNotNull(), F.lit(200)).otherwise(F.lit(201)).alias("status"),
-    ).localCheckpoint()
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
 
-    keep = (
-        spark.read.parquet(postings_path)
-        .where(F.col("cell").isin(affected))
-        .join(dkeys, id_col, "left_anti")
-        .select(id_col, vec_col, "cell")
-    )
-    merged = keep.unionByName(assigned.select(id_col, vec_col, "cell")).localCheckpoint()
+    # the merged-cells chain and the statuses materialization are
+    # independent given the checkpointed delta — overlap their job
+    # latencies (r12, same layering as the text/profile maintenance ops)
+    def _chain_merged():
+        affected = [
+            r["cell"]
+            for r in assigned.select("cell")
+            .union(victims.select("cell"))
+            .distinct()
+            .collect()
+        ]
+        keep = (
+            spark.read.parquet(postings_path)
+            .where(F.col("cell").isin(affected))
+            .join(dkeys, id_col, "left_anti")
+            .select(id_col, vec_col, "cell")
+        )
+        merged = keep.unionByName(
+            assigned.select(id_col, vec_col, "cell")
+        ).localCheckpoint()
+        return affected, merged
+
+    def _chain_statuses():
+        vkeys = victims.select(id_col).distinct().withColumn("_old", F.lit(1))
+        return dl.select(id_col).join(
+            F.broadcast(vkeys) if broadcast_ids else vkeys,
+            id_col,
+            "left",
+        ).select(
+            id_col,
+            F.when(F.col("_old").isNotNull(), F.lit(200))
+            .otherwise(F.lit(201))
+            .alias("status"),
+        ).localCheckpoint()
+
+    (affected, merged), statuses = run_concurrent(_chain_merged, _chain_statuses)
     commit = StagedCommit(spark, path)
     if not _any_partition_dirs(spark, postings_path, "cell"):
         # delete-all left the 0-row unpartitioned sentinel: replace the
-        # whole layout with a clean partitioned one in a single swap
-        merged.repartition("cell").write.partitionBy("cell").parquet(
-            commit.stage("postings")
-        )
-        commit.swap("postings", "postings")
-        if n_db is not None:
-            _maintain_directory_upsert(
-                spark, path, commit, dkeys,
-                assigned.select(id_col, "cell"), n_db, dbs, id_col,
-                whole_swap=True,
+        # whole layout with a clean partitioned one in a single swap; the
+        # postings and directory writes are independent staged dirs —
+        # submit concurrently
+        run_concurrent(
+            lambda: (
+                merged.repartition("cell").write.partitionBy("cell").parquet(
+                    commit.stage("postings")
+                ),
+                commit.swap("postings", "postings"),
+            ),
+            (
+                lambda: _maintain_directory_upsert(
+                    spark, path, commit, dkeys,
+                    assigned.select(id_col, "cell"), n_db, dbs, id_col,
+                    whole_swap=True,
+                )
             )
+            if n_db is not None
+            else None,
+        )
         commit.promote()
         return statuses
+
     # stage ONLY the affected cells, then promote per-partition: present
     # cells swap in, and a victim cell whose rows were ALL replaced ids
     # that moved elsewhere (zero survivors) is removed — nothing live
-    # mutates until every Spark job has succeeded
-    present = [r["cell"] for r in merged.select("cell").distinct().collect()]
-    merged.repartition("cell").write.partitionBy("cell").parquet(
-        commit.stage("postings")
-    )
-    for cell in affected:
-        if cell in present:
-            commit.swap(f"postings/cell={cell}", f"postings/cell={cell}")
-        else:
-            commit.remove(f"postings/cell={cell}")
-    if n_db is not None:
-        _maintain_directory_upsert(
-            spark, path, commit, dkeys,
-            assigned.select(id_col, "cell"), n_db, dbs, id_col,
-            whole_swap=False,
+    # mutates until every Spark job has succeeded.  The postings staging
+    # and the directory maintenance derive from disjoint inputs — submit
+    # them concurrently under the shared journal.
+    def _w_postings() -> None:
+        present = [r["cell"] for r in merged.select("cell").distinct().collect()]
+        merged.repartition("cell").write.partitionBy("cell").parquet(
+            commit.stage("postings")
         )
+        for cell in affected:
+            if cell in present:
+                commit.swap(f"postings/cell={cell}", f"postings/cell={cell}")
+            else:
+                commit.remove(f"postings/cell={cell}")
+
+    run_concurrent(
+        _w_postings,
+        (
+            lambda: _maintain_directory_upsert(
+                spark, path, commit, dkeys,
+                assigned.select(id_col, "cell"), n_db, dbs, id_col,
+                whole_swap=False,
+            )
+        )
+        if n_db is not None
+        else None,
+    )
     commit.promote()
     return statuses
 
@@ -426,8 +460,15 @@ def delete_from_ivf_index(
     old = spark.read.parquet(postings_path)
     old_keys, n_db, dbs = _victim_source(spark, path, ids, id_col)
     victims = old_keys.join(keys, id_col, "left_semi")
-    affected = [r["cell"] for r in victims.select("cell").distinct().collect()]
-    n_removed = victims.select(id_col).distinct().count()
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
+    # two independent aggregates over the victim relation — overlap (r12)
+    affected, n_removed = run_concurrent(
+        lambda: [
+            r["cell"] for r in victims.select("cell").distinct().collect()
+        ],
+        lambda: victims.select(id_col).distinct().count(),
+    )
     if not affected:
         return 0
     keep = (
@@ -441,29 +482,41 @@ def delete_from_ivf_index(
         set(_partition_dir_names(spark, postings_path, "cell"))
         - {f"cell={c}" for c in affected}
     )
-    if present or survivors_elsewhere:
-        # partition-level promotion: surviving affected cells swap in,
-        # fully-emptied ones are removed; untouched cells never move
-        if present:
-            keep.repartition("cell").write.partitionBy("cell").parquet(
-                commit.stage("postings")
+
+    # the postings staging and the directory maintenance derive from
+    # disjoint inputs — submit them concurrently under the shared journal
+    def _w_postings() -> None:
+        if present or survivors_elsewhere:
+            # partition-level promotion: surviving affected cells swap in,
+            # fully-emptied ones are removed; untouched cells never move
+            if present:
+                keep.repartition("cell").write.partitionBy("cell").parquet(
+                    commit.stage("postings")
+                )
+            for cell in affected:
+                if cell in present:
+                    commit.swap(f"postings/cell={cell}", f"postings/cell={cell}")
+                else:
+                    commit.remove(f"postings/cell={cell}")
+        else:
+            # every cell emptied: stage the typed 0-row sentinel so the
+            # layout stays readable (a partitioned dir with zero data files
+            # cannot be re-read); upsert routes back through the static
+            # write on it
+            keep.write.parquet(commit.stage("postings"))
+            commit.swap("postings", "postings")
+
+    run_concurrent(
+        _w_postings,
+        (
+            lambda: _maintain_directory_delete(
+                spark, path, commit, keys, n_db, dbs, id_col,
+                sentinel=not (present or survivors_elsewhere),
             )
-        for cell in affected:
-            if cell in present:
-                commit.swap(f"postings/cell={cell}", f"postings/cell={cell}")
-            else:
-                commit.remove(f"postings/cell={cell}")
-    else:
-        # every cell emptied: stage the typed 0-row sentinel so the layout
-        # stays readable (a partitioned dir with zero data files cannot be
-        # re-read); upsert routes back through the static write on it
-        keep.write.parquet(commit.stage("postings"))
-        commit.swap("postings", "postings")
-    if n_db is not None:
-        _maintain_directory_delete(
-            spark, path, commit, keys, n_db, dbs, id_col,
-            sentinel=not (present or survivors_elsewhere),
         )
+        if n_db is not None
+        else None,
+    )
     commit.promote()
     return int(n_removed)
 

@@ -272,6 +272,8 @@ def upsert_profile_index_segmented(
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
     # stacked is consumed only by new_postings, which is itself
     # checkpointed — re-deriving it from the checkpointed deduped batch
     # inside that job is cheaper than a second batch-sized
@@ -280,58 +282,80 @@ def upsert_profile_index_segmented(
     # collect_set) so the batch is tokenized and hashed exactly once
     # (r10 verdict wrong-#1)
     stacked = _stack_fields(deduped, idx_fields, id_col)
-    new_postings = _postings_rows(stacked, id_col, n_buckets).localCheckpoint()
     pairs = deduped.select(
         F.col(id_col),
         F.explode(F.array(*[F.lit(f) for f in idx_fields])).alias("field"),
     )
-    new_lens = _lens_from_postings(
-        new_postings, pairs, id_col, n_buckets, per_field=True
-    ).localCheckpoint()
-
-    dbuckets = [
-        r["dbucket"] for r in new_lens.select("dbucket").distinct().collect()
-    ]
-    # old per-field dl of the batch's LIVE predecessors — statuses and the
-    # exact fieldstats deltas both derive from this one batch-sized frame.
-    # ONE dbucket-pruned doclens scan, restricted to the batch's ids
-    # BEFORE any aggregation (the old shape evaluated _all_plens twice —
-    # inside _alive and again for the winning-row join — and aggregated
-    # every live doc in the pruned dbuckets, not just the batch's
-    # predecessors; measured 1.6-2.2 s of the ~6 s micro-batch upsert)
+    # Layer 1 (r12, same layering as the in-place ops): the delta
+    # postings checkpoint and the batch's id-hash partition list.  The
+    # dbucket set is computed from the checkpointed batch directly — it
+    # equals new_lens's (every batch id keeps a doclens row, zero-token
+    # docs included via the pairs left join), without waiting for the
+    # postings→lens chain.
+    new_postings, dbuckets = run_concurrent(
+        lambda: _postings_rows(stacked, id_col, n_buckets).localCheckpoint(),
+        lambda: [
+            r["b"]
+            for r in deduped.select(
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ],
+    )
     ids_b = F.broadcast(deduped.select(id_col))
-    dls = (
-        _all_plens(spark, path, segs, id_col, dbuckets=dbuckets)
-        .join(ids_b, id_col, "left_semi")
-        .localCheckpoint()
-    )
-    tmax = (
-        _all_tombs(spark, path, segs, id_col)
-        .join(ids_b, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.max("seg").alias("_tseg"))
-    )
-    win = (
-        dls.groupBy(id_col)
-        .agg(F.max("seg").alias("_wseg"))
-        .join(tmax, id_col, "left")
-        .where(F.col("_wseg") > F.coalesce(F.col("_tseg"), F.lit(-1)))
-        .select(id_col, "_wseg")
-    )
-    old = (
-        dls.join(F.broadcast(win), id_col)
-        .where(F.col("seg") == F.col("_wseg"))
-        .select(id_col, "field", F.col("dl").alias("_old_dl"))
-    )
-    old_ids = old.select(id_col).distinct()
-    statuses = deduped.select(id_col).join(
-        F.broadcast(old_ids.withColumn("_old", F.lit(1))), id_col, "left"
-    ).select(
-        id_col,
-        F.when(F.col("_old").isNotNull(), F.lit(200))
-        .otherwise(F.lit(201))
-        .alias("status"),
-    ).localCheckpoint()
+
+    # Layer 2: the new-lens materialization and the predecessor-lookup →
+    # statuses chain are independent given layer 1.
+    def _chain_lens():
+        return _lens_from_postings(
+            new_postings, pairs, id_col, n_buckets, per_field=True
+        ).localCheckpoint()
+
+    def _chain_statuses():
+        # old per-field dl of the batch's LIVE predecessors — statuses and
+        # the exact fieldstats deltas both derive from this one batch-sized
+        # frame.  ONE dbucket-pruned doclens scan, restricted to the
+        # batch's ids BEFORE any aggregation (the old shape evaluated
+        # _all_plens twice — inside _alive and again for the winning-row
+        # join — and aggregated every live doc in the pruned dbuckets, not
+        # just the batch's predecessors; measured 1.6-2.2 s of the ~6 s
+        # micro-batch upsert)
+        dls = (
+            _all_plens(spark, path, segs, id_col, dbuckets=dbuckets)
+            .join(ids_b, id_col, "left_semi")
+            .localCheckpoint()
+        )
+        tmax = (
+            _all_tombs(spark, path, segs, id_col)
+            .join(ids_b, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.max("seg").alias("_tseg"))
+        )
+        win = (
+            dls.groupBy(id_col)
+            .agg(F.max("seg").alias("_wseg"))
+            .join(tmax, id_col, "left")
+            .where(F.col("_wseg") > F.coalesce(F.col("_tseg"), F.lit(-1)))
+            .select(id_col, "_wseg")
+        )
+        old = (
+            dls.join(F.broadcast(win), id_col)
+            .where(F.col("seg") == F.col("_wseg"))
+            .select(id_col, "field", F.col("dl").alias("_old_dl"))
+        )
+        old_ids = old.select(id_col).distinct()
+        statuses = deduped.select(id_col).join(
+            F.broadcast(old_ids.withColumn("_old", F.lit(1))), id_col, "left"
+        ).select(
+            id_col,
+            F.when(F.col("_old").isNotNull(), F.lit(200))
+            .otherwise(F.lit(201))
+            .alias("status"),
+        ).localCheckpoint()
+        return old, statuses
+
+    new_lens, (old, statuses) = run_concurrent(_chain_lens, _chain_statuses)
 
     commit = StagedCommit(spark, path)
     # a docstore-backed (phrase-enabled) profile index versions its stored
@@ -344,11 +368,40 @@ def upsert_profile_index_segmented(
     # the segment relations are independent checkpointed/batch-sized
     # frames writing to disjoint staged dirs — submit them concurrently so
     # the per-write scheduling + dynamic-partition commit latencies
-    # overlap instead of stacking (run_concurrent)
-    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+    # overlap instead of stacking (run_concurrent).  The fieldstats
+    # refresh derives from the same checkpointed frames (plus the live
+    # 1-row fieldstats read) — independent of the segment writes, so it
+    # rides the same submission (r12): its three batch-sized aggregates
+    # overlap each other AND the data writes.
     from azuredatalakeindexer_spark.sources.profile_index import _stack_stored
 
     seg_dir = commit.stage("seg")
+
+    def _w_fieldstats() -> None:
+        # exact per-field stats: created docs add a row per field;
+        # replaced docs swap their old per-field dl for the new one
+        stats = _read_fieldstats(spark, path)
+        n_created_rows, adds_rows, subs_rows = run_concurrent(
+            lambda: statuses.where(F.col("status") == 201).count(),
+            lambda: new_lens.groupBy("field")
+            .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
+            .collect(),
+            lambda: old.groupBy("field")
+            .agg(F.coalesce(F.sum("_old_dl"), F.lit(0)).alias("s"))
+            .collect(),
+        )
+        n_created = int(n_created_rows)
+        adds = {r["field"]: int(r["s"]) for r in adds_rows}
+        subs = {r["field"]: int(r["s"]) for r in subs_rows}
+        for fld in idx_fields:
+            n, s = stats.get(fld, (0, 0))
+            stats[fld] = (
+                n + n_created,
+                s + adds.get(fld, 0) - subs.get(fld, 0),
+            )
+        _write_fieldstats_exact(spark, stats, commit.stage("fieldstats"))
+        commit.swap("fieldstats", "fieldstats")
+
     run_concurrent(
         lambda: new_postings.repartition("bucket")
         .sortWithinPartitions("term")
@@ -375,33 +428,9 @@ def upsert_profile_index_segmented(
         )
         if has_store
         else None,
+        _w_fieldstats,
     )
     commit.swap("seg", f"segments/seg={new_seg}")
-
-    # exact per-field stats: created docs add a row per field; replaced
-    # docs swap their old per-field dl for the new one
-    stats = _read_fieldstats(spark, path)
-    # three independent batch-sized aggregates — overlap their job latency
-    n_created_rows, adds_rows, subs_rows = run_concurrent(
-        lambda: statuses.where(F.col("status") == 201).count(),
-        lambda: new_lens.groupBy("field")
-        .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
-        .collect(),
-        lambda: old.groupBy("field")
-        .agg(F.coalesce(F.sum("_old_dl"), F.lit(0)).alias("s"))
-        .collect(),
-    )
-    n_created = int(n_created_rows)
-    adds = {r["field"]: int(r["s"]) for r in adds_rows}
-    subs = {r["field"]: int(r["s"]) for r in subs_rows}
-    for fld in idx_fields:
-        n, s = stats.get(fld, (0, 0))
-        stats[fld] = (
-            n + n_created,
-            s + adds.get(fld, 0) - subs.get(fld, 0),
-        )
-    _write_fieldstats_exact(spark, stats, commit.stage("fieldstats"))
-    commit.swap("fieldstats", "fieldstats")
     commit.promote()
     return statuses
 
@@ -453,22 +482,33 @@ def delete_from_profile_index_segmented(
         return 0
 
     commit = StagedCommit(spark, path)
-    victims.select(id_col).distinct().write.parquet(
-        f"{commit.stage('seg')}/tombstones"
-    )
-    commit.swap("seg", f"segments/seg={new_seg}")
-    stats = _read_fieldstats(spark, path)
-    subs = {
-        r["field"]: int(r["s"])
-        for r in victims.groupBy("field")
-        .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
-        .collect()
-    }
-    for fld in idx_fields:
-        n, s = stats.get(fld, (0, 0))
-        stats[fld] = (n - n_removed, s - subs.get(fld, 0))
-    _write_fieldstats_exact(spark, stats, commit.stage("fieldstats"))
-    commit.swap("fieldstats", "fieldstats")
+
+    # tombstone write and fieldstats refresh derive from the same
+    # checkpointed victims frame — independent staged writes, submitted
+    # concurrently (r12)
+    def _w_seg() -> None:
+        victims.select(id_col).distinct().write.parquet(
+            f"{commit.stage('seg')}/tombstones"
+        )
+        commit.swap("seg", f"segments/seg={new_seg}")
+
+    def _w_fieldstats() -> None:
+        stats = _read_fieldstats(spark, path)
+        subs = {
+            r["field"]: int(r["s"])
+            for r in victims.groupBy("field")
+            .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
+            .collect()
+        }
+        for fld in idx_fields:
+            n, s = stats.get(fld, (0, 0))
+            stats[fld] = (n - n_removed, s - subs.get(fld, 0))
+        _write_fieldstats_exact(spark, stats, commit.stage("fieldstats"))
+        commit.swap("fieldstats", "fieldstats")
+
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
+    run_concurrent(_w_seg, _w_fieldstats)
     commit.promote()
     return int(n_removed)
 

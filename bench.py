@@ -122,12 +122,15 @@ HEADLINE = [
     "text_index_profile_synonyms",
     "text_index_profile_simple_query",
     "stream_profile_facets_filtered",
-    # The r12 entry, text_index_profile_phrase, is deliberately NOT
+    # r12: index-served highlight on the profile surface (the last
+    # text-surface feature composed with field-weighted profiles).  The
+    # other r12 entry, text_index_profile_phrase, is deliberately NOT
     # headlined: its cost profile duplicates text_index_profile_simple_query
     # (same build + same profile serve; the only delta is one docstore
-    # column pass, already priced by text_index_highlight_topk's docstore) —
-    # same precedent as stream_highlight_lsm.  It stays correctness-gated
-    # in the driver window.
+    # column pass, already priced by text_index_profile_highlight's
+    # docstore) — same precedent as stream_highlight_lsm.  It stays
+    # correctness-gated in the driver window.
+    "text_index_profile_highlight",
 ]
 
 #: the build+maintain+serve lifecycle entries (each builds, incrementally
@@ -154,6 +157,7 @@ LIFECYCLE_QUERIES = {
     "text_index_profile_synonyms",
     "text_index_profile_simple_query",
     "stream_profile_facets_filtered",
+    "text_index_profile_highlight",
 }
 
 
