@@ -2184,11 +2184,20 @@ def q_saved_hybrid_search(spark, sf):
         query_text_index,
     )
 
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
     root = tempfile.mkdtemp(prefix="adls_hybidx_")
     try:
-        build_text_index(_docs(spark, sf), os.path.join(root, "text"), n_buckets=64)
+        # the two index builds touch disjoint inputs and disjoint output
+        # dirs — build both legs concurrently, exactly how a service
+        # provisions a hybrid index pair
         emb = _emb(spark, sf)
-        build_ivf_index(emb, os.path.join(root, "ivf"), n_centroids=16)
+        run_concurrent(
+            lambda: build_text_index(
+                _docs(spark, sf), os.path.join(root, "text"), n_buckets=64
+            ),
+            lambda: build_ivf_index(emb, os.path.join(root, "ivf"), n_centroids=16),
+        )
         kw = query_text_index(
             spark, os.path.join(root, "text"), SEARCH_TERMS, k=20, n_buckets=64
         )
