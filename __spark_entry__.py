@@ -2584,6 +2584,58 @@ def q_text_index_profile_phrase(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_profile_near(spark, sf):
+    """NEAR/proximity composed with a field-weighted scoring profile,
+    served FROM the positional multi-field index (r13 — VERDICT r12
+    stretch-#8, the last text-surface query type not composed with
+    profiles): the index is built with ``positions=True`` (per-field
+    Lucene-style positional postings), exercised through the full
+    IN-PLACE maintenance lifecycle — an upsert inserts one third of the
+    corpus (positions regenerated for the batch, preserved for the
+    rest), a delete removes the ``doc_id % 7 == 0`` docs — and then
+    ``merge NEAR/2 stream`` (ordered) must hold in at least one weighted
+    field while the two terms rank through both fields with index-global
+    stats.  The oracle replays the multi-field profile over the LOGICAL
+    post-maintenance corpus re-cut to the position-pair allowed set."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        delete_from_profile_index,
+        near_profile_from_index,
+        upsert_profile_index,
+    )
+
+    docs = _docs(spark, sf)
+    root = tempfile.mkdtemp(prefix="adls_pnear_")
+    try:
+        build_profile_index(
+            docs.where(F.col("doc_id") % 3 != 0),
+            root,
+            field_cols=["text", "source"],
+            attr_cols=["n_chars"],
+            n_buckets=64,
+            positions=True,
+        )
+        upsert_profile_index(
+            spark, root, docs.where(F.col("doc_id") % 3 == 0)
+        ).count()
+        delete_from_profile_index(
+            spark, root, docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+        )
+        out = near_profile_from_index(
+            spark,
+            root,
+            "merge",
+            "stream",
+            {"text": 2.0, "source": 1.0},
+            slop=2,
+            ordered=True,
+            k=20,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_profile_index(spark, sf):
     """Multi-field profile index maintained from a document arrival
     STREAM (`profile_segments.run_stream_profile_index`, r10): the
@@ -3522,19 +3574,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     locally each round (tools/check_correctness.py + the env-gated
     tests/test_full_correctness.py).
 
-    r12 window (``_R12_WINDOW`` below), continuing the evidence-age
-    policy: the two new entries (`text_index_profile_phrase`,
-    `text_index_profile_highlight`) lead, then 6
-    re-proofs of the paths this round's perf work rewrote (concurrent
-    independent build/segment writes in build_text_index /
-    build_profile_index / both segmented upserts; the one-scan
-    batch-restricted predecessor lookup in the segmented profile
-    upsert; the profile compaction docstore fold), then every entry by
-    oldest driver evidence first — all 12 remaining r7-evidence
-    entries, all 26 r8s, and the 4 oldest r9s.  After this window no
-    registered entry's newest driver row is older than r9.  All
-    result-preserving changes are additionally re-proven by the full
-    local replay at sf0.01 (tools/check_correctness.py).
+    r13 window (``_R13_WINDOW`` below), continuing the evidence-age
+    policy: the new entry (`text_index_profile_near`) leads, then
+    `text_index_profile_phrase` (its serving plan was rewritten this
+    round — candidate-sized docstore pass), then every entry by oldest
+    driver evidence first — all 17 remaining r9-evidence entries and 31
+    of the 45 r10s (the index/stream/lifecycle families, whose code
+    paths this round's positional-profile and phrase work touched; the
+    14 left at r10 evidence are stable scan/rollup operators).  After
+    this window no registered entry's newest driver row is older than
+    r10.  All result-preserving changes are additionally re-proven by
+    the full local replay at sf0.01 (tools/check_correctness.py).
     """
     base = {
         # -- NEW this round (r11: synonym expansion and simple-query
@@ -3544,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_profile_synonyms": q_text_index_profile_synonyms,
         "text_index_profile_simple_query": q_text_index_profile_simple_query,
         "text_index_profile_phrase": q_text_index_profile_phrase,
+        "text_index_profile_near": q_text_index_profile_near,
         "text_index_profile_highlight": q_text_index_profile_highlight,
         "stream_profile_facets_filtered": q_stream_profile_facets_filtered,
         # -- CHANGED this round (r11): every text/profile build & upsert
@@ -3713,69 +3764,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
     }
-    head = {k: base.pop(k) for k in _R12_WINDOW}
+    head = {k: base.pop(k) for k in _R13_WINDOW}
     return head | base
 
 
-#: the 50 entries the r12 driver window replays, in order (see the
+#: the 50 entries the r13 driver window replays, in order (see the
 #: queries() docstring for the selection rationale)
-_R12_WINDOW = [
+_R13_WINDOW = [
     # new this round
+    "text_index_profile_near",
+    # serving plan rewritten this round (candidate-sized phrase pass)
     "text_index_profile_phrase",
-    "text_index_profile_highlight",
-    # re-proofs of the r12-rewritten paths (concurrent build/segment
-    # writes, one-scan predecessor lookup, compaction docstore fold)
-    "text_index_topk",
-    "text_index_profile_topk",
-    "stream_text_index_lsm",
-    "stream_profile_index",
-    "stream_profile_facets_filtered",
-    "text_index_lsm_topk",
-    # r7-evidence cohort (all 12 remaining)
-    "ann_lsh_mt_topk",
-    "asof_last_error",
-    "decontam_report",
-    "dedup_clusters",
-    "embedding_near_dup",
-    "events_range_join",
-    "fuzzy_decontam",
-    "stream_join_left_outer",
-    "stream_minhash_dedup",
-    "stream_view_click_join",
-    "train_corpus",
-    "zorder_values",
-    # r8-evidence cohort (all 26)
-    "ann_filtered_topk",
-    "ann_pq_topk",
-    "approx_distinct_users",
-    "approx_event_quantiles",
-    "bpe_encode",
-    "bpe_train",
-    "classifier_scores",
-    "domain_quality_gate",
-    "lm_scores",
-    "rag_chunks",
-    "search_bm25",
-    "search_facet_ranges",
-    "search_facets",
-    "search_fuzzy",
-    "search_fuzzy_terms",
-    "search_highlight",
-    "search_hybrid_rrf",
-    "search_profile",
-    "search_profile_tags",
-    "search_simple_query",
-    "search_suggest",
-    "search_suggest2",
-    "search_suggest_ctx",
-    "search_synonyms",
-    "search_wildcard",
-    "semantic_dedup",
-    # oldest r9-evidence entries (4 of them; remainder next round)
-    "dedup_last_writer",
-    "dedup_minhash_lsh",
-    "deleted_anti_join",
-    "events_json_extract",
+    # r9-evidence cohort (all 17 remaining)
+    "events_to_path_rows",
+    "indexer_run",
+    "indexer_run_metrics",
+    "iso_ts",
+    "keyset_page",
+    "list_changed_paths",
+    "listing_to_path_rows",
+    "partitioned_counts",
+    "partitioned_runs",
+    "path_keys",
+    "span_dedup",
+    "split_blob_urls",
+    "stream_deleted_index",
+    "stream_upsert_events",
+    "upsert_merge",
+    "upsert_status_counts",
+    "url_roundtrip",
+    # r10-evidence cohort: the index/stream/lifecycle families (31 of
+    # 45; the 14 stable scan/rollup operators stay at r10 evidence)
+    "ann_delete_topk",
+    "ann_filtered_index_topk",
+    "ann_index_topk",
+    "ann_pq_delete_topk",
+    "ann_pq_index_topk",
+    "ann_pq_upsert_topk",
+    "ann_upsert_topk",
+    "bpe_pipeline",
+    "saved_hybrid_search",
+    "search_with_facets",
+    "stream_ann_index",
+    "stream_highlight_lsm",
+    "stream_pq_index",
+    "stream_text_index",
+    "text_index_delete_topk",
+    "text_index_filtered_topk",
+    "text_index_fuzzy",
+    "text_index_fuzzy_lsm",
+    "text_index_highlight_topk",
+    "text_index_near_topk",
+    "text_index_near_unordered",
+    "text_index_phrase_topk",
+    "text_index_profile_filtered",
+    "text_index_profile_lsm",
+    "text_index_profile_upsert",
+    "text_index_simple_query",
+    "text_index_suggest",
+    "text_index_suggest_maint",
+    "text_index_synonyms",
+    "text_index_upsert_topk",
+    "text_index_wildcard",
 ]
 
 
@@ -5674,6 +5724,64 @@ def oracle_sql() -> dict[str, str]:
         WHERE (contains(lt, 'scan stream') OR contains(ls, 'scan stream'))
           AND NOT contains(lt, 'merge stream')
           AND NOT contains(ls, 'merge stream')),
+      scored AS (
+        SELECT doc_id,
+               2.0 * ({_bm25_term.format(i='0_0', f='0')}
+                    + {_bm25_term.format(i='0_1', f='0')})
+             + 1.0 * ({_bm25_term.format(i='1_0', f='1')}
+                    + {_bm25_term.format(i='1_1', f='1')}) AS total
+        FROM per, stats)
+      SELECT doc_id, round(total, 6) AS score
+      FROM scored JOIN allowed USING (doc_id)
+      WHERE round(total, 6) > 0
+      ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+    # NEAR composed with the field-weighted profile (r13): positives
+    # {merge, stream} rank through both weighted fields over the LOGICAL
+    # post-maintenance corpus (doc_id % 7 != 0 after the in-place
+    # delete); the allowed set is docs where an ordered merge..stream
+    # position pair within slop=2 (p2 > p1 AND p2 <= p1 + 3) exists in
+    # at least one weighted field — the same position-list replay as
+    # sqls["search_near"], evaluated per field
+    _near_pairs = (
+        "len(list_filter("
+        " list_filter(list_transform(generate_series(1, len({w})),"
+        "             p -> CASE WHEN {w}[p] = 'merge' THEN p END),"
+        "             x -> x IS NOT NULL),"
+        " p1 -> len(list_filter("
+        "   list_filter(list_transform(generate_series(1, len({w})),"
+        "               p -> CASE WHEN {w}[p] = 'stream' THEN p END),"
+        "               x -> x IS NOT NULL),"
+        "   p2 -> p2 > p1 AND p2 <= p1 + 3)) > 0)) > 0"
+    )
+    sqls["text_index_profile_near"] = f"""
+      WITH logical AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 7 != 0),
+      raw AS (
+        SELECT doc_id, {_WORDS} AS tw,
+               list_filter(string_split_regex(lower(source), '\\s+'), x -> x != '') AS sw
+        FROM logical),
+      per AS (
+        SELECT doc_id, tw, sw,
+               len(tw) AS dl0,
+               len(list_filter(tw, x -> x = 'merge'))  AS tf0_0,
+               len(list_filter(tw, x -> x = 'stream')) AS tf0_1,
+               len(sw) AS dl1,
+               len(list_filter(sw, x -> x = 'merge'))  AS tf1_0,
+               len(list_filter(sw, x -> x = 'stream')) AS tf1_1
+        FROM raw),
+      stats AS (
+        SELECT count(*) AS n, avg(dl0) AS avgdl0, avg(dl1) AS avgdl1,
+               sum(CASE WHEN tf0_0 > 0 THEN 1 ELSE 0 END) AS df0_0,
+               sum(CASE WHEN tf0_1 > 0 THEN 1 ELSE 0 END) AS df0_1,
+               sum(CASE WHEN tf1_0 > 0 THEN 1 ELSE 0 END) AS df1_0,
+               sum(CASE WHEN tf1_1 > 0 THEN 1 ELSE 0 END) AS df1_1
+        FROM per),
+      allowed AS (
+        SELECT doc_id FROM per
+        WHERE ({_near_pairs.format(w='tw')})
+           OR ({_near_pairs.format(w='sw')})),
       scored AS (
         SELECT doc_id,
                2.0 * ({_bm25_term.format(i='0_0', f='0')}

@@ -43,6 +43,21 @@ from azuredatalakeindexer_spark.sources.text_segments import (
 )
 
 
+def _require_nonpositional(spark: SparkSession, path: str, op: str) -> None:
+    """The segmented (LSM) profile ops don't version positional postings
+    yet — refuse loudly instead of silently dropping the pos column (the
+    in-place ops preserve it; mirrors the text surface's docstore-vs-LSM
+    split)."""
+    if "pos" in spark.read.parquet(f"{path}/postings").columns:
+        raise ValueError(
+            f"{op}: index at {path} is POSITIONAL "
+            "(build_profile_index(positions=True)) — positional profile "
+            "indexes are in-place-maintained (upsert_profile_index / "
+            "delete_from_profile_index); the segmented tier would drop "
+            "the position lists"
+        )
+
+
 def _read_or_empty_like(spark: SparkSession, p: str, like: DataFrame) -> DataFrame:
     """Read a maybe-absent segment relation typed EXACTLY like the base
     relation (attribute columns carry arbitrary user types — a guessed
@@ -266,6 +281,7 @@ def upsert_profile_index_segmented(
     from azuredatalakeindexer_spark.sources.text_index import _lens_from_postings
 
     recover_for_maintenance(spark, path)
+    _require_nonpositional(spark, path, "upsert_profile_index_segmented")
     n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
     cols = list(dict.fromkeys(list(idx_fields) + list(idx_attrs)))
     deduped = _dedupe_profile_delta(delta, id_col, cols).localCheckpoint()
@@ -454,6 +470,7 @@ def delete_from_profile_index_segmented(
     )
 
     recover_for_maintenance(spark, path)
+    _require_nonpositional(spark, path, "delete_from_profile_index_segmented")
     n_buckets, idx_fields, _attrs = _read_meta(spark, path)
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1

@@ -7,7 +7,9 @@ the r5 driver tail-capture truncated the old long line and lost the Spark
 per-query timings (VERDICT r5 wrong-#2).
 
 Every query is executed TWICE and the headline total reports the BEST of
-the two executions; the DuckDB oracle side is likewise min-of-2 (r11).
+the two executions; the DuckDB oracle side is min-of-2, adaptively
+extended to min-of-4 when the pass spread exceeds 1.5x, with
+still-noisy oracles excluded from the emitted noise-robust ratio (r13).
 Cold-start JIT/codegen variance was repeatedly mistaken for regressions
 (VERDICT r5 wrong-#3), and single-pass oracle numbers swung the
 denominator by tens of seconds on identical code (r10 wrong-#2a);
@@ -122,15 +124,16 @@ HEADLINE = [
     "text_index_profile_synonyms",
     "text_index_profile_simple_query",
     "stream_profile_facets_filtered",
-    # r12: index-served highlight on the profile surface (the last
-    # text-surface feature composed with field-weighted profiles).  The
-    # other r12 entry, text_index_profile_phrase, is deliberately NOT
-    # headlined: its cost profile duplicates text_index_profile_simple_query
-    # (same build + same profile serve; the only delta is one docstore
-    # column pass, already priced by text_index_profile_highlight's
-    # docstore) — same precedent as stream_highlight_lsm.  It stays
-    # correctness-gated in the driver window.
+    # r12: index-served highlight + phrase predicates on the profile
+    # surface (the last text-surface features composed with field-weighted
+    # profiles).  Standing rule (r13, VERDICT r11+r12): EVERY registered
+    # lifecycle-family entry is headlined — tests/test_totals.py enforces
+    # it structurally, so "shipped but not benched" can't recur.
     "text_index_profile_highlight",
+    "text_index_profile_phrase",
+    # r13: NEAR/proximity composed with field-weighted profiles, served
+    # from positional multi-field postings through the in-place lifecycle
+    "text_index_profile_near",
 ]
 
 #: the build+maintain+serve lifecycle entries (each builds, incrementally
@@ -158,6 +161,51 @@ LIFECYCLE_QUERIES = {
     "text_index_profile_simple_query",
     "stream_profile_facets_filtered",
     "text_index_profile_highlight",
+    "text_index_profile_phrase",
+    "text_index_profile_near",
+}
+
+#: the mechanical definition of the "lifecycle family" — registered entries
+#: that build/maintain/serve a persisted index through the LSM/profile/
+#: streaming tiers.  tests/test_totals.py asserts every registered entry
+#: matching this pattern is either in HEADLINE or carries an explicit
+#: rationale below, so "shipped but not benched" (VERDICT r11 + r12) is a
+#: test failure, not a review finding.
+LIFECYCLE_FAMILY_PATTERN = (
+    r"text_index_profile|_lsm|^stream_(text_index|profile|highlight)"
+)
+
+#: lifecycle-family entries deliberately NOT headlined — each needs a
+#: rationale naming the headlined twin that already prices its cost;
+#: adding a name here is a reviewed decision visible in the diff
+LIFECYCLE_BENCH_EXCLUDED = {
+    "stream_highlight_lsm": (
+        "third availableNow drain; cost profile duplicates stream_text_index"
+        " + stream_profile_facets_filtered (r10 precedent), highlight serve"
+        " priced by text_index_profile_highlight"
+    ),
+    "stream_text_index_lsm": (
+        "availableNow drain whose O(batch) segment cost is priced by"
+        " text_index_lsm_topk and the text_seg_* lifecycle-matrix rows;"
+        " the drain fixed cost by stream_text_index"
+    ),
+    "stream_profile_index": (
+        "same drain as stream_profile_facets_filtered minus the filtered"
+        "-facet serve — strictly dominated by the headlined entry"
+    ),
+    "text_index_fuzzy_lsm": (
+        "fuzzy vocabulary expansion priced by text_index_fuzzy/"
+        "text_index_wildcard machinery (search_fuzzy + text_index_wildcard"
+        " headlined); segment overhead by text_index_lsm_topk"
+    ),
+    "text_index_profile_filtered": (
+        "filter pushdown on the profile serve — cost profile duplicates"
+        " text_index_profile_topk (same build + serve, narrower read)"
+    ),
+    "text_index_profile_lsm": (
+        "LSM-resident profile serving priced by stream_profile_facets_"
+        "filtered (same segmented read) + text_index_profile_upsert"
+    ),
 }
 
 
@@ -282,13 +330,30 @@ def duckdb_timings(
             dt = time.time() - t0
             raw.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
+        # adaptive extra passes (r13, VERDICT r12 stretch-#7): a >1.5x
+        # spread between passes means the window was contended — both
+        # draws can be inflated together (ngram_jaccard read 220.5/75.8
+        # in one r12 run and 54.8/51.8 in another, identical result md5),
+        # so min-of-2 alone is not a floor estimate.  Take up to 2 more
+        # draws; a query whose spread STAYS >1.5x is flagged `noisy` and
+        # excluded from the emitted spark_vs_duckdb_noise_robust ratio.
+        while len(raw) < 4 and min(raw) > 0 and max(raw) / min(raw) > 1.5:
+            t0 = time.time()
+            rows = con.execute(sqls[name]).fetchall()
+            dt = time.time() - t0
+            raw.append(round(dt, 3))
+            best = min(best, dt)
         if passes is not None:
             import hashlib
 
             rhash = hashlib.md5(
                 "\n".join(sorted(repr(r) for r in rows)).encode()
             ).hexdigest()
-            passes[name] = {"passes": raw, "result_md5": rhash}
+            passes[name] = {
+                "passes": raw,
+                "result_md5": rhash,
+                "noisy": bool(min(raw) > 0 and max(raw) / min(raw) > 1.5),
+            }
         out[name] = round(best, 3)
     con.close()
     return out
@@ -799,10 +864,16 @@ def main() -> None:
             "like-for-like ratio (spark_vs_duckdb_lifecycle_excluded, "
             "emitted); the headline total is a coverage metric, not a "
             "scan-speed comparison.",
-            "duckdb_passes": "per-oracle raw two-pass timings + an "
-            "order-insensitive result md5 (VERDICT r11 next-#8) — a "
-            "denominator swing with an unchanged md5 and spread passes "
-            "is machine noise, a changed md5 is a real oracle change",
+            "duckdb_passes": "per-oracle raw pass timings (2, adaptively "
+            "up to 4 when the spread exceeds 1.5x) + an order-insensitive "
+            "result md5 (VERDICT r11 next-#8) — a denominator swing with "
+            "an unchanged md5 and spread passes is machine noise, a "
+            "changed md5 is a real oracle change",
+            "spark_vs_duckdb_noise_robust": "the headline ratio with "
+            "oracles still `noisy` after 4 passes (spread >1.5x — the "
+            "md5-pinned signature of a contended window, not an oracle "
+            "change) removed from BOTH numerator and denominator; the "
+            "raw ratio is always emitted alongside (r12 stretch-#7)",
         },
     }
     with open(detail_path, "w") as f:
@@ -825,6 +896,21 @@ def main() -> None:
                     } if dd else {})(
                         sum(v for k, v in timings.items() if k not in LIFECYCLE_QUERIES and k in duck),
                         sum(v for k, v in duck.items() if k not in LIFECYCLE_QUERIES),
+                    )
+                    if duck
+                    else {}
+                ),
+                **(
+                    (lambda noisy: (lambda s, dd: {
+                        "spark_vs_duckdb_noise_robust": round(s / dd, 3),
+                        "noisy_oracles": noisy,
+                    } if dd else {"noisy_oracles": noisy})(
+                        sum(v for k, v in timings.items() if k in duck and k not in noisy),
+                        sum(v for k, v in duck.items() if k not in noisy),
+                    ))(
+                        sorted(
+                            k for k, v in duck_passes.items() if v.get("noisy")
+                        )
                     )
                     if duck
                     else {}

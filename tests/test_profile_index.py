@@ -807,3 +807,151 @@ def test_profile_phrase_serving_is_candidate_sized(spark, tmp_path):
         assert re.search(
             r"PartitionFilters: \[[^\]]*dbucket[^\]]*(?:IN|=)", ln
         ), ln
+
+
+def _near_allowed(docs, t1, t2, slop, fields):
+    """Scan-time ordered-NEAR allowed set over the given fields: an
+    ordered (p1 < p2 <= p1+slop+1) position pair in >=1 field."""
+    cond = None
+    for fld in fields:
+        pos = (
+            f"filter(transform({fld}_toks, (x, i) -> "
+            f"CASE WHEN x = '{{t}}' THEN i + 1 END), x -> x IS NOT NULL)"
+        )
+        here = F.expr(
+            f"exists({pos.format(t=t1)}, p1 -> "
+            f"exists({pos.format(t=t2)}, p2 -> "
+            f"p2 > p1 AND p2 <= p1 + {slop + 1}))"
+        )
+        cond = here if cond is None else (cond | here)
+    return docs.where(cond).select("doc_id")
+
+
+def test_profile_near_through_inplace_lifecycle(spark, tmp_path):
+    """NEAR composed with the field-weighted profile (r13 — VERDICT r12
+    stretch-#8) through the IN-PLACE maintenance lifecycle: served
+    results must equal the scan-time replay (profile ranking over both
+    terms re-cut to the ordered position-pair allowed set) after
+    build(positions=True), an in-place upsert (positions regenerated for
+    the batch, preserved for the rest), and an in-place delete."""
+    from azuredatalakeindexer_spark.functions.text import tokens
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        delete_from_profile_index,
+        near_profile_from_index,
+        upsert_profile_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "pidx")
+    weights = {"text": 2.0, "source": 1.0}
+    terms = ["merge", "stream"]
+
+    def expected(logical, k=15):
+        toks = logical.select(
+            "doc_id",
+            tokens(F.col("text")).alias("text_toks"),
+            tokens(F.col("source")).alias("source_toks"),
+        )
+        allowed = _near_allowed(toks, "merge", "stream", 2, ["text", "source"])
+        profile = {f: (terms, w) for f, w in weights.items()}
+        full = scoring_profile_topk(logical, profile, k=logical.count())
+        return (
+            full.join(allowed, "doc_id", "left_semi")
+            .orderBy(F.col("score").desc(), F.col("doc_id"))
+            .limit(k)
+        )
+
+    a = docs.where(F.col("doc_id") % 3 != 0)
+    build_profile_index(
+        a,
+        path,
+        field_cols=["text", "source"],
+        attr_cols=["n_chars"],
+        n_buckets=16,
+        positions=True,
+    )
+    served = near_profile_from_index(
+        spark, path, "merge", "stream", weights, slop=2, ordered=True, k=15
+    )
+    assert _rows(served) == _rows(expected(a))
+    assert len(_rows(served)) > 0
+
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        upsert_profile_index,
+    )
+
+    upsert_profile_index(spark, path, docs.where(F.col("doc_id") % 3 == 0))
+    served = near_profile_from_index(
+        spark, path, "merge", "stream", weights, slop=2, ordered=True, k=15
+    )
+    assert _rows(served) == _rows(expected(docs))
+
+    delete_from_profile_index(
+        spark, path, docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    )
+    logical = docs.where(F.col("doc_id") % 7 != 0)
+    served = near_profile_from_index(
+        spark, path, "merge", "stream", weights, slop=2, ordered=True, k=15
+    )
+    assert _rows(served) == _rows(expected(logical))
+
+    # unordered variant: either-direction pairs widen the allowed set
+    served_u = near_profile_from_index(
+        spark, path, "stream", "merge", weights, slop=2, ordered=False, k=15
+    )
+    toks = logical.select(
+        "doc_id",
+        tokens(F.col("text")).alias("text_toks"),
+        tokens(F.col("source")).alias("source_toks"),
+    )
+    cond = None
+    for fld in ["text", "source"]:
+        pos = (
+            f"filter(transform({fld}_toks, (x, i) -> "
+            "CASE WHEN x = '{t}' THEN i + 1 END), x -> x IS NOT NULL)"
+        )
+        here = F.expr(
+            f"exists({pos.format(t='stream')}, p1 -> "
+            f"exists({pos.format(t='merge')}, p2 -> "
+            "p2 != p1 AND abs(p2 - p1) <= 3))"
+        )
+        cond = here if cond is None else (cond | here)
+    allowed_u = toks.where(cond).select("doc_id")
+    profile = {f: (terms, w) for f, w in weights.items()}
+    full = scoring_profile_topk(logical, profile, k=logical.count())
+    exp_u = (
+        full.join(allowed_u, "doc_id", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(15)
+    )
+    assert _rows(served_u) == _rows(exp_u)
+
+
+def test_profile_near_refusal_contracts(spark, tmp_path):
+    """Positional profile indexes refuse the segmented tier (the LSM ops
+    would drop the pos column), and NEAR refuses a non-positional index
+    — both loudly, mirroring the text surface's docstore-vs-LSM split."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        near_profile_from_index,
+    )
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        delete_from_profile_index_segmented,
+        upsert_profile_index_segmented,
+    )
+
+    docs = _docs(spark)
+    pos_path = str(tmp_path / "pos")
+    build_profile_index(
+        docs, pos_path, field_cols=["text"], n_buckets=16, positions=True
+    )
+    with pytest.raises(ValueError, match="POSITIONAL"):
+        upsert_profile_index_segmented(spark, pos_path, docs.limit(2))
+    with pytest.raises(ValueError, match="POSITIONAL"):
+        delete_from_profile_index_segmented(
+            spark, pos_path, docs.limit(2).select("doc_id")
+        )
+
+    bare = str(tmp_path / "bare")
+    build_profile_index(docs, bare, field_cols=["text"], n_buckets=16)
+    with pytest.raises(ValueError, match="positions=True"):
+        near_profile_from_index(spark, bare, "merge", "stream", {"text": 1.0})

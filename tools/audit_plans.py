@@ -249,6 +249,40 @@ def _simple_query_df(spark, sf):
     )
 
 
+def _profile_phrase_df(spark, sf):
+    """Profile-surface phrase serving (r13 — the r12 `weak` fix): the
+    docstore read must be dbucket-pruned to the positive terms'
+    candidate id-hash buckets and semi-joined to the candidate set —
+    never a whole-store scan or a doc-count-sized groupBy."""
+    import tempfile
+
+    from azuredatalakeindexer_spark.sources.fixtures import load_table
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        simple_query_profile_from_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="audit_pphr_")
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    build_profile_index(
+        docs,
+        root,
+        field_cols=["text", "source"],
+        attr_cols=["n_chars"],
+        n_buckets=64,
+        store_fields=True,
+    )
+    return simple_query_profile_from_index(
+        spark,
+        root,
+        'merge value +"scan stream" -"merge stream"',
+        {"text": 2.0, "source": 1.0},
+        k=20,
+    )
+
+
 def _victim_lookup_df(spark, sf):
     """Text-maintenance victim lookup (r10): the doclens bucket-set read
     statically prunes to the batch ids' dbucket partitions — the plan
@@ -331,6 +365,11 @@ CUSTOM = [
         "text maintenance victim lookup (serving plan)",
         "doclens bucket-set read statically pruned to the batch ids' dbuckets",
         _victim_lookup_df,
+    ),
+    (
+        "text_index_profile_phrase (serving plan)",
+        "candidate-sized phrase pass: dbucket-pruned docstore semi-joined to the positives' candidates, per-phrase semi/anti id sets",
+        _profile_phrase_df,
     ),
 ]
 
