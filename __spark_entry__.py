@@ -2584,6 +2584,50 @@ def q_text_index_profile_phrase(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_profile_phrase_pos(spark, sf):
+    """Phrase predicates served from POSITIONAL postings on the profile
+    surface (r13 — the r12 `weak`'s "(c)" path, Lucene PhraseQuery
+    semantics): ``phrase_mode="positions"`` answers ``+"scan stream"`` /
+    ``-"merge stream"`` by per-(doc, field) position-list intersection
+    (``|∩_i (P_i − i)| > 0`` in at least one weighted field) — cost is
+    |postings of the phrase terms|, the docstore never read (plan-pinned
+    in pytest).  Token-ADJACENCY semantics, deliberately distinct from
+    the substring-matching ``"stored"`` default; the index passes
+    through the in-place upsert lifecycle first so the positions are the
+    maintained ones, not the built ones."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        simple_query_profile_from_index,
+        upsert_profile_index,
+    )
+
+    docs = _docs(spark, sf)
+    root = tempfile.mkdtemp(prefix="adls_pphp_")
+    try:
+        build_profile_index(
+            docs.where(F.col("doc_id") % 3 != 0),
+            root,
+            field_cols=["text", "source"],
+            attr_cols=["n_chars"],
+            n_buckets=64,
+            positions=True,
+        )
+        upsert_profile_index(
+            spark, root, docs.where(F.col("doc_id") % 3 == 0)
+        ).count()
+        out = simple_query_profile_from_index(
+            spark,
+            root,
+            'merge value +"scan stream" -"merge stream"',
+            {"text": 2.0, "source": 1.0},
+            k=20,
+            phrase_mode="positions",
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_text_index_profile_near(spark, sf):
     """NEAR/proximity composed with a field-weighted scoring profile,
     served FROM the positional multi-field index (r13 — VERDICT r12
@@ -3594,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_profile_synonyms": q_text_index_profile_synonyms,
         "text_index_profile_simple_query": q_text_index_profile_simple_query,
         "text_index_profile_phrase": q_text_index_profile_phrase,
+        "text_index_profile_phrase_pos": q_text_index_profile_phrase_pos,
         "text_index_profile_near": q_text_index_profile_near,
         "text_index_profile_highlight": q_text_index_profile_highlight,
         "stream_profile_facets_filtered": q_stream_profile_facets_filtered,
@@ -3775,6 +3820,8 @@ _R13_WINDOW = [
     "text_index_profile_near",
     # serving plan rewritten this round (candidate-sized phrase pass)
     "text_index_profile_phrase",
+    # new this round: positional phrase serving (Lucene token adjacency)
+    "text_index_profile_phrase_pos",
     # r9-evidence cohort (all 17 remaining)
     "events_to_path_rows",
     "indexer_run",
@@ -3825,7 +3872,6 @@ _R13_WINDOW = [
     "text_index_suggest_maint",
     "text_index_synonyms",
     "text_index_upsert_topk",
-    "text_index_wildcard",
 ]
 
 
@@ -5724,6 +5770,58 @@ def oracle_sql() -> dict[str, str]:
         WHERE (contains(lt, 'scan stream') OR contains(ls, 'scan stream'))
           AND NOT contains(lt, 'merge stream')
           AND NOT contains(ls, 'merge stream')),
+      scored AS (
+        SELECT doc_id,
+               2.0 * ({_bm25_term.format(i='0_0', f='0')}
+                    + {_bm25_term.format(i='0_1', f='0')})
+             + 1.0 * ({_bm25_term.format(i='1_0', f='1')}
+                    + {_bm25_term.format(i='1_1', f='1')}) AS total
+        FROM per, stats)
+      SELECT doc_id, round(total, 6) AS score
+      FROM scored JOIN allowed USING (doc_id)
+      WHERE round(total, 6) > 0
+      ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+    # positional phrase predicates on the profile surface (r13): the
+    # allowed set is token-ADJACENCY per field (required pair present in
+    # >=1 weighted field, excluded pair in none) — bounded list_filter
+    # over 1-based positions, p1 < len so the +1 lookup never runs off
+    # the array; ranking is the same full-corpus profile replay
+    _adj_pairs = (
+        "len(list_filter("
+        " list_filter(list_transform(generate_series(1, len({w})),"
+        "             p -> CASE WHEN {w}[p] = '{a}' THEN p END),"
+        "             x -> x IS NOT NULL),"
+        " p1 -> p1 < len({w}) AND {w}[p1 + 1] = '{b}')) > 0"
+    )
+    sqls["text_index_profile_phrase_pos"] = f"""
+      WITH raw AS (
+        SELECT doc_id, {_WORDS} AS tw,
+               list_filter(string_split_regex(lower(source), '\\s+'), x -> x != '') AS sw
+        FROM documents),
+      per AS (
+        SELECT doc_id, tw, sw,
+               len(tw) AS dl0,
+               len(list_filter(tw, x -> x = 'merge')) AS tf0_0,
+               len(list_filter(tw, x -> x = 'value')) AS tf0_1,
+               len(sw) AS dl1,
+               len(list_filter(sw, x -> x = 'merge')) AS tf1_0,
+               len(list_filter(sw, x -> x = 'value')) AS tf1_1
+        FROM raw),
+      stats AS (
+        SELECT count(*) AS n, avg(dl0) AS avgdl0, avg(dl1) AS avgdl1,
+               sum(CASE WHEN tf0_0 > 0 THEN 1 ELSE 0 END) AS df0_0,
+               sum(CASE WHEN tf0_1 > 0 THEN 1 ELSE 0 END) AS df0_1,
+               sum(CASE WHEN tf1_0 > 0 THEN 1 ELSE 0 END) AS df1_0,
+               sum(CASE WHEN tf1_1 > 0 THEN 1 ELSE 0 END) AS df1_1
+        FROM per),
+      allowed AS (
+        SELECT doc_id FROM per
+        WHERE (({_adj_pairs.format(w='tw', a='scan', b='stream')})
+            OR ({_adj_pairs.format(w='sw', a='scan', b='stream')}))
+          AND NOT ({_adj_pairs.format(w='tw', a='merge', b='stream')})
+          AND NOT ({_adj_pairs.format(w='sw', a='merge', b='stream')})),
       scored AS (
         SELECT doc_id,
                2.0 * ({_bm25_term.format(i='0_0', f='0')}

@@ -131,9 +131,11 @@ HEADLINE = [
     # it structurally, so "shipped but not benched" can't recur.
     "text_index_profile_highlight",
     "text_index_profile_phrase",
-    # r13: NEAR/proximity composed with field-weighted profiles, served
-    # from positional multi-field postings through the in-place lifecycle
+    # r13: NEAR/proximity composed with field-weighted profiles and
+    # positional (Lucene token-adjacency) phrase serving, both from the
+    # positional multi-field postings through the in-place lifecycle
     "text_index_profile_near",
+    "text_index_profile_phrase_pos",
 ]
 
 #: the build+maintain+serve lifecycle entries (each builds, incrementally
@@ -163,6 +165,7 @@ LIFECYCLE_QUERIES = {
     "text_index_profile_highlight",
     "text_index_profile_phrase",
     "text_index_profile_near",
+    "text_index_profile_phrase_pos",
 }
 
 #: the mechanical definition of the "lifecycle family" — registered entries

@@ -955,3 +955,102 @@ def test_profile_near_refusal_contracts(spark, tmp_path):
     build_profile_index(docs, bare, field_cols=["text"], n_buckets=16)
     with pytest.raises(ValueError, match="positions=True"):
         near_profile_from_index(spark, bare, "merge", "stream", {"text": 1.0})
+
+
+def test_profile_phrase_positions_mode(spark, tmp_path):
+    """phrase_mode='positions' (r13 — the r12 weak's '(c)' path): phrase
+    predicates served from POSITIONAL postings with Lucene PhraseQuery
+    token-adjacency semantics — results must equal the scan-time
+    adjacency replay, the plan must never read a docstore, positions
+    survive the in-place lifecycle, and a non-positional index refuses."""
+    from azuredatalakeindexer_spark.functions.text import tokens
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        simple_query_profile_from_index,
+        upsert_profile_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "pidx")
+    weights = {"text": 2.0, "source": 1.0}
+    query = 'merge value +"scan stream" -"merge stream"'
+    build_profile_index(
+        docs.where(F.col("doc_id") % 3 != 0),
+        path,
+        field_cols=["text", "source"],
+        attr_cols=["n_chars"],
+        n_buckets=16,
+        positions=True,
+    )
+    upsert_profile_index(spark, path, docs.where(F.col("doc_id") % 3 == 0))
+
+    served = simple_query_profile_from_index(
+        spark, path, query, weights, k=15, phrase_mode="positions"
+    )
+
+    def adj(w, a, b):
+        # coalesce: element_at past the array end is NULL, and
+        # exists(... NULL ...) is NULL, which where() treats as false
+        # for the row — OR'd with another field that would wrongly
+        # exclude the doc
+        return F.expr(
+            f"exists(filter(transform({w}, (x, i) -> "
+            f"CASE WHEN x = '{a}' THEN i + 1 END), x -> x IS NOT NULL), "
+            f"p -> coalesce(try_element_at({w}, p + 1) = '{b}', false))"
+        )
+
+    tt = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("tw"),
+        tokens(F.col("source")).alias("sw"),
+    )
+    req = adj("tw", "scan", "stream") | adj("sw", "scan", "stream")
+    exc = adj("tw", "merge", "stream") | adj("sw", "merge", "stream")
+    allowed = tt.where(req & ~exc).select("doc_id")
+    profile = {f: (["merge", "value"], w) for f, w in weights.items()}
+    full = scoring_profile_topk(docs, profile, k=docs.count())
+    exp = (
+        full.join(allowed, "doc_id", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(15)
+    )
+    assert _rows(served) == _rows(exp)
+    assert len(_rows(served)) > 0
+
+    # the positions plan never touches a docstore (no text-column scan)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert not _docstore_scan_lines(plan), plan
+
+    # stored vs positions are DIFFERENT, documented semantics: substring
+    # match can cross token boundaries (e.g. "an str" inside "scan
+    # stream"), token adjacency cannot
+    path2 = str(tmp_path / "pidx2")
+    build_profile_index(
+        docs,
+        path2,
+        field_cols=["text", "source"],
+        attr_cols=["n_chars"],
+        n_buckets=16,
+        positions=True,
+        store_fields=True,
+    )
+    sub = simple_query_profile_from_index(
+        spark, path2, 'merge +"an str"', weights, k=5, phrase_mode="stored"
+    )
+    tok = simple_query_profile_from_index(
+        spark, path2, 'merge +"an str"', weights, k=5, phrase_mode="positions"
+    )
+    assert len(_rows(sub)) > 0      # substring hits inside "scan stream"
+    assert len(_rows(tok)) == 0     # no token is "an" followed by "str"
+
+    bare = str(tmp_path / "bare")
+    build_profile_index(docs, bare, field_cols=["text"], n_buckets=16)
+    with pytest.raises(ValueError, match="positions=True"):
+        simple_query_profile_from_index(
+            spark, bare, 'merge +"scan stream"', {"text": 1.0},
+            phrase_mode="positions",
+        )
+    with pytest.raises(ValueError, match="phrase_mode"):
+        simple_query_profile_from_index(
+            spark, bare, 'merge +"scan stream"', {"text": 1.0},
+            phrase_mode="fuzzy",
+        )
