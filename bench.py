@@ -338,9 +338,18 @@ def duckdb_timings(
         # draws can be inflated together (ngram_jaccard read 220.5/75.8
         # in one r12 run and 54.8/51.8 in another, identical result md5),
         # so min-of-2 alone is not a floor estimate.  Take up to 2 more
-        # draws; a query whose spread STAYS >1.5x is flagged `noisy` and
-        # excluded from the emitted spark_vs_duckdb_noise_robust ratio.
-        while len(raw) < 4 and min(raw) > 0 and max(raw) / min(raw) > 1.5:
+        # draws; a query whose spread STAYS material is flagged `noisy`
+        # and excluded from the emitted spark_vs_duckdb_noise_robust
+        # ratio.  "Material" needs BOTH a >1.5x ratio AND a >1 s absolute
+        # swing — millisecond oracles jitter past any relative threshold.
+        def _swingy(r: list) -> bool:
+            return (
+                min(r) > 0
+                and max(r) / min(r) > 1.5
+                and max(r) - min(r) > 1.0
+            )
+
+        while len(raw) < 4 and _swingy(raw):
             t0 = time.time()
             rows = con.execute(sqls[name]).fetchall()
             dt = time.time() - t0
@@ -355,7 +364,7 @@ def duckdb_timings(
             passes[name] = {
                 "passes": raw,
                 "result_md5": rhash,
-                "noisy": bool(min(raw) > 0 and max(raw) / min(raw) > 1.5),
+                "noisy": _swingy(raw),
             }
         out[name] = round(best, 3)
     con.close()
@@ -873,10 +882,11 @@ def main() -> None:
             "an unchanged md5 and spread passes is machine noise, a "
             "changed md5 is a real oracle change",
             "spark_vs_duckdb_noise_robust": "the headline ratio with "
-            "oracles still `noisy` after 4 passes (spread >1.5x — the "
-            "md5-pinned signature of a contended window, not an oracle "
-            "change) removed from BOTH numerator and denominator; the "
-            "raw ratio is always emitted alongside (r12 stretch-#7)",
+            "oracles still `noisy` after 4 passes (spread >1.5x AND >1 s "
+            "absolute — the md5-pinned signature of a contended window, "
+            "not an oracle change; millisecond jitter never qualifies) "
+            "removed from BOTH numerator and denominator; the raw ratio "
+            "is always emitted alongside (r12 stretch-#7)",
         },
     }
     with open(detail_path, "w") as f:
