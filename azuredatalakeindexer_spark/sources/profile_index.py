@@ -987,19 +987,36 @@ def delete_from_profile_index(
     # independent members concurrently.
     #
     # Layer 1: the dead ids' own dbuckets (computable from the ids alone —
-    # statically prune the victim lookup and the doclens rewrite) and the
-    # emptied-index probe.
-    id_dbuckets, index_emptied = run_concurrent(
-        lambda: [
-            r["b"]
-            for r in ids.select(
-                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
-            )
-            .distinct()
-            .collect()
-        ],
-        lambda: survivors.isEmpty(),
+    # statically prune the victim lookup and the doclens rewrite).
+    id_dbuckets = [
+        r["b"]
+        for r in ids.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    # No-op fast path FIRST (ADVICE r12): an idempotent redelivery of
+    # absent ids answers from ONE dbucket-pruned victim probe — the
+    # survivors emptiness scan and the postings chain never launch.  The
+    # probe also yields daffected and n_removed for the real path (ids
+    # map to exactly one dbucket, so the per-dbucket distinct counts sum
+    # exactly).
+    vrows = (
+        full_lens.where(F.col("dbucket").isin(id_dbuckets))
+        .select(id_col, "dbucket")
+        .join(keys, id_col, "left_semi")
+        .groupBy("dbucket")
+        .agg(F.countDistinct(id_col).alias("n"))
+        .collect()
     )
+    daffected = [r["dbucket"] for r in vrows]
+    n_removed = int(sum(r["n"] for r in vrows))
+    if not daffected:
+        # none of the ids exist: every tier is untouched — idempotent
+        # no-op, and no StagedCommit was opened so no staging dir or
+        # lease is left
+        return 0
 
     # Layer 2: the postings-side and doclens-side survivor chains.
     def _chain_postings():
@@ -1038,17 +1055,6 @@ def delete_from_profile_index(
         return affected, keep, present
 
     def _chain_doclens():
-        dvictims = (
-            full_lens.where(F.col("dbucket").isin(id_dbuckets))
-            .select(id_col, "dbucket")
-            .join(keys, id_col, "left_semi")
-        )
-        daffected = [
-            r["dbucket"] for r in dvictims.select("dbucket").distinct().collect()
-        ]
-        n_removed = dvictims.select(id_col).distinct().count()
-        if not daffected:
-            return daffected, n_removed, None, []
         dkeep = (
             full_lens.where(F.col("dbucket").isin(daffected))
             .join(keys, id_col, "left_anti")
@@ -1064,16 +1070,15 @@ def delete_from_profile_index(
         dpresent = [
             r["dbucket"] for r in dkeep.select("dbucket").distinct().collect()
         ]
-        return daffected, n_removed, dkeep, dpresent
+        return dkeep, dpresent
 
-    (affected, keep, present), (daffected, n_removed, dkeep, dpresent) = (
-        run_concurrent(_chain_postings, _chain_doclens)
+    # Layer 2: the emptied-index probe and the two survivor chains are
+    # mutually independent — submit concurrently.
+    index_emptied, (affected, keep, present), (dkeep, dpresent) = (
+        run_concurrent(
+            lambda: survivors.isEmpty(), _chain_postings, _chain_doclens
+        )
     )
-    if not daffected:
-        # none of the ids exist: every tier is untouched (the postings
-        # chain found no victims either) — idempotent no-op, and no
-        # StagedCommit was opened so no staging dir or lease is left
-        return 0
     commit = StagedCommit(spark, path)
 
     # survivor relations checkpointed, present/dpresent collected — the

@@ -695,9 +695,15 @@ def compact_profile_index(
                 "dbucket", F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets))
             )
         )
-        if lens_empty:
-            # docvals rows mirror doclens docs id-for-id: an emptied
-            # corpus drops to the typed 0-row unpartitioned sentinel
+        # docvals rows mirror doclens docs id-for-id, so lens_empty
+        # normally decides — but a partially-stored legacy index could
+        # break the mirror, and a partitionBy write of a genuinely empty
+        # frame leaves an unreadable zero-file partitioned dir (ADVICE
+        # r12): guard with the relation's own cheap probe, short-
+        # circuited on the common path
+        if lens_empty or vals.isEmpty():
+            # an emptied corpus drops to the typed 0-row unpartitioned
+            # sentinel
             vals.write.parquet(commit.stage("docvals"))
         else:
             vals.repartition("dbucket").write.partitionBy("dbucket").parquet(
@@ -737,7 +743,9 @@ def compact_profile_index(
                 "dbucket", F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets))
             )
         )
-        if lens_empty:
+        # same mirror-invariant guard as docvals (ADVICE r12): never
+        # partitionBy-write a genuinely empty frame
+        if lens_empty or live_store.isEmpty():
             live_store.write.parquet(commit.stage("docstore"))
         else:
             live_store.repartition("dbucket").write.partitionBy(

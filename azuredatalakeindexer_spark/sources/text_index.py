@@ -537,8 +537,6 @@ def upsert_text_index(
     )
 
     # Layer 2 — three mutually independent chains over layer-1 outputs.
-    vic_state: dict = {}
-
     def _chain_postings():
         # victims carry term as well as bucket: the same column-pruned
         # scan yields the affected buckets AND the per-term removal counts
@@ -548,7 +546,6 @@ def upsert_text_index(
         # buckets)); legacy indexes without one fall back to the full
         # postings projection.
         vic_buckets = _victim_buckets(spark, path, dkeys, delta_dbuckets, id_col)
-        vic_state["has_bsets"] = vic_buckets is not None
         vsrc = (
             old_postings
             if vic_buckets is None
@@ -625,7 +622,6 @@ def upsert_text_index(
     (victims, affected, merged), (new_lens, daffected, dmerged), statuses = (
         run_concurrent(_chain_postings, _chain_doclens, _chain_statuses)
     )
-    has_bsets = vic_state["has_bsets"]
 
     # every relation's new version is STAGED under <path>/.staging-<id>
     # and promoted by one journaled rename pass at the end — a crash at
