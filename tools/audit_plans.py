@@ -385,6 +385,12 @@ def main() -> None:
         f"Generated by `tools/audit_plans.py` at {sf}. For each query: the",
         "join strategies and exchanges Catalyst chose, then the formatted plan.",
         "",
+        "r13 regen vs the r11 artifact (diffed section-by-section): the r12",
+        "concurrency rework left EVERY serving plan byte-identical; the only",
+        "changed section is `text_index_simple_query` (the r13 candidate-sized",
+        "phrase pass — intentional) plus the new `text_index_profile_phrase`",
+        "audit.",
+        "",
     ]
     audits = [(n, note, lambda s, d, _n=n: qs[_n](s, d)) for n, note in AUDIT]
     audits += [(n, note, fn) for n, note, fn in CUSTOM]
