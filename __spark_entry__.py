@@ -2592,13 +2592,17 @@ def q_text_index_profile_phrase_pos(spark, sf):
     (``|∩_i (P_i − i)| > 0`` in at least one weighted field) — cost is
     |postings of the phrase terms|, the docstore never read (plan-pinned
     in pytest).  Token-ADJACENCY semantics, deliberately distinct from
-    the substring-matching ``"stored"`` default; the index passes
-    through the in-place upsert lifecycle first so the positions are the
-    maintained ones, not the built ones."""
+    the substring-matching ``"stored"`` default.  One third of the
+    corpus arrives as a pending LSM SEGMENT (positions ride the
+    segmented tier too, r13) so the adjacency check exercises the
+    doc-level LWW resolution of POSITIONAL rows; the in-place positional
+    lifecycle is driver-gated by `text_index_profile_near`."""
     from azuredatalakeindexer_spark.sources.profile_index import (
         build_profile_index,
         simple_query_profile_from_index,
-        upsert_profile_index,
+    )
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        upsert_profile_index_segmented,
     )
 
     docs = _docs(spark, sf)
@@ -2612,7 +2616,7 @@ def q_text_index_profile_phrase_pos(spark, sf):
             n_buckets=64,
             positions=True,
         )
-        upsert_profile_index(
+        upsert_profile_index_segmented(
             spark, root, docs.where(F.col("doc_id") % 3 == 0)
         ).count()
         out = simple_query_profile_from_index(

@@ -196,12 +196,14 @@ def build_profile_index(
     All maintenance ops — in-place and segmented — advance it.
 
     ``positions=True`` stores per-field positional postings (sorted
-    1-based token positions) so NEAR/proximity composes with scoring
-    profiles (``near_profile_from_index``, r13) — the profile twin of
-    ``build_text_index(positions=True)``.  In-place maintenance
-    preserves positions; the segmented (LSM) ops refuse a positional
-    profile index (in-place maintenance is the positional path for now,
-    mirroring the docstore-vs-LSM split on the text surface).
+    1-based token positions) so NEAR/proximity and token-adjacency
+    phrase predicates compose with scoring profiles
+    (``near_profile_from_index``, ``phrase_mode="positions"``, r13) —
+    the profile twin of ``build_text_index(positions=True)``.  Positions
+    ride EVERY maintenance path: in-place upsert/delete preserve the
+    column, segmented upserts regenerate it for the batch, tombstone
+    deletes are position-free by construction, and compaction folds the
+    live lists back into the base — same contract as the text surface.
     """
     if not field_cols:
         raise ValueError("build_profile_index needs at least one field")
@@ -1387,26 +1389,40 @@ def simple_query_profile_from_index(
                 f"needs a POSITIONAL profile index at {path}: rebuild "
                 "with build_profile_index(..., positions=True)"
             )
-        if list_segments(spark, path):
-            # unreachable through the public API (the segmented ops
-            # refuse positional indexes) — guard a hand-assembled layout
-            raise ValueError(
-                "simple_query_profile_from_index: positional profile "
-                "indexes are in-place-maintained; found pending segments"
+        pos_segs = list_segments(spark, path)
+
+        def _pos_slice(terms: list) -> DataFrame:
+            """Live (id, field, term, pos) rows of ``terms`` restricted to
+            the weighted fields — doc-level LWW across LSM segments when
+            any are pending (r13), the plain pruned read otherwise."""
+            uniq = sorted(set(terms))
+            pb = sorted({_py_bucket(t, n_buckets) for t in uniq})
+            tc = F.col("field").isin(flds) & F.col("term").isin(uniq)
+            if pos_segs:
+                sl, _dls, _vals = live_profile_slices(
+                    spark,
+                    path,
+                    pos_segs,
+                    id_col=id_col,
+                    buckets=pb,
+                    all_terms=uniq,
+                    cond=tc,
+                    need_attrs=[],
+                    fields=flds,
+                )
+                return sl.select(id_col, "field", "term", "pos")
+            return (
+                pos_postings.where(F.col("bucket").isin(pb))
+                .where(F.col("term").isin(uniq))
+                .where(F.col("field").isin(flds))
+                .select(id_col, "field", "term", "pos")
             )
 
         def _phrase_ids(p: str) -> DataFrame:
             terms = [t for t in p.split() if t]
             if not terms:
                 raise ValueError("empty phrase in simple query")
-            uniq = sorted(set(terms))
-            pb = sorted({_py_bucket(t, n_buckets) for t in uniq})
-            sl = (
-                pos_postings.where(F.col("bucket").isin(pb))
-                .where(F.col("term").isin(uniq))
-                .where(F.col("field").isin(flds))
-                .select(id_col, "field", "term", "pos")
-            )
+            sl = _pos_slice(terms)
             g = sl.groupBy(id_col, "field").agg(
                 *[
                     F.first(
@@ -1446,16 +1462,7 @@ def simple_query_profile_from_index(
             if allowed is None:
                 # every returnable doc matches >=1 positive term — start
                 # from that index-sized candidate set, never the corpus
-                pbuckets = sorted(
-                    {_py_bucket(t, n_buckets) for t in positives}
-                )
-                allowed = (
-                    pos_postings.where(F.col("bucket").isin(pbuckets))
-                    .where(F.col("term").isin(positives))
-                    .where(F.col("field").isin(flds))
-                    .select(id_col)
-                    .distinct()
-                )
+                allowed = _pos_slice(positives).select(id_col).distinct()
             allowed = allowed.join(ids_p, id_col, "left_anti")
     elif req_phrases or exc_phrases:
         from azuredatalakeindexer_spark.sources.ann_index import (
@@ -1631,7 +1638,9 @@ def near_profile_from_index(
     partitions of the positional postings restricted to the weighted
     fields (static PartitionFilter + pushed ``term IN``), pairs the
     per-(doc, field) position lists with array expressions — per-query
-    cost is |postings of the two terms|, never a corpus scan.  Requires
+    cost is |postings of the two terms|, never a corpus scan.  Works on
+    segmented (LSM) indexes: the positional rows ride the standard
+    doc-level last-writer-wins resolution (r13).  Requires
     ``build_profile_index(positions=True)``."""
     from azuredatalakeindexer_spark.sources.profile_segments import (
         list_segments,
@@ -1655,20 +1664,35 @@ def near_profile_from_index(
             "near_profile_from_index needs a POSITIONAL profile index: "
             "rebuild with build_profile_index(..., positions=True)"
         )
-    if list_segments(spark, path):
-        # unreachable through the public API (the segmented ops refuse
-        # positional indexes) — guard against a hand-assembled layout
-        raise ValueError(
-            "near_profile_from_index: positional profile indexes are "
-            "in-place-maintained; found pending segments"
-        )
     buckets = sorted({_py_bucket(t, n_buckets) for t in uniq})
-    pslice = (
-        postings.where(F.col("bucket").isin(buckets))
-        .where(F.col("term").isin(uniq))
-        .where(F.col("field").isin(flds))
-        .select(id_col, "field", "term", "pos")
-    )
+    segs = list_segments(spark, path)
+    if segs:
+        # LSM segments pending: the positional rows ride the standard
+        # doc-level last-writer-wins resolution (live_profile_slices
+        # keeps pos, r13) so proximity sees exactly the live corpus
+        from azuredatalakeindexer_spark.sources.profile_segments import (
+            live_profile_slices,
+        )
+
+        pslice, _dls, _vals = live_profile_slices(
+            spark,
+            path,
+            segs,
+            id_col=id_col,
+            buckets=buckets,
+            all_terms=uniq,
+            cond=F.col("field").isin(flds) & F.col("term").isin(uniq),
+            need_attrs=[],
+            fields=flds,
+        )
+        pslice = pslice.select(id_col, "field", "term", "pos")
+    else:
+        pslice = (
+            postings.where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(uniq))
+            .where(F.col("field").isin(flds))
+            .select(id_col, "field", "term", "pos")
+        )
     g = pslice.groupBy(id_col, "field").agg(
         F.first(
             F.when(F.col("term") == t1, F.col("pos")), ignorenulls=True

@@ -43,21 +43,6 @@ from azuredatalakeindexer_spark.sources.text_segments import (
 )
 
 
-def _require_nonpositional(spark: SparkSession, path: str, op: str) -> None:
-    """The segmented (LSM) profile ops don't version positional postings
-    yet — refuse loudly instead of silently dropping the pos column (the
-    in-place ops preserve it; mirrors the text surface's docstore-vs-LSM
-    split)."""
-    if "pos" in spark.read.parquet(f"{path}/postings").columns:
-        raise ValueError(
-            f"{op}: index at {path} is POSITIONAL "
-            "(build_profile_index(positions=True)) — positional profile "
-            "indexes are in-place-maintained (upsert_profile_index / "
-            "delete_from_profile_index); the segmented tier would drop "
-            "the position lists"
-        )
-
-
 def _read_or_empty_like(spark: SparkSession, p: str, like: DataFrame) -> DataFrame:
     """Read a maybe-absent segment relation typed EXACTLY like the base
     relation (attribute columns carry arbitrary user types — a guessed
@@ -153,20 +138,28 @@ def live_profile_slices(
     term match).  Every slice is bucket/dbucket-pruned and term-pushed
     exactly like the unsegmented reads; liveness is one doc-level max
     aggregate over the candidates' doclens rows."""
+    base_postings = spark.read.parquet(f"{path}/postings")
+    # positional profile indexes (r13) keep their pos lists through the
+    # liveness resolution — same contract as the text surface's
+    # live_postings — so NEAR / positional phrase serve across segments
+    has_pos = "pos" in base_postings.columns
+    mcols = [id_col, "field", "term", "tf"] + (["pos"] if has_pos else [])
+
     def mslice(df: DataFrame) -> DataFrame:
         return (
             df.where(F.col("bucket").isin(buckets))
             .where(F.col("term").isin(all_terms))
             .where(cond)
-            .select(id_col, "field", "term", "tf", "seg")
+            .select(*mcols, "seg")
         )
 
+    seg_schema = (
+        f"term string, {id_col} long, field string, tf bigint"
+        + (", pos array<int>" if has_pos else "")
+        + ", bucket bigint"
+    )
     allm = (
-        mslice(
-            spark.read.parquet(f"{path}/postings").withColumn(
-                "seg", F.lit(BASE_SEG)
-            )
-        )
+        mslice(base_postings.withColumn("seg", F.lit(BASE_SEG)))
         .unionByName(
             mslice(
                 _seg_union(
@@ -174,7 +167,7 @@ def live_profile_slices(
                     path,
                     segs,
                     "postings",
-                    f"term string, {id_col} long, field string, tf bigint, bucket bigint",
+                    seg_schema,
                     prune={"bucket": buckets},
                 )
             )
@@ -203,9 +196,7 @@ def live_profile_slices(
         .select(id_col, "seg")
         .localCheckpoint()
     )
-    matches = allm.join(alive, [id_col, "seg"]).select(
-        id_col, "field", "term", "tf"
-    )
+    matches = allm.join(alive, [id_col, "seg"]).select(*mcols)
 
     dls = (
         plens.where(F.col("field").isin(fields))
@@ -281,8 +272,11 @@ def upsert_profile_index_segmented(
     from azuredatalakeindexer_spark.sources.text_index import _lens_from_postings
 
     recover_for_maintenance(spark, path)
-    _require_nonpositional(spark, path, "upsert_profile_index_segmented")
     n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
+    # positional profile indexes version their pos lists through the
+    # segments too (r13) — the batch's postings regenerate positions, the
+    # doc-level max-segment rule serves the live lists
+    has_pos = "pos" in spark.read.parquet(f"{path}/postings").columns
     cols = list(dict.fromkeys(list(idx_fields) + list(idx_attrs)))
     deduped = _dedupe_profile_delta(delta, id_col, cols).localCheckpoint()
     segs = list_segments(spark, path)
@@ -309,7 +303,9 @@ def upsert_profile_index_segmented(
     # docs included via the pairs left join), without waiting for the
     # postings→lens chain.
     new_postings, dbuckets = run_concurrent(
-        lambda: _postings_rows(stacked, id_col, n_buckets).localCheckpoint(),
+        lambda: _postings_rows(
+            stacked, id_col, n_buckets, positions=has_pos
+        ).localCheckpoint(),
         lambda: [
             r["b"]
             for r in deduped.select(
@@ -470,7 +466,6 @@ def delete_from_profile_index_segmented(
     )
 
     recover_for_maintenance(spark, path)
-    _require_nonpositional(spark, path, "delete_from_profile_index_segmented")
     n_buckets, idx_fields, _attrs = _read_meta(spark, path)
     segs = list_segments(spark, path)
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
@@ -557,20 +552,24 @@ def compact_profile_index(
 
     alive = _alive(spark, path, segs, id_col).localCheckpoint()
 
-    def pslice(df: DataFrame, seg: int) -> DataFrame:
-        return df.select("term", id_col, "field", "tf").withColumn(
-            "seg", F.lit(seg)
-        )
+    base_postings = spark.read.parquet(f"{path}/postings")
+    # positional indexes keep their pos lists through the fold (r13)
+    has_pos = "pos" in base_postings.columns
+    pcols = ["term", id_col, "field", "tf"] + (["pos"] if has_pos else [])
+    pschema = (
+        f"term string, {id_col} long, field string, tf bigint"
+        + (", pos array<int>" if has_pos else "")
+        + ", bucket bigint"
+    )
 
-    pparts = [pslice(spark.read.parquet(f"{path}/postings"), BASE_SEG)]
+    def pslice(df: DataFrame, seg: int) -> DataFrame:
+        return df.select(*pcols).withColumn("seg", F.lit(seg))
+
+    pparts = [pslice(base_postings, BASE_SEG)]
     for s in segs:
         pparts.append(
             pslice(
-                _read_or_empty(
-                    spark,
-                    f"{_seg_dir(path, s)}/postings",
-                    f"term string, {id_col} long, field string, tf bigint, bucket bigint",
-                ),
+                _read_or_empty(spark, f"{_seg_dir(path, s)}/postings", pschema),
                 s,
             )
         )
@@ -581,7 +580,7 @@ def compact_profile_index(
 
     merged = (
         allp.join(alive, [id_col, "seg"])
-        .select("term", id_col, "field", "tf")
+        .select(*pcols)
         .withColumn(
             "bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets))
         )
@@ -643,7 +642,7 @@ def compact_profile_index(
     # each thunk, promote stays one sequential rename pass
     def _w_postings() -> None:
         if merged_empty:
-            merged.select("term", id_col, "field", "tf", "bucket").write.parquet(
+            merged.select(*pcols, "bucket").write.parquet(
                 commit.stage("postings")
             )
         else:

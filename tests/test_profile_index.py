@@ -927,29 +927,111 @@ def test_profile_near_through_inplace_lifecycle(spark, tmp_path):
     assert _rows(served_u) == _rows(exp_u)
 
 
-def test_profile_near_refusal_contracts(spark, tmp_path):
-    """Positional profile indexes refuse the segmented tier (the LSM ops
-    would drop the pos column), and NEAR refuses a non-positional index
-    — both loudly, mirroring the text surface's docstore-vs-LSM split."""
+def test_profile_near_positions_through_lsm_tier(spark, tmp_path):
+    """Positions ride the SEGMENTED (LSM) maintenance path too (r13):
+    NEAR and positional-phrase serving must see the live corpus across
+    base + pending segments (doc-level LWW over positional rows — a
+    replacement's new positions win, a tombstone removes the doc), and
+    compaction must fold the live position lists back into the base
+    bit-identically.  NEAR still refuses a non-positional index."""
+    from azuredatalakeindexer_spark.functions.text import tokens
     from azuredatalakeindexer_spark.sources.profile_index import (
         near_profile_from_index,
+        simple_query_profile_from_index,
     )
     from azuredatalakeindexer_spark.sources.profile_segments import (
+        compact_profile_index,
         delete_from_profile_index_segmented,
         upsert_profile_index_segmented,
     )
 
     docs = _docs(spark)
-    pos_path = str(tmp_path / "pos")
+    path = str(tmp_path / "pos")
+    weights = {"text": 2.0, "source": 1.0}
     build_profile_index(
-        docs, pos_path, field_cols=["text"], n_buckets=16, positions=True
+        docs.where(F.col("doc_id") % 3 != 0),
+        path,
+        field_cols=["text", "source"],
+        attr_cols=["n_chars"],
+        n_buckets=16,
+        positions=True,
     )
-    with pytest.raises(ValueError, match="POSITIONAL"):
-        upsert_profile_index_segmented(spark, pos_path, docs.limit(2))
-    with pytest.raises(ValueError, match="POSITIONAL"):
-        delete_from_profile_index_segmented(
-            spark, pos_path, docs.limit(2).select("doc_id")
+    # segment 1: insert the remaining third (fresh positional postings)
+    upsert_profile_index_segmented(
+        spark, path, docs.where(F.col("doc_id") % 3 == 0)
+    )
+    # segment 2: tombstone-delete some docs
+    n = delete_from_profile_index_segmented(
+        spark, path, docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    )
+    assert n > 0
+    logical = docs.where(F.col("doc_id") % 7 != 0)
+
+    def expected_near(k=15):
+        toks = logical.select(
+            "doc_id",
+            tokens(F.col("text")).alias("text_toks"),
+            tokens(F.col("source")).alias("source_toks"),
         )
+        allowed = _near_allowed(toks, "merge", "stream", 2, ["text", "source"])
+        profile = {f: (["merge", "stream"], w) for f, w in weights.items()}
+        full = scoring_profile_topk(logical, profile, k=logical.count())
+        return (
+            full.join(allowed, "doc_id", "left_semi")
+            .orderBy(F.col("score").desc(), F.col("doc_id"))
+            .limit(k)
+        )
+
+    served = near_profile_from_index(
+        spark, path, "merge", "stream", weights, slop=2, ordered=True, k=15
+    )
+    want = _rows(expected_near())
+    assert _rows(served) == want
+    assert len(want) > 0
+
+    # positional phrase predicates across the same pending segments
+    got_phrase = _rows(
+        simple_query_profile_from_index(
+            spark,
+            path,
+            'merge value +"scan stream"',
+            weights,
+            k=15,
+            phrase_mode="positions",
+        )
+    )
+
+    def adj(w, a, b):
+        return F.expr(
+            f"exists(filter(transform({w}, (x, i) -> "
+            f"CASE WHEN x = '{a}' THEN i + 1 END), x -> x IS NOT NULL), "
+            f"p -> coalesce(try_element_at({w}, p + 1) = '{b}', false))"
+        )
+
+    toks = logical.select(
+        "doc_id",
+        tokens(F.col("text")).alias("tw"),
+        tokens(F.col("source")).alias("sw"),
+    )
+    allowed_p = toks.where(
+        adj("tw", "scan", "stream") | adj("sw", "scan", "stream")
+    ).select("doc_id")
+    profile_p = {f: (["merge", "value"], w) for f, w in weights.items()}
+    full_p = scoring_profile_topk(logical, profile_p, k=logical.count())
+    exp_phrase = _rows(
+        full_p.join(allowed_p, "doc_id", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(15)
+    )
+    assert got_phrase == exp_phrase
+
+    # compaction folds the live position lists back into the base
+    assert compact_profile_index(spark, path) >= 2
+    assert "pos" in spark.read.parquet(f"{path}/postings").columns
+    served2 = near_profile_from_index(
+        spark, path, "merge", "stream", weights, slop=2, ordered=True, k=15
+    )
+    assert _rows(served2) == want
 
     bare = str(tmp_path / "bare")
     build_profile_index(docs, bare, field_cols=["text"], n_buckets=16)

@@ -453,18 +453,21 @@ def test_lease_heartbeat_keeps_slow_writer_alive(spark, tmp_path, monkeypatch):
     docs = _docs(spark)
     path = str(tmp_path / "ti")
     build_text_index(docs, path, n_buckets=16)
-    monkeypatch.setattr(staging, "LEASE_TTL_SEC", 0.4)
+    # TTL must comfortably outlast the parquet write that follows the
+    # stage() heartbeat PLUS the recover check — 0.4 s flaked whenever a
+    # 1-row write took longer than that on a loaded box (r13)
+    monkeypatch.setattr(staging, "LEASE_TTL_SEC", 5.0)
 
     # slow writer A: created, then idle past the (shrunk) TTL
     a = StagedCommit(spark, path)
-    _time.sleep(0.6)
+    _time.sleep(6.0)
     # a heartbeat-bearing call renews the lease...
     docs.limit(1).write.parquet(a.stage("lens_new"))
     # ...so a second writer refuses even though the ORIGINAL lease would
     # by now be stale
     with pytest.raises(staging.ConcurrentMaintenanceError):
         staging.recover_for_maintenance(spark, path)
-    _time.sleep(0.6)
+    _time.sleep(6.0)
     a.swap("lens_new", "lens_new_live")  # renews again
     with pytest.raises(staging.ConcurrentMaintenanceError):
         staging.recover_for_maintenance(spark, path)
