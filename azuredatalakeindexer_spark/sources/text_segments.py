@@ -717,12 +717,14 @@ def delete_from_text_index_segmented(
     )
     from azuredatalakeindexer_spark.functions.parallel import run_concurrent
 
-    # two aggregates over the checkpointed victims — overlap their job
-    # latency (r12)
-    n_removed, stats = run_concurrent(
-        lambda: victims.count(),
-        lambda: victims.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).first(),
-    )
+    # ONE aggregate yields both the victim count and the dl sum (ADVICE
+    # r12: the old concurrent pair made an n_removed == 0 redelivery pay
+    # a second Spark job; a single agg is also cheaper on the real path)
+    agg = victims.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+    ).first()
+    n_removed, dl_sum = int(agg["n"]), int(agg["s"])
     if n_removed == 0:
         return 0
     # tombstone only the ACTUAL victims: absent ids carry no information,
@@ -742,7 +744,7 @@ def delete_from_text_index_segmented(
             spark,
             path,
             n_docs - n_removed,
-            sum_dl - int(stats["s"]),
+            sum_dl - dl_sum,
             _pin,
             target=commit.stage("stats"),
         )
