@@ -52,6 +52,17 @@ def get_spark(app_name: str = "adls-indexer", cpus: int | None = None) -> SparkS
         # Parquet scan pushdown is on by default; pin it explicitly since the
         # engine's incremental-watermark semantics rely on it (SURVEY §4).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Partition discovery: the persisted index layouts (postings/doclens/
+        # docvals/segments) are bucket-partitioned at n_buckets = 64-256
+        # top-level directories, and every maintenance op re-opens them
+        # several times.  The default threshold (32 paths) pushes each of
+        # those listings into a DISTRIBUTED job — one 64-task job per
+        # read-back, pure scheduling latency at this directory count.  512
+        # keeps driver-side listing for bucket-sized layouts (a driver lists
+        # hundreds of dirs in ms) while genuinely wide layouts (date-
+        # partitioned lakes with thousands of partitions) still distribute.
+        # Measured: warm profile-index build 4.9 -> 3.8 s at sf0.1.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
         # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
         # reader rejects by default; read as int64 nanos and convert in
         # sources.fixtures.load_table (values are µs-aligned — verified).
