@@ -58,6 +58,7 @@ __all__ = [
     "delete_from_profile_index_segmented",
     "compact_profile_index",
     "live_profile_slices",
+    "live_field_term_slice",
     "run_stream_profile_index",
 ]
 
@@ -218,6 +219,71 @@ def live_profile_slices(
         )
         vals = allv.join(alive, [id_col, "seg"]).select(id_col, *need_attrs)
     return matches, dls, vals
+
+
+def live_field_term_slice(
+    spark: SparkSession,
+    path: str,
+    segs: list[int],
+    term_pred,
+    *,
+    fields: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(field, term, id_col)`` rows of LIVE postings whose field is in
+    ``fields`` and whose term satisfies ``term_pred`` (a ``Column ->
+    Column`` factory) — the multi-field twin of
+    :func:`text_segments.live_term_slice`, and the segmented-state
+    vocabulary slice behind the profile surface's suggester, fuzzy and
+    wildcard expansions (r14, VERDICT r13 stretch-#7).
+
+    The field IN-list and the term predicate are applied INSIDE every
+    slice scan (base + each segment) so sargable conjuncts (prefix
+    ranges, length bands via the column stats of term-sorted files) push
+    to the parquet readers; doc-level last-writer-wins liveness then
+    resolves only over docs that carry a matching term in a scoped field
+    (candidate-sized, not corpus-sized), the same max-segment rule as
+    :func:`live_profile_slices`."""
+    base_postings = spark.read.parquet(f"{path}/postings")
+    has_pos = "pos" in base_postings.columns
+
+    def slice_(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col("field").isin(fields))
+            .where(term_pred(F.col("term")))
+            .select("field", "term", id_col, "seg")
+        )
+
+    seg_schema = (
+        f"term string, {id_col} long, field string, tf bigint"
+        + (", pos array<int>" if has_pos else "")
+        + ", bucket bigint"
+    )
+    allp = (
+        slice_(base_postings.withColumn("seg", F.lit(BASE_SEG)))
+        .unionByName(
+            slice_(_seg_union(spark, path, segs, "postings", seg_schema))
+        )
+        .localCheckpoint()
+    )
+    cand = allp.select(id_col).distinct()
+    plens = _all_plens(spark, path, segs, id_col)
+    latest = (
+        plens.join(cand, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.max("seg").alias("seg"))
+    )
+    tombs = (
+        _all_tombs(spark, path, segs, id_col)
+        .groupBy(id_col)
+        .agg(F.max("seg").alias("_tseg"))
+    )
+    alive = (
+        latest.join(tombs, id_col, "left")
+        .where(F.col("seg") > F.coalesce(F.col("_tseg"), F.lit(-1)))
+        .select(id_col, "seg")
+    )
+    return allp.join(alive, [id_col, "seg"]).select("field", "term", id_col)
 
 
 def _read_fieldstats(spark: SparkSession, path: str) -> dict:

@@ -327,13 +327,19 @@ def build_text_index(
         postings.repartition("bucket").sortWithinPartitions("term").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(f"{path}/postings")
+        # checkpoint the doclens rows ONCE (per-doc rows — corpus-count-
+        # sized, orders smaller than the postings) so the doclens write
+        # runs off the materialized frame and the trailing stats write
+        # aggregates the SAME frame instead of re-listing + re-reading the
+        # directory just written (r14: a listing + a scan off the build's
+        # critical path; stats itself stays last, see below)
         doclens = _lens_from_postings(
             docs.sparkSession.read.parquet(f"{path}/postings"),
             docs.select(F.col(id_col)),
             id_col,
             n_buckets,
             bsets=_bsets,
-        )
+        ).localCheckpoint()
         run_concurrent(
             lambda: doclens.repartition("dbucket")
             .write.mode("overwrite")
@@ -341,6 +347,7 @@ def build_text_index(
             .parquet(f"{path}/doclens"),
             lambda: _rebuild_terms_rollup(docs.sparkSession, path, id_col),
         )
+        return doclens
 
     # the docstore is a corpus projection independent of the postings →
     # doclens → terms chain — overlap it with the WHOLE chain, not just
@@ -350,7 +357,7 @@ def build_text_index(
     # on (run_stream_text_index)
     from azuredatalakeindexer_spark.functions.parallel import run_concurrent
 
-    run_concurrent(
+    doclens_ckpt = run_concurrent(
         _postings_chain,
         (
             lambda: docs.select(
@@ -365,16 +372,13 @@ def build_text_index(
         )
         if store_text
         else None,
-    )
-    # stats from the doclens just WRITTEN (a 2-column read-back), not from
-    # the expression tree — recomputing it re-tokenized the whole corpus a
-    # second time (r9 verdict wrong-#4: build fixed overhead)
-    _write_stats_from(
-        docs.sparkSession,
-        path,
-        docs.sparkSession.read.parquet(f"{path}/doclens"),
-        n_buckets,
-    )
+    )[0]
+    # stats from the doclens CHECKPOINT the chain just wrote (not from the
+    # expression tree — recomputing it re-tokenized the whole corpus a
+    # second time, r9 verdict wrong-#4).  The write itself stays LAST:
+    # stats is the existence marker the streaming drain keys its
+    # build-vs-upsert decision on, so nothing may exist after it doesn't.
+    _write_stats_from(docs.sparkSession, path, doclens_ckpt, n_buckets)
 
 
 def _write_stats_from(
