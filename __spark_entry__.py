@@ -2913,6 +2913,120 @@ def q_search_with_facets(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_text_index_profile_suggest(spark, sf):
+    """Field-scoped autocomplete served FROM the multi-field profile
+    index (r14 — VERDICT r13 stretch-#7; the reference service's
+    suggesters name the ``sourceFields`` they draw from,
+    `IndexModels/TextIndexModel.cs:24-34`): the index is built on two
+    thirds of the corpus, the remaining third arrives as a pending LSM
+    SEGMENT, and ``suggest_profile_from_index`` must recount each
+    prefix-matched term's df EXACTLY over the live doc versions (doc-
+    level LWW across base + segment) — df counts distinct documents
+    carrying the term in ANY scoped field.  Cost is |vocabulary slice
+    under the prefix| (pushed StartsWith over term-sorted bucket files),
+    independent of corpus size.  The oracle recounts from the full
+    corpus (every doc written exactly once across build + segment)."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        suggest_profile_from_index,
+    )
+    from azuredatalakeindexer_spark.sources.profile_segments import (
+        upsert_profile_index_segmented,
+    )
+
+    docs = _docs(spark, sf)
+    root = tempfile.mkdtemp(prefix="adls_psug_")
+    try:
+        build_profile_index(
+            docs.where(F.col("doc_id") % 3 != 0),
+            root,
+            field_cols=["text", "source"],
+            n_buckets=64,
+        )
+        upsert_profile_index_segmented(
+            spark, root, docs.where(F.col("doc_id") % 3 == 0)
+        ).count()
+        out = suggest_profile_from_index(
+            spark, root, "s", fields=["text", "source"], k=10
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_text_index_profile_fuzzy(spark, sf):
+    """Fuzzy search composed with a field-weighted scoring profile,
+    served FROM the persisted multi-field index (r14 — VERDICT r13
+    stretch-#7; the service resolves ``term~`` index-side, full-Lucene
+    mode — `AzureSearchIndexer/PathIndexClient.cs:49-92`):
+    ``stroam~2`` expands against EACH weighted field's vocabulary
+    independently (length band + prefix guard pushed into the term-
+    sorted postings, levenshtein <= 2, per-field top-50 by dist asc /
+    df desc / term asc — Lucene's per-field FuzzyQuery rewrite), then
+    the expansions score through the profile: BM25 per field with
+    index-global stats, weighted 2.0/1.0 and summed.  The oracle
+    replays expansion AND scoring relationally with the term-sorted
+    contribution fold (float-association-exact)."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        fuzzy_profile_from_index,
+    )
+
+    docs = _docs(spark, sf)
+    root = tempfile.mkdtemp(prefix="adls_pfzz_")
+    try:
+        build_profile_index(
+            docs, root, field_cols=["text", "source"], n_buckets=64
+        )
+        out = fuzzy_profile_from_index(
+            spark,
+            root,
+            "stroam",
+            {"text": 2.0, "source": 1.0},
+            max_edits=2,
+            prefix_len=1,
+            max_expansions=50,
+            k=20,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_text_index_profile_wildcard(spark, sf):
+    """Wildcard search composed with a field-weighted scoring profile,
+    served FROM the persisted multi-field index (r14 — VERDICT r13
+    stretch-#7): ``s*r*`` enumerates BOTH weighted fields' vocabularies
+    (text terms like 'stream' AND the source tags 'srcN' match —
+    exercising genuinely per-field expansion lists), caps each field at
+    top-50 by df desc / term asc, and scores the per-field expansions
+    through the profile with index-global stats.  A literal-prefix
+    pattern plans as a pushable StartsWith over the term-sorted postings
+    files; the oracle replays expansion and scoring relationally."""
+    from azuredatalakeindexer_spark.sources.profile_index import (
+        build_profile_index,
+        wildcard_profile_from_index,
+    )
+
+    docs = _docs(spark, sf)
+    root = tempfile.mkdtemp(prefix="adls_pwld_")
+    try:
+        build_profile_index(
+            docs, root, field_cols=["text", "source"], n_buckets=64
+        )
+        out = wildcard_profile_from_index(
+            spark,
+            root,
+            "s*r*",
+            {"text": 2.0, "source": 1.0},
+            max_expansions=50,
+            k=20,
+        )
+        return _persisted(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_profile_facets_filtered(spark, sf):
     """Search + $filter facets served from the LSM-RESIDENT profile index
     mid-stream (r11 — VERDICT r10 next-#7): documents arrive as a file
@@ -3622,17 +3736,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     locally each round (tools/check_correctness.py + the env-gated
     tests/test_full_correctness.py).
 
-    r13 window (``_R13_WINDOW`` below), continuing the evidence-age
-    policy: the new entry (`text_index_profile_near`) leads, then
-    `text_index_profile_phrase` (its serving plan was rewritten this
-    round — candidate-sized docstore pass), then every entry by oldest
-    driver evidence first — all 17 remaining r9-evidence entries and 31
-    of the 45 r10s (the index/stream/lifecycle families, whose code
-    paths this round's positional-profile and phrase work touched; the
-    14 left at r10 evidence are stable scan/rollup operators).  After
-    this window no registered entry's newest driver row is older than
-    r10.  All result-preserving changes are additionally re-proven by
-    the full local replay at sf0.01 (tools/check_correctness.py).
+    r14 window (``_R14_WINDOW`` below), continuing the evidence-age
+    policy: the three new entries (suggest / fuzzy / wildcard composed
+    with the multi-field profile surface, VERDICT r13 stretch-#7) lead,
+    then every entry by oldest driver evidence first — all 15 remaining
+    r10-evidence entries (stable scan/rollup operators; the r13 COVERAGE
+    note undercounted them as 14 — VERDICT r13 trivia fixed) and the
+    alphabetically-first 32 of the 47 r11-evidence entries.  After this
+    window no registered entry's newest driver row is older than r11;
+    the 15 r11 entries left over rotate through the r15 window.  All
+    result-preserving changes are additionally re-proven by the full
+    local replay at sf0.01 (tools/check_correctness.py).
     """
     base = {
         # -- NEW this round (r11: synonym expansion and simple-query
@@ -3645,6 +3759,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_profile_phrase_pos": q_text_index_profile_phrase_pos,
         "text_index_profile_near": q_text_index_profile_near,
         "text_index_profile_highlight": q_text_index_profile_highlight,
+        # -- NEW r14 (VERDICT r13 stretch-#7): the last three text-surface
+        # -- query types composed with the multi-field profile surface
+        "text_index_profile_suggest": q_text_index_profile_suggest,
+        "text_index_profile_fuzzy": q_text_index_profile_fuzzy,
+        "text_index_profile_wildcard": q_text_index_profile_wildcard,
         "stream_profile_facets_filtered": q_stream_profile_facets_filtered,
         # -- CHANGED this round (r11): every text/profile build & upsert
         # -- now derives doclens (dl + victim-directory bucket set) from
@@ -3813,69 +3932,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
     }
-    head = {k: base.pop(k) for k in _R13_WINDOW}
+    head = {k: base.pop(k) for k in _R14_WINDOW}
     return head | base
 
 
 #: the 50 entries the r13 driver window replays, in order (see the
 #: queries() docstring for the selection rationale)
-_R13_WINDOW = [
-    # new this round
-    "text_index_profile_near",
-    # serving plan rewritten this round (candidate-sized phrase pass)
-    "text_index_profile_phrase",
-    # new this round: positional phrase serving (Lucene token adjacency)
-    "text_index_profile_phrase_pos",
-    # r9-evidence cohort (all 17 remaining)
-    "events_to_path_rows",
-    "indexer_run",
-    "indexer_run_metrics",
-    "iso_ts",
-    "keyset_page",
-    "list_changed_paths",
-    "listing_to_path_rows",
-    "partitioned_counts",
-    "partitioned_runs",
-    "path_keys",
-    "span_dedup",
-    "split_blob_urls",
-    "stream_deleted_index",
-    "stream_upsert_events",
-    "upsert_merge",
-    "upsert_status_counts",
-    "url_roundtrip",
-    # r10-evidence cohort: the index/stream/lifecycle families (31 of
-    # 45; the 14 stable scan/rollup operators stay at r10 evidence)
-    "ann_delete_topk",
-    "ann_filtered_index_topk",
-    "ann_index_topk",
-    "ann_pq_delete_topk",
-    "ann_pq_index_topk",
-    "ann_pq_upsert_topk",
-    "ann_upsert_topk",
-    "bpe_pipeline",
-    "saved_hybrid_search",
-    "search_with_facets",
-    "stream_ann_index",
-    "stream_highlight_lsm",
-    "stream_pq_index",
-    "stream_text_index",
-    "text_index_delete_topk",
-    "text_index_filtered_topk",
-    "text_index_fuzzy",
-    "text_index_fuzzy_lsm",
-    "text_index_highlight_topk",
-    "text_index_near_topk",
-    "text_index_near_unordered",
-    "text_index_phrase_topk",
-    "text_index_profile_filtered",
-    "text_index_profile_lsm",
-    "text_index_profile_upsert",
-    "text_index_simple_query",
-    "text_index_suggest",
-    "text_index_suggest_maint",
-    "text_index_synonyms",
-    "text_index_upsert_topk",
+_R14_WINDOW = [
+    # new this round (r14): suggest / fuzzy / wildcard on the profile
+    # surface (VERDICT r13 stretch-#7)
+    "text_index_profile_suggest",
+    "text_index_profile_fuzzy",
+    "text_index_profile_wildcard",
+    # r10-evidence cohort (all 15 remaining — the oldest driver evidence
+    # in the registry; VERDICT r13 next-#4/#8)
+    "directory_filter",
+    "doc_count",
+    "embedding_topk_np",
+    "events_hourly",
+    "events_pivot",
+    "index_ddl",
+    "orders_cube",
+    "oversize_filter",
+    "pricing_summary",
+    "rebuild_batches",
+    "region_rollup",
+    "text_index_wildcard",
+    "token_stats",
+    "top_customers",
+    "watermark_filter_agg",
+    # r11-evidence cohort (alphabetically first 32 of the 47; the 15 left
+    # at r11 evidence rotate through the r15 window)
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "batch_packing",
+    "batch_packing_greedy",
+    "cluster_canonical",
+    "dedup_exact",
+    "dedup_simhash",
+    "distinct_users_daily",
+    "doc_fingerprints",
+    "embedding_quantize",
+    "embedding_topk",
+    "event_quantiles",
+    "events_gapfill",
+    "events_sessionize",
+    "hash_sample",
+    "lang_id",
+    "late_orders_exists",
+    "multimodal_features",
+    "multimodal_frames",
+    "ngram_jaccard",
+    "pack_sequences",
+    "pii_redaction",
+    "profile_orders",
+    "quality_score",
+    "region_revenue",
+    "repetition_stats",
+    "run_metrics",
+    "salted_counts",
+    "search_near",
+    "search_near_unordered",
+    "search_phrase",
+    "shipping_priority",
 ]
 
 
@@ -5896,6 +6015,86 @@ def oracle_sql() -> dict[str, str]:
       WHERE round(total, 6) > 0
       ORDER BY score DESC, doc_id LIMIT 20
     """
+
+    # r14: field-scoped suggester — df counts distinct docs carrying the
+    # prefix-matched term in ANY scoped field; the entry's LSM state
+    # (build 2/3 + one pending segment 1/3, disjoint ids) nets to the
+    # full corpus, so the replay recounts from the table directly
+    sqls["text_index_profile_suggest"] = f"""
+      WITH raw AS (
+        SELECT doc_id, {_WORDS} AS tw,
+               list_filter(string_split_regex(lower(source), '\\s+'), x -> x != '') AS sw
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, unnest(tw) AS term FROM raw
+        UNION
+        SELECT doc_id, unnest(sw) AS term FROM raw)
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM pairs WHERE term LIKE 's%'
+      GROUP BY term ORDER BY df DESC, term LIMIT 10
+    """
+
+    # r14: fuzzy / wildcard composed with the field-weighted profile —
+    # the expansion (per-field band/pattern slice, dist asc / df desc /
+    # term asc, cap 50) AND the BM25F scoring replayed relationally.
+    # Float-association-exact: per (doc, field) the contributions fold
+    # in sorted-term order (zero-tf terms contribute exact 0.0 — an IEEE
+    # identity — so only nonzero rows need folding), then the weighted
+    # per-field scores fold in profile order, mirroring
+    # query_profile_index's expression tree.
+    _pf_skeleton = f"""
+      WITH raw AS (
+        SELECT doc_id, {_WORDS} AS tw,
+               list_filter(string_split_regex(lower(source), '\\s+'), x -> x != '') AS sw
+        FROM documents),
+      pf AS (
+        SELECT 0 AS ford, t.doc_id, t.term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(tw) AS term FROM raw) t
+        GROUP BY t.doc_id, t.term
+        UNION ALL
+        SELECT 1 AS ford, t.doc_id, t.term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(sw) AS term FROM raw) t
+        GROUP BY t.doc_id, t.term),
+      vocab AS (SELECT ford, term, count(*)::BIGINT AS df
+                FROM pf GROUP BY ford, term),
+      exp AS (
+        SELECT ford, term, df FROM (
+          SELECT ford, term, df, row_number() OVER (
+            PARTITION BY ford ORDER BY {{rank}}) AS rn
+          FROM vocab WHERE {{keep}}) WHERE rn <= 50),
+      dls AS (SELECT doc_id, len(tw) AS dl0, len(sw) AS dl1 FROM raw),
+      stats AS (SELECT count(*) AS n, avg(dl0) AS avgdl0,
+                       avg(dl1) AS avgdl1 FROM dls),
+      contrib AS (
+        SELECT pf.doc_id, pf.ford, pf.term,
+               ln(1.0 + (n - e.df + 0.5) / (e.df + 0.5)) * pf.tf * 2.2
+                 / (pf.tf + 1.2 * (0.25 + 0.75 *
+                     (CASE pf.ford WHEN 0 THEN d.dl0 ELSE d.dl1 END)
+                   / (CASE pf.ford WHEN 0 THEN avgdl0 ELSE avgdl1 END))) AS c
+        FROM pf JOIN exp e ON e.ford = pf.ford AND e.term = pf.term
+        JOIN dls d ON d.doc_id = pf.doc_id, stats),
+      fsc AS (
+        SELECT doc_id, ford,
+               list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS fscore
+        FROM contrib GROUP BY doc_id, ford),
+      tot AS (
+        SELECT doc_id,
+               list_reduce(list((CASE ford WHEN 0 THEN 2.0 ELSE 1.0 END) * fscore
+                                ORDER BY ford), (a, b) -> a + b) AS total
+        FROM fsc GROUP BY doc_id)
+      SELECT doc_id, round(total, 6) AS score
+      FROM tot WHERE round(total, 6) > 0
+      ORDER BY score DESC, doc_id LIMIT 20
+    """
+    sqls["text_index_profile_fuzzy"] = _pf_skeleton.format(
+        rank="levenshtein(term, 'stroam'), df DESC, term",
+        keep="length(term) BETWEEN 4 AND 8 AND term LIKE 's%' "
+        "AND levenshtein(term, 'stroam') <= 2",
+    )
+    sqls["text_index_profile_wildcard"] = _pf_skeleton.format(
+        rank="df DESC, term",
+        keep="term LIKE 's%r%'",
+    )
 
     # maintenance lifecycle: the same profile replay over the LOGICAL
     # post-maintenance corpus — docs ≡ 0 (mod 4) rewritten (text

@@ -339,16 +339,22 @@ def upsert_profile_index_segmented(
 
     recover_for_maintenance(spark, path)
     n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
-    # positional profile indexes version their pos lists through the
-    # segments too (r13) — the batch's postings regenerate positions, the
-    # doc-level max-segment rule serves the live lists
-    has_pos = "pos" in spark.read.parquet(f"{path}/postings").columns
     cols = list(dict.fromkeys(list(idx_fields) + list(idx_attrs)))
-    deduped = _dedupe_profile_delta(delta, id_col, cols).localCheckpoint()
-    segs = list_segments(spark, path)
-    new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
     from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
+    # Layer 0 (r14, same shape as the in-place upsert): the batch
+    # checkpoint, the positional-column schema probe (parquet footers,
+    # driver-side — positional profile indexes version their pos lists
+    # through the segments too, r13: the batch's postings regenerate
+    # positions, the doc-level max-segment rule serves the live lists)
+    # and the segment listing are mutually independent — overlap them.
+    deduped, has_pos, segs = run_concurrent(
+        lambda: _dedupe_profile_delta(delta, id_col, cols).localCheckpoint(),
+        lambda: "pos" in spark.read.parquet(f"{path}/postings").columns,
+        lambda: list_segments(spark, path),
+    )
+    new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
     # stacked is consumed only by new_postings, which is itself
     # checkpointed — re-deriving it from the checkpointed deduped batch

@@ -568,26 +568,42 @@ def upsert_text_index_segmented(
     )
 
     recover_for_maintenance(spark, path)
-    _check_n_buckets(spark, path, n_buckets, "upsert_text_index_segmented")
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
-
-    # a docstore-backed (highlight-enabled) index versions its stored text
-    # through the segments too: the batch's texts land in seg=K/docstore
-    # and the max-segment rule serves the live version
-    # (live_docstore_slice) until compaction folds them into the base
-    has_store = hadoop_path_exists(spark, f"{path}/docstore")
-    segs = list_segments(spark, path)
-    new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
     toks = tokens(F.col(text_col))
     deduped = _dedupe_delta(delta, id_col, text_col)
-    if has_store:
-        deduped = deduped.localCheckpoint()
-    base = deduped.select(
-        F.col(id_col),
-        toks.alias("_toks"),
-        F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
-    ).localCheckpoint()
+
+    def _probe_and_ckpt():
+        # a docstore-backed (highlight-enabled) index versions its stored
+        # text through the segments too: the batch's texts land in
+        # seg=K/docstore and the max-segment rule serves the live version
+        # (live_docstore_slice) until compaction folds them into the base.
+        # The probe gates whether the deduped rows need their own
+        # checkpoint, so probe + checkpoint form one ordered thunk.
+        store = hadoop_path_exists(spark, f"{path}/docstore")
+        d = deduped.localCheckpoint() if store else deduped
+        b = d.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("dbucket"),
+        ).localCheckpoint()
+        return store, d, b
+
+    # Layer 0 (r14): the layout probes (stats n_buckets pin, positional-
+    # column existence, segment listing) are driver-side reads
+    # independent of each other and of the batch-checkpoint chain —
+    # overlap them instead of stacking five fixed latencies ahead of the
+    # first real job.
+    (has_store, deduped, base), _check, segs, has_pos = run_concurrent(
+        _probe_and_ckpt,
+        lambda: _check_n_buckets(
+            spark, path, n_buckets, "upsert_text_index_segmented"
+        ),
+        lambda: list_segments(spark, path),
+        lambda: "pos" in spark.read.parquet(f"{path}/postings").columns,
+    )
+    new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
     # the alive-lookup only needs docs that can collide with the batch:
     # prune every segment's doclens to the batch's id-hash partitions
@@ -615,14 +631,12 @@ def upsert_text_index_segmented(
     # directory for list_segments to pick up and no stats drift
     commit = StagedCommit(spark, path)
     # a positional base gets positional segments (pos rides through the
-    # LWW resolution and compaction unchanged)
-    has_pos = "pos" in spark.read.parquet(f"{path}/postings").columns
+    # LWW resolution and compaction unchanged); has_pos was probed in
+    # layer 0 above
     new_postings = _postings_from(base, id_col, n_buckets, positions=has_pos)
     # independent staged writes from checkpointed batch-sized inputs —
     # submit concurrently so scheduling + dynamic-partition commit
     # latencies overlap instead of stacking
-    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
-
     seg_dir = commit.stage("seg")
 
     def _w_stats() -> None:

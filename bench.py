@@ -137,6 +137,13 @@ HEADLINE = [
     # positional multi-field postings through the in-place lifecycle
     "text_index_profile_near",
     "text_index_profile_phrase_pos",
+    # r14: suggest / fuzzy / wildcard composed with the multi-field
+    # surface (the last three text-surface query types; suggest serves
+    # through a pending LSM segment, fuzzy/wildcard do per-field
+    # expansion feeding the profile scorer)
+    "text_index_profile_suggest",
+    "text_index_profile_fuzzy",
+    "text_index_profile_wildcard",
 ]
 
 #: the build+maintain+serve lifecycle entries (each builds, incrementally
@@ -167,6 +174,9 @@ LIFECYCLE_QUERIES = {
     "text_index_profile_phrase",
     "text_index_profile_near",
     "text_index_profile_phrase_pos",
+    "text_index_profile_suggest",
+    "text_index_profile_fuzzy",
+    "text_index_profile_wildcard",
 }
 
 #: the mechanical definition of the "lifecycle family" — registered entries

@@ -208,3 +208,26 @@ def test_every_lifecycle_family_entry_is_benched_or_excused():
         assert len(why) > 40, f"{name}: rationale too thin"
     # headlined lifecycle entries must also be in the like-for-like split
     assert bench.LIFECYCLE_QUERIES <= headlined
+
+
+def test_plans_artifact_is_fresh():
+    """PLANS.md must be regenerated after any package/entry change (the
+    r12/r13 verdicts both flagged a stale shipped audit): the artifact
+    records the source-tree fingerprint it was generated against, and this
+    test recomputes it from the live tree."""
+    import sys
+
+    sys.path.insert(0, ROOT)
+    from tools.treehash import plan_source_fingerprint
+
+    src = open(os.path.join(ROOT, "PLANS.md")).read()
+    m = re.search(r"Source-tree fingerprint: `([0-9a-f]{16})`", src)
+    assert m, (
+        "PLANS.md carries no source-tree fingerprint - regenerate it with "
+        "`python tools/audit_plans.py` (the fingerprint line was added r14)"
+    )
+    assert m.group(1) == plan_source_fingerprint(), (
+        "PLANS.md is STALE: the package/entry sources changed after the "
+        "last `python tools/audit_plans.py` regen - rerun it as the "
+        "round's final code-touching step"
+    )

@@ -379,17 +379,18 @@ def main() -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    from tools.treehash import plan_source_fingerprint
+
     out = [
         "# PLANS — physical-plan audit of headline queries",
         "",
         f"Generated by `tools/audit_plans.py` at {sf}. For each query: the",
         "join strategies and exchanges Catalyst chose, then the formatted plan.",
         "",
-        "r13 regen vs the r11 artifact (diffed section-by-section): the r12",
-        "concurrency rework left EVERY serving plan byte-identical; the only",
-        "changed section is `text_index_simple_query` (the r13 candidate-sized",
-        "phrase pass — intentional) plus the new `text_index_profile_phrase`",
-        "audit.",
+        # freshness gate (VERDICT r13 next-#3): tests/test_totals.py
+        # recomputes this fingerprint — a package/entry commit after the
+        # regen fails the suite instead of shipping a stale audit
+        f"Source-tree fingerprint: `{plan_source_fingerprint()}`",
         "",
     ]
     audits = [(n, note, lambda s, d, _n=n: qs[_n](s, d)) for n, note in AUDIT]
