@@ -438,12 +438,19 @@ def query_profile_index(
         )
 
     # per-(field, term) document frequency: candidate-sized aggregate;
-    # missing pairs mean df=0 — their contribution is exactly 0.0 anyway
-    df_rows = matches.groupBy("field", "term").agg(
-        F.count(F.lit(1)).alias("df")
-    ).collect()
+    # missing pairs mean df=0 — their contribution is exactly 0.0 anyway.
+    # The df aggregate and the f-row fieldstats read are independent
+    # planner-side collects — overlap them (r14) instead of stacking two
+    # driver round-trips on every serve.
+    from azuredatalakeindexer_spark.functions.parallel import run_concurrent
+
+    df_rows, fs_rows = run_concurrent(
+        lambda: matches.groupBy("field", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect(),
+        lambda: spark.read.parquet(f"{path}/fieldstats").collect(),
+    )
     dfmap = {(r["field"], r["term"]): int(r["df"]) for r in df_rows}
-    fs_rows = spark.read.parquet(f"{path}/fieldstats").collect()
     # a field absent from fieldstats means the index is empty (delete-all
     # sentinel): no candidates exist, so the (0, 0.0) defaults are inert
     fsmap = {r["field"]: (int(r["n_docs"]), float(r["avgdl"])) for r in fs_rows}
@@ -985,14 +992,9 @@ def delete_from_profile_index(
     recover_for_maintenance(spark, path)
     _require_unsegmented_profile(spark, path, "delete_from_profile_index")
     n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
-    ids = doc_ids.select(id_col).distinct().localCheckpoint()
-    keys = F.broadcast(ids) if broadcast_ids else ids
 
     doclens_path = f"{path}/doclens"
     postings_path = f"{path}/postings"
-    full_lens = spark.read.parquet(doclens_path)
-    survivors = full_lens.join(keys, id_col, "left_anti")
-    has_bsets = "buckets" in full_lens.columns
     from azuredatalakeindexer_spark.functions.parallel import run_concurrent
     from azuredatalakeindexer_spark.sources.text_index import _victim_buckets
 
@@ -1000,16 +1002,29 @@ def delete_from_profile_index(
     # path is latency-bound sequential driver actions — run each layer's
     # independent members concurrently.
     #
-    # Layer 1: the dead ids' own dbuckets (computable from the ids alone —
-    # statically prune the victim lookup and the doclens rewrite).
-    id_dbuckets = [
-        r["b"]
-        for r in ids.select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+    # Layer 1 (r14 fold): ONE job checkpoints the distinct ids WITH their
+    # dbucket column, so the dead ids' own partition list (statically
+    # prunes the victim lookup and the doclens rewrite) is a collect off
+    # the checkpoint, not a second scan of the caller's relation; the
+    # doclens schema probe (parquet footers, driver-side) overlaps it.
+    def _ckpt_ids():
+        frame = (
+            doc_ids.select(id_col)
+            .distinct()
+            .withColumn(
+                "_db", F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets))
+            )
+            .localCheckpoint()
         )
-        .distinct()
-        .collect()
-    ]
+        dbs = [r["_db"] for r in frame.select("_db").distinct().collect()]
+        return frame.select(id_col), dbs
+
+    (ids, id_dbuckets), full_lens = run_concurrent(
+        _ckpt_ids, lambda: spark.read.parquet(doclens_path)
+    )
+    keys = F.broadcast(ids) if broadcast_ids else ids
+    survivors = full_lens.join(keys, id_col, "left_anti")
+    has_bsets = "buckets" in full_lens.columns
     # No-op fast path FIRST (ADVICE r12): an idempotent redelivery of
     # absent ids answers from ONE dbucket-pruned victim probe — the
     # survivors emptiness scan and the postings chain never launch.  The
