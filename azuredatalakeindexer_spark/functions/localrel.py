@@ -51,3 +51,49 @@ def tiny_df(spark: SparkSession, rows, schema) -> DataFrame:
         )
     except Exception:  # exotic type or arrow unavailable: correctness first
         return spark.createDataFrame(rows, st)
+
+
+def write_meta_parquet(spark: SparkSession, rows, schema, target: str) -> None:
+    """Write a DRIVER-SIZED relation (index stats, per-field stats, layout
+    meta — rows already in driver memory) as a parquet directory WITHOUT an
+    executor write job: the rows become one Arrow table, the parquet bytes
+    are produced in-process, and the file lands through the same Hadoop
+    FileSystem the executors use (cluster-safe — HDFS/ABFS paths work
+    identically), with the write-to-tmp + rename discipline of
+    ``staging._write_file_atomic``.
+
+    Every maintenance op used to end its chain with a
+    ``tiny_df(...).write`` / ``agg.coalesce(1).write`` job whose task did
+    microseconds of work behind a full scheduling + commit-protocol
+    round trip (r14: ~0.2-0.5 s each, several per lifecycle op at bench
+    scale).  A metadata relation is driver-sized BY DEFINITION, so the
+    executor hop carries no scale benefit — at 10^9 docs these relations
+    are still one-to-a-few rows.  Readers are unchanged:
+    ``spark.read.parquet`` sees an ordinary single-file directory.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    st = spark.createDataFrame([], schema).schema  # normalize DDL → StructType
+    arrow_schema = to_arrow_schema(st)
+    dicts = [r if isinstance(r, dict) else dict(zip(st.names, r)) for r in rows]
+    table = pa.Table.from_pylist(dicts, schema=arrow_schema)
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink)
+    payload = sink.getvalue().to_pybytes()
+
+    from azuredatalakeindexer_spark.sources.staging import _hadoop_fs, _jpath
+
+    fs, _ = _hadoop_fs(spark, target)
+    dst_dir = _jpath(spark, target)
+    tmp_dir = _jpath(spark, f"{target}.tmp-meta")
+    if fs.exists(tmp_dir):
+        fs.delete(tmp_dir, True)
+    out = fs.create(_jpath(spark, f"{target}.tmp-meta/part-00000.parquet"), True)
+    out.write(bytearray(payload))
+    out.close()
+    if fs.exists(dst_dir):
+        fs.delete(dst_dir, True)
+    if not fs.rename(tmp_dir, dst_dir):
+        raise IOError(f"write_meta_parquet: rename {tmp_dir} -> {dst_dir} failed")

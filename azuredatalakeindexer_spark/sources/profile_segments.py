@@ -304,9 +304,17 @@ def _write_fieldstats_exact(
     rows = [
         (f, n, s / n, s) for f, (n, s) in sorted(stats.items()) if n > 0
     ]
-    tiny_df(
-        spark, rows, "field string, n_docs bigint, avgdl double, sum_dl bigint"
-    ).write.parquet(target)
+    from azuredatalakeindexer_spark.functions.localrel import write_meta_parquet
+
+    # the rows are already driver-resident — write them driver-side (one
+    # Hadoop FS call) instead of spending an executor write job on an
+    # f-row relation (r14; see write_meta_parquet)
+    write_meta_parquet(
+        spark,
+        rows,
+        "field string, n_docs bigint, avgdl double, sum_dl bigint",
+        target,
+    )
 
 
 def upsert_profile_index_segmented(
@@ -733,12 +741,31 @@ def compact_profile_index(
         commit.swap("doclens", "doclens")
 
     def _w_fieldstats() -> None:
-        # fieldstats from the resolved doclens (exact, same avg division)
-        lens.groupBy("field").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
-        ).coalesce(1).write.parquet(commit.stage("fieldstats"))
+        # fieldstats from the resolved doclens (exact, same avg division);
+        # the agg collects f rows which land driver-side (r14; see
+        # write_meta_parquet)
+        from azuredatalakeindexer_spark.functions.localrel import (
+            write_meta_parquet,
+        )
+
+        rows = (
+            lens.groupBy("field")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("dl").alias("avgdl"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+            )
+            .collect()
+        )
+        write_meta_parquet(
+            spark,
+            [
+                (r["field"], r["n_docs"], r["avgdl"], int(r["sum_dl"]))
+                for r in sorted(rows, key=lambda r: r["field"])
+            ],
+            "field string, n_docs bigint, avgdl double, sum_dl bigint",
+            commit.stage("fieldstats"),
+        )
         commit.swap("fieldstats", "fieldstats")
 
     def _w_docvals() -> None:

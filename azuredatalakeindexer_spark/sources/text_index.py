@@ -389,20 +389,30 @@ def _write_stats_from(
     target: str | None = None,
 ) -> None:
     """Write the 1-row ``stats`` relation ``(n_docs, avgdl, sum_dl,
-    n_buckets)`` from the given doclens relation in ONE fused agg+write
-    job.  ``sum_dl`` is the exact bigint the segmented maintenance path
-    advances incrementally (avgdl = sum_dl/n_docs is the same
-    long-sum/count division ``avg`` performs, so BM25 scores stay
-    bit-identical either way); ``n_buckets`` pins the layout's bucket
-    count so every later op can refuse a mismatched argument instead of
-    silently missing buckets.  The extra columns are inert to queries —
-    they broadcast the row and select ``n_docs``/``avgdl`` by name."""
-    doclens_df.agg(
+    n_buckets)`` from the given doclens relation: ONE aggregate job
+    collects the row, then it lands driver-side (``write_meta_parquet``
+    — r14: the old fused agg+write spent a scheduling + commit-protocol
+    round on a task that wrote one row).  ``sum_dl`` is the exact bigint
+    the segmented maintenance path advances incrementally (avgdl =
+    sum_dl/n_docs is the same long-sum/count division ``avg`` performs,
+    so BM25 scores stay bit-identical either way); ``n_buckets`` pins the
+    layout's bucket count so every later op can refuse a mismatched
+    argument instead of silently missing buckets.  The extra columns are
+    inert to queries — they broadcast the row and select
+    ``n_docs``/``avgdl`` by name."""
+    row = doclens_df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
-        F.lit(n_buckets).cast("int").alias("n_buckets"),
-    ).write.mode("overwrite").parquet(target if target is not None else f"{path}/stats")
+    ).first()
+    from azuredatalakeindexer_spark.functions.localrel import write_meta_parquet
+
+    write_meta_parquet(
+        spark,
+        [(row["n_docs"], row["avgdl"], int(row["sum_dl"]), int(n_buckets))],
+        "n_docs bigint, avgdl double, sum_dl bigint, n_buckets int",
+        target if target is not None else f"{path}/stats",
+    )
 
 
 def _check_n_buckets(spark: SparkSession, path: str, n_buckets: int, op: str) -> None:
@@ -1302,11 +1312,6 @@ def delete_from_text_index(
         )
         .first(),
     )
-    stats = tiny_df(
-        spark,
-        [(_srow["n_docs"], _srow["avgdl"], int(_srow["sum_dl"]), n_buckets)],
-        "n_docs bigint, avgdl double, sum_dl bigint, n_buckets int",
-    )
     # n_docs == 0 means EVERY document was deleted: both relations end up
     # row-free, and a partitioned layout with zero data files cannot be
     # re-read (schema inference fails) — replace it with a typed 0-row
@@ -1455,7 +1460,18 @@ def delete_from_text_index(
                 commit.remove(f"docstore/dbucket={b}")
 
     def _w_stats_terms() -> None:
-        stats.write.parquet(commit.stage("stats"))
+        # the survivor stats row was collected in layer 1 — land it
+        # driver-side (r14; see write_meta_parquet)
+        from azuredatalakeindexer_spark.functions.localrel import (
+            write_meta_parquet,
+        )
+
+        write_meta_parquet(
+            spark,
+            [(_srow["n_docs"], _srow["avgdl"], int(_srow["sum_dl"]), n_buckets)],
+            "n_docs bigint, avgdl double, sum_dl bigint, n_buckets int",
+            commit.stage("stats"),
+        )
         commit.swap("stats", "stats")
         if index_emptied:
             spark.createDataFrame([], "term string, df bigint").write.parquet(

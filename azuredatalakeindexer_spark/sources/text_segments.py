@@ -529,11 +529,17 @@ def _write_stats(
     performs, so scores stay bit-identical to a fresh build.  ``target``
     redirects the write into a staged commit."""
     avgdl = (sum_dl / n_docs) if n_docs else None
-    tiny_df(
+    from azuredatalakeindexer_spark.functions.localrel import write_meta_parquet
+
+    # the row is already driver-resident — write it driver-side (one
+    # Hadoop FS call) instead of spending an executor write job on a
+    # 1-row relation (r14; see write_meta_parquet)
+    write_meta_parquet(
         spark,
         [(n_docs, avgdl, sum_dl, n_buckets)],
         "n_docs bigint, avgdl double, sum_dl bigint, n_buckets int",
-    ).write.mode("overwrite").parquet(target if target is not None else f"{path}/stats")
+        target if target is not None else f"{path}/stats",
+    )
 
 
 def upsert_text_index_segmented(
