@@ -252,31 +252,53 @@ def _apply_swaps(spark: SparkSession, root: str, stage_dir: str, swaps: list) ->
       → live already moved, finish the second rename; staged present +
       backup absent → not started, do both renames;
     - remove: live present → move it to backup; absent → done.
+
+    Swaps are mutually independent (every swap targets its own live
+    directory — per-bucket partitions or whole relations, never shared),
+    so they execute on a small thread pool: the two renames WITHIN a swap
+    stay ordered, but the FS round trips of DIFFERENT swaps overlap.  A
+    maintenance op swaps up to n_buckets dirs per relation × up to five
+    relations (~200 swaps at 64 buckets), and each swap is 3-4
+    latency-bound metadata calls (py4j hops locally; REST calls on
+    HDFS/ABFS), so the sequential loop made promote the longest
+    NON-Spark phase of every maintenance op (measured: 4.5 s + 1.7 s
+    promote holes in one profile upsert+delete lifecycle at sf0.01 —
+    plans/r14/text_index_profile_near_after.txt gap analysis).  Crash
+    semantics are unchanged: the journal is already on disk before any
+    rename starts, and recovery determines each swap's state from the
+    on-disk facts of THAT swap alone, so any completed subset — not just
+    a prefix — rolls forward (the step-k crash tests in
+    tests/test_staging.py pin exactly that per-swap independence).
     """
     fs, _ = _hadoop_fs(spark, root)
 
     def j(p):
         return _jpath(spark, p)
 
-    for i, sw in enumerate(swaps):
+    if not swaps:
+        return
+    # hoisted out of the loop: one backup-root mkdirs instead of one per
+    # swap (idempotent; an unused empty backup dir is dropped with the
+    # staging dir at the end of _execute_plan)
+    fs.mkdirs(j(f"{stage_dir}/backup"))
+
+    def _one(i: int, sw: dict) -> None:
         live = j(f"{root}/{sw['live']}")
         backup = j(f"{stage_dir}/backup/{i}")
         if sw["staged"] is None:
             if fs.exists(live):
-                fs.mkdirs(j(f"{stage_dir}/backup"))
                 if not fs.rename(live, backup):
                     raise IOError(f"staged-commit: rename {live} -> {backup} failed")
-            continue
+            return
         staged = j(f"{stage_dir}/{sw['staged']}")
         if not fs.exists(staged):
-            continue  # this swap already completed in a prior attempt
+            return  # this swap already completed in a prior attempt
         if fs.exists(live):
             if fs.exists(backup):
                 # prior attempt crashed between the two renames of ANOTHER
                 # ordering — cannot happen for this one (live was moved
                 # before staged); treat a present live as not-yet-moved
                 fs.delete(backup, True)
-            fs.mkdirs(j(f"{stage_dir}/backup"))
             if not fs.rename(live, backup):
                 raise IOError(f"staged-commit: rename {live} -> {backup} failed")
         # parent may not exist when the live dir is a partition of a
@@ -284,6 +306,18 @@ def _apply_swaps(spark: SparkSession, root: str, stage_dir: str, swaps: list) ->
         fs.mkdirs(live.getParent())
         if not fs.rename(staged, live):
             raise IOError(f"staged-commit: rename {staged} -> {live} failed")
+
+    if len(swaps) <= 4:
+        for i, sw in enumerate(swaps):
+            _one(i, sw)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(swaps))) as pool:
+        # pool.map materialized via list() so every swap completes and the
+        # first failure re-raises (roll-forward recovery tolerates the
+        # rest having run — same contract as a crash mid-loop)
+        list(pool.map(lambda t: _one(*t), enumerate(swaps)))
 
 
 def _lease_age_sec(spark: SparkSession, fs, stage_dir: str) -> float:

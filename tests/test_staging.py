@@ -485,3 +485,48 @@ def test_lease_heartbeat_keeps_slow_writer_alive(spark, tmp_path, monkeypatch):
     assert not _staging_dirs(path)
     with pytest.raises(staging.ConcurrentMaintenanceError, match="reclaimed"):
         b.promote()
+
+
+def test_scattered_swap_subset_rolls_forward_exactly(spark, tmp_path):
+    """The promote's rename loop executes swaps on a thread pool (r14), so
+    a crash mid-promotion can leave ANY subset of swaps completed — not
+    just a prefix.  Simulate the worst case (every other journal entry
+    applied, alternating with untouched ones, indices preserved) and
+    assert recovery still lands on exactly the post-op state.  Index
+    positions matter because each swap's backup dir is keyed by its
+    journal index — the subset is applied by blanking the OTHER entries'
+    staged paths (an absent staged path is the loop's own
+    'already completed' skip), never by renumbering."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 3} beta") for i in range(12)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(3, "gamma delta"), (99, "alpha gamma")], "doc_id long, text string"
+    )
+
+    clean = str(tmp_path / "clean")
+    build_text_index(docs, clean, n_buckets=8)
+    upsert_text_index(spark, clean, delta, n_buckets=8)
+    expected = _snapshot_b8(spark, clean)
+
+    for parity in (0, 1):
+        path = str(tmp_path / f"scatter{parity}")
+        build_text_index(docs, path, n_buckets=8)
+
+        def scattered(spk, root, stage_dir, plan, _p=parity):
+            subset = [
+                sw
+                if i % 2 == _p
+                else {"staged": f"__not_staged_{i}__", "live": sw["live"]}
+                for i, sw in enumerate(plan["swaps"])
+            ]
+            assert len(subset) > 4  # the pooled path, not the tiny-list loop
+            staging._apply_swaps(spk, root, stage_dir, subset)
+            raise RuntimeError("crash")
+
+        with patch.object(staging, "_execute_plan", side_effect=scattered):
+            with pytest.raises(RuntimeError, match="crash"):
+                upsert_text_index(spark, path, delta, n_buckets=8)
+        assert recover_staged(spark, path) == 1
+        assert not _staging_dirs(path)
+        assert _snapshot_b8(spark, path) == expected, f"parity {parity}"
