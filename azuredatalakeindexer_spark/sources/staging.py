@@ -255,28 +255,36 @@ def _apply_swaps(spark: SparkSession, root: str, stage_dir: str, swaps: list) ->
 
     Swaps are mutually independent (every swap targets its own live
     directory — per-bucket partitions or whole relations, never shared),
-    so they execute on a small thread pool: the two renames WITHIN a swap
-    stay ordered, but the FS round trips of DIFFERENT swaps overlap.  A
+    so the loop can execute on a small thread pool: the two renames
+    WITHIN a swap stay ordered, but the FS round trips of DIFFERENT
+    swaps overlap.  Locally the round trips are sub-ms, so the pool
+    default is small (measured: threads add py4j contention and win
+    nothing against a local FS); on an object store each metadata call
+    is a 10-100 ms REST round trip and the Python GIL is released while
+    the socket waits, so production sets
+    ``spark.graft.staging.swapParallelism`` higher to overlap them.  A
     maintenance op swaps up to n_buckets dirs per relation × up to five
-    relations (~200 swaps at 64 buckets), and each swap is 3-4
-    latency-bound metadata calls (py4j hops locally; REST calls on
-    HDFS/ABFS), so the sequential loop made promote the longest
-    NON-Spark phase of every maintenance op (measured: 4.5 s + 1.7 s
-    promote holes in one profile upsert+delete lifecycle at sf0.01 —
-    plans/r14/text_index_profile_near_after.txt gap analysis).  Crash
-    semantics are unchanged: the journal is already on disk before any
-    rename starts, and recovery determines each swap's state from the
-    on-disk facts of THAT swap alone, so any completed subset — not just
-    a prefix — rolls forward (the step-k crash tests in
-    tests/test_staging.py pin exactly that per-swap independence).
+    relations (~200 swaps at 64 buckets).  The LOCAL win is a different
+    lever: py4j resolves the ``jvm.org.apache.hadoop.fs.Path`` attribute
+    chain with several reflection round trips per construction (~3 ms
+    measured, vs ~0.16 ms constructing through a cached JavaClass), so
+    the class is looked up once per promote instead of 2-4 times per
+    swap — that alone takes the promote phase from ~1.5 s to ~0.3 s at
+    200 swaps.  Crash semantics are unchanged: the journal is already
+    on disk before any rename starts, and recovery determines each
+    swap's state from the on-disk facts of THAT swap alone, so any
+    completed subset — not just a prefix — rolls forward (the step-k
+    crash tests in tests/test_staging.py pin exactly that per-swap
+    independence).
     """
-    fs, _ = _hadoop_fs(spark, root)
-
-    def j(p):
-        return _jpath(spark, p)
-
     if not swaps:
         return
+    fs, _ = _hadoop_fs(spark, root)
+    jp = spark._jvm.org.apache.hadoop.fs.Path  # cached JavaClass (see above)
+
+    def j(p):
+        return jp(p)
+
     # hoisted out of the loop: one backup-root mkdirs instead of one per
     # swap (idempotent; an unused empty backup dir is dropped with the
     # staging dir at the end of _execute_plan)
@@ -307,13 +315,17 @@ def _apply_swaps(spark: SparkSession, root: str, stage_dir: str, swaps: list) ->
         if not fs.rename(staged, live):
             raise IOError(f"staged-commit: rename {staged} -> {live} failed")
 
-    if len(swaps) <= 4:
+    try:
+        workers = int(spark.conf.get("spark.graft.staging.swapParallelism", "4"))
+    except ValueError:
+        workers = 4
+    if len(swaps) <= 4 or workers <= 1:
         for i, sw in enumerate(swaps):
             _one(i, sw)
         return
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(16, len(swaps))) as pool:
+    with ThreadPoolExecutor(max_workers=min(workers, len(swaps))) as pool:
         # pool.map materialized via list() so every swap completes and the
         # first failure re-raises (roll-forward recovery tolerates the
         # rest having run — same contract as a crash mid-loop)
