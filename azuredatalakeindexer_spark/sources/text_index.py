@@ -55,6 +55,20 @@ def _py_bucket(term: str, n_buckets: int) -> int:
     return h % n_buckets
 
 
+def _sqlstr(s: str) -> str:
+    """Escape a value for embedding in a single-quoted Spark SQL string
+    literal (default lexer: backslash IS an escape character)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _sqld(v: float) -> str:
+    """A Spark SQL DOUBLE literal with the exact value of ``v``: Python's
+    repr is the shortest round-tripping form, and the SQL parser's
+    string->double conversion restores the identical bits.  Scoring
+    inputs (k1/b/stats) are finite by construction."""
+    return f"{float(v)!r}D"
+
+
 def _postings_from(base: DataFrame, id_col: str, n_buckets: int, positions: bool) -> DataFrame:
     """(term, id, tf[, pos], bucket) aggregate from a ``(id, _toks)``
     relation.  With ``positions`` the rows additionally carry the sorted
@@ -847,31 +861,31 @@ def query_text_index(
         .crossJoin(F.broadcast(stats))
     )
     contrib = (
-        F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        )
-        * F.col("tf").cast("double")
-        * F.lit(k1 + 1.0)
-    ) / (
-        F.col("tf").cast("double")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        f"((ln({_sqld(1.0)} + (((n_docs - df) + {_sqld(0.5)}) / "
+        f"(df + {_sqld(0.5)}))) * CAST(tf AS DOUBLE)) * {_sqld(k1 + 1.0)}) / "
+        f"(CAST(tf AS DOUBLE) + ({_sqld(k1)} * ({_sqld(1.0 - b)} + "
+        f"((({_sqld(b)} * dl)) / avgdl))))"
     )
     # per-term columns, then a sorted-order sum: the SAME association order
     # as bm25_topk, so scores are bit-identical (a plain per-doc sum() would
-    # add in arbitrary order and drift in the last ulp)
+    # add in arbitrary order and drift in the last ulp).  Built as SQL
+    # strings — one F.expr parse per term instead of a per-term py4j
+    # Column chain, the same driver-latency fix as query_profile_index
+    # (guide §4; synonym/fuzzy/wildcard serves reach ~50 terms); the
+    # parsed trees are identical to the Column-built ones, test-pinned.
     per_doc = rows.groupBy(id_col).agg(
         *[
-            F.coalesce(
-                F.sum(F.when(F.col("term") == t, contrib)), F.lit(0.0)
+            F.expr(
+                f"coalesce(sum(CASE WHEN (term = '{_sqlstr(t)}') THEN "
+                f"({contrib}) END), 0.0D)"
             ).alias(f"_c{i}")
             for i, t in enumerate(terms)
         ]
     )
-    score = None
-    for i in range(len(terms)):
-        c = F.col(f"_c{i}")
-        score = c if score is None else score + c
+    score_sql = "_c0"
+    for i in range(1, len(terms)):
+        score_sql = f"({score_sql} + _c{i})"
+    score = F.expr(score_sql)
     if filter_ids is not None:
         fkeys = filter_ids.select(id_col).distinct()
         per_doc = per_doc.join(
