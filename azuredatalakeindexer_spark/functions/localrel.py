@@ -97,3 +97,51 @@ def write_meta_parquet(spark: SparkSession, rows, schema, target: str) -> None:
         fs.delete(dst_dir, True)
     if not fs.rename(tmp_dir, dst_dir):
         raise IOError(f"write_meta_parquet: rename {tmp_dir} -> {dst_dir} failed")
+
+
+def read_meta_parquet(spark: SparkSession, target: str) -> "list[dict] | None":
+    """Read a DRIVER-SIZED parquet relation (index stats, fieldstats,
+    layout meta — one to a few rows by construction) WITHOUT a Spark job:
+    list the directory through the Hadoop FileSystem, pull each data
+    file's bytes in-process, decode with pyarrow, return the rows as
+    dicts.  The read-side twin of :func:`write_meta_parquet` — a
+    ``spark.read.parquet(...).first()``/``collect()`` on a 1-row relation
+    is a full scheduling round trip (~0.15-0.4 s of pure fixed latency,
+    r15: one SERIAL such job sat in every text maintenance op's
+    ``_check_n_buckets`` and every serve's stats/fieldstats read).
+
+    Returns ``None`` when the relation cannot be read this way (missing
+    path, partitioned layout, or any decode surprise) — callers fall back
+    to the ordinary Spark read, so correctness never depends on this fast
+    path.  Use for metadata relations only: a data-sized relation through
+    the driver is the §5 anti-pattern this module's header warns about.
+    """
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from azuredatalakeindexer_spark.sources.staging import (
+            _hadoop_fs,
+            _jpath,
+            _read_file,
+        )
+
+        fs, _ = _hadoop_fs(spark, target)
+        dst = _jpath(spark, target)
+        if not fs.exists(dst):
+            return None
+        statuses = fs.listStatus(dst)
+        tables = []
+        for st in statuses:
+            name = st.getPath().getName()
+            if st.isDirectory():
+                return None  # partitioned layout — not a meta relation
+            if not name.endswith(".parquet") and not name.startswith("part-"):
+                continue  # _SUCCESS and friends
+            payload = _read_file(spark, fs, f"{target.rstrip('/')}/{name}")
+            tables.append(pq.read_table(pa.BufferReader(payload)))
+        if not tables:
+            return None
+        return pa.concat_tables(tables, promote_options="default").to_pylist()
+    except Exception:
+        return None

@@ -481,14 +481,19 @@ def query_profile_index(
     # and at fuzzy/wildcard expansion sizes (max_expansions x |fields| ~
     # 100 terms) the chains cost seconds of pure driver latency per serve
     # (measured 5.5-6.0 s Column-built vs 0.5-0.8 s via expr for 100
-    # terms, guide §4 — the JVM boundary is the cost, not the plan).  The
-    # parsed trees are IDENTICAL to the Column-built ones (canonicalized
-    # analyzed plans compare equal — test-pinned), so scores stay
-    # bit-identical.
+    # terms, guide §4 — the JVM boundary is the cost, not the plan).
+    # Scores stay bit-identical: tests/test_expr_parity.py pins the two
+    # failure modes the string path introduces (literal escaping and
+    # exact double round-trips through the SQL lexer) value-bit-exactly,
+    # and the serving-vs-scan-operator parity suites pin the end-to-end
+    # scores (ADVICE r14: say what the tests pin, not more).
+    from azuredatalakeindexer_spark.sources.text_index import _escaped_literals
+
+    esc = _escaped_literals(spark)
     tf_cols = [
         F.expr(
-            f"coalesce(sum(CASE WHEN (field = '{_sqlstr(fld)}') AND "
-            f"(term = '{_sqlstr(t)}') THEN tf END), 0)"
+            f"coalesce(sum(CASE WHEN (field = '{_sqlstr(fld, esc)}') AND "
+            f"(term = '{_sqlstr(t, esc)}') THEN tf END), 0)"
         ).alias(f"_tf{fi}_{ti}")
         for fi, (fld, terms, _w) in enumerate(fields)
         for ti, t in enumerate(terms)

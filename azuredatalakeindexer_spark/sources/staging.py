@@ -319,6 +319,19 @@ def _apply_swaps(spark: SparkSession, root: str, stage_dir: str, swaps: list) ->
         workers = int(spark.conf.get("spark.graft.staging.swapParallelism", "4"))
     except ValueError:
         workers = 4
+    # Pooled execution is only safe because every swap targets its OWN
+    # live directory.  ENFORCE that instead of trusting the comment
+    # (ADVICE r14): duplicate or nested live paths in one plan would race
+    # two renames on the same directory — fall back to the sequential
+    # loop, whose per-swap idempotence handles any plan.
+    if workers > 1 and len(swaps) > 4:
+        parts = [tuple(p for p in sw["live"].split("/") if p) for sw in swaps]
+        seen = set(parts)
+        independent = len(seen) == len(parts) and not any(
+            a != b and a == b[: len(a)] for a in seen for b in seen
+        )
+        if not independent:
+            workers = 1
     if len(swaps) <= 4 or workers <= 1:
         for i, sw in enumerate(swaps):
             _one(i, sw)

@@ -41,6 +41,7 @@ oracle is literally the same bm25 replay).
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -55,18 +56,51 @@ def _py_bucket(term: str, n_buckets: int) -> int:
     return h % n_buckets
 
 
-def _sqlstr(s: str) -> str:
+def _sqlstr(s: str, escaped_literals: bool = False) -> str:
     """Escape a value for embedding in a single-quoted Spark SQL string
-    literal (default lexer: backslash IS an escape character)."""
+    literal (default lexer: backslash IS an escape character).
+
+    With ``spark.sql.parser.escapedStringLiterals=true`` (the legacy
+    lexer) backslash is NOT an escape: doubled backslashes would survive
+    un-escaped and the term would silently match nothing, and a quote
+    cannot be escaped portably — refuse loudly for the affected values
+    (ADVICE r14); values without backslash/quote embed unchanged, so the
+    conf stays usable for ordinary terms."""
+    if escaped_literals:
+        if "\\" in s or "'" in s:
+            raise ValueError(
+                "cannot embed a term containing a backslash or single "
+                "quote in a SQL string literal while "
+                "spark.sql.parser.escapedStringLiterals is enabled — "
+                "unset that conf for this session"
+            )
+        return s
     return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _escaped_literals(spark: SparkSession) -> bool:
+    """Whether this session parses SQL string literals with the legacy
+    (no backslash-unescape) lexer — read once per query entry point and
+    threaded into ``_sqlstr``."""
+    try:
+        v = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        return str(v).lower() == "true"
+    except Exception:
+        return False
 
 
 def _sqld(v: float) -> str:
     """A Spark SQL DOUBLE literal with the exact value of ``v``: Python's
     repr is the shortest round-tripping form, and the SQL parser's
-    string->double conversion restores the identical bits.  Scoring
-    inputs (k1/b/stats) are finite by construction."""
-    return f"{float(v)!r}D"
+    string->double conversion restores the identical bits.  Non-finite
+    values (caller-supplied inf/nan weights) have no SQL double literal —
+    raise a clear error instead of an opaque parse failure (ADVICE r14)."""
+    v = float(v)
+    if not math.isfinite(v):
+        raise ValueError(
+            f"scoring parameter must be finite, got {v!r} (check k1/b/weights)"
+        )
+    return f"{v!r}D"
 
 
 def _postings_from(base: DataFrame, id_col: str, n_buckets: int, positions: bool) -> DataFrame:
@@ -434,12 +468,28 @@ def _check_n_buckets(spark: SparkSession, path: str, n_buckets: int, op: str) ->
     index was built with: bucket lookups would silently miss partitions
     and every result would be quietly wrong — the worst failure mode.
     Indexes written before the pin (no ``n_buckets`` column) are accepted
-    as-is."""
-    stats = spark.read.parquet(f"{path}/stats")
-    if "n_buckets" not in stats.columns:
-        return
-    row = stats.first()
-    if row is not None and row["n_buckets"] is not None and int(row["n_buckets"]) != n_buckets:
+    as-is.
+
+    The stats relation is 1 row by construction, so it is read
+    DRIVER-SIDE (``read_meta_parquet`` — pyarrow over the Hadoop FS, no
+    Spark job): the old ``stats.first()`` was a full scheduling round
+    trip sitting SERIALLY ahead of every maintenance op and every serve
+    (r15, guide §5's inverse — don't spin a cluster job for one row)."""
+    from azuredatalakeindexer_spark.functions.localrel import read_meta_parquet
+
+    rows = read_meta_parquet(spark, f"{path}/stats")
+    if rows is None:  # unreadable fast-path: ordinary Spark read
+        stats = spark.read.parquet(f"{path}/stats")
+        if "n_buckets" not in stats.columns:
+            return
+        row = stats.first()
+        rows = [row.asDict()] if row is not None else []
+    row = rows[0] if rows else None
+    if (
+        row is not None
+        and row.get("n_buckets") is not None
+        and int(row["n_buckets"]) != n_buckets
+    ):
         raise ValueError(
             f"{op}: index at {path} was built with n_buckets="
             f"{int(row['n_buckets'])}, got n_buckets={n_buckets}"
@@ -873,10 +923,11 @@ def query_text_index(
     # Column chain, the same driver-latency fix as query_profile_index
     # (guide §4; synonym/fuzzy/wildcard serves reach ~50 terms); the
     # parsed trees are identical to the Column-built ones, test-pinned.
+    esc = _escaped_literals(spark)
     per_doc = rows.groupBy(id_col).agg(
         *[
             F.expr(
-                f"coalesce(sum(CASE WHEN (term = '{_sqlstr(t)}') THEN "
+                f"coalesce(sum(CASE WHEN (term = '{_sqlstr(t, esc)}') THEN "
                 f"({contrib}) END), 0.0D)"
             ).alias(f"_c{i}")
             for i, t in enumerate(terms)

@@ -1022,8 +1022,7 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -1083,7 +1082,15 @@ def main() -> None:
                 "sf": sf,
             }
         )
-    )
+    # the emitted line is the driver contract; ALSO write the identical
+    # bytes to BENCH_line.json beside the detail artifact so a truncated
+    # stdout capture can never again erase the round-over-round table
+    # (r13's one-line JSON was cut mid-tail and r14's PERF table came up
+    # empty — VERDICT r14 next-#3).  Recovery copy only: print stays.
+    line_path = os.path.join(os.path.dirname(detail_path), "BENCH_line.json")
+    with open(line_path, "w") as f:
+        f.write(line + "\n")
+    print(line)
     spark.stop()
 
 
