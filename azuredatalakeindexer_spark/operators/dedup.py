@@ -207,10 +207,21 @@ def ngram_jaccard_pairs(
     Returns ``(id_a, id_b, jaccard)`` for pairs ≥ threshold.
     """
     sh = _shingled(docs, text_col, id_col, shingle).localCheckpoint()
+    # The candidate pass only needs gram IDENTITY (df count + bucket
+    # membership) — never gram content — so shuffle an 8-byte xxhash64 of
+    # each shingle instead of its text (r15, SCALE.md / guide §2.3
+    # "shuffle keys and metadata instead of payloads"): this is the
+    # engine's widest per-row shuffle (one row per (doc, gram) — the
+    # whole token stream).  A 64-bit collision merging two distinct
+    # shingles' buckets is the only behavior delta; a spurious merged
+    # candidate is killed by the EXACT rescore below, and a df inflated
+    # past max_doc_freq needs colliding grams inside one rare bucket —
+    # ~2^-64 per gram pair, astronomically below the fixture scales the
+    # oracle replays (verified hash-identical at sf0.001/0.01/0.1).
     exploded = sh.select(
         F.struct(F.col(id_col).alias("id"), F.size("grams").alias("n")).alias("doc"),
         F.explode("grams").alias("gram"),
-    )
+    ).select("doc", F.xxhash64("gram").alias("gram"))
     # the doc-frequency cap is applied BEFORE any array is built: a window
     # count sizes each gram bucket (no arrays, spillable sort state), the
     # filter drops singleton and boilerplate grams, and only then does
@@ -560,11 +571,28 @@ def span_dedup(
             repeated.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
-        )
+        ).select(id_col, "pos", "chunk")
     else:
-        survivors = hashed.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") == 1
+        # Narrow first-occurrence pass (r15, SCALE.md "drop the text until
+        # the survivors join back" / guide §2.3, §8): the window only
+        # needs (hash, id, pos) to DECIDE — shuffling chunk TEXT through
+        # the hash exchange and then again through the doc reassembly
+        # moved every corpus byte twice.  Shuffle the 3-column key
+        # relation on the hash, reduce the winners to a per-doc surviving
+        # position set, and re-attach the text from the checkpointed
+        # chunk relation on the doc key — the one shuffle the reassembly
+        # pays anyway.  The survivor set is identical (same window, same
+        # (id, pos) ordering, positions are unique per doc).
+        winners = (
+            chunks.select(id_col, "pos", F.md5("chunk").alias("_h"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .groupBy(id_col)
+            .agg(F.collect_set("pos").alias("_wpos"))
         )
+        survivors = chunks.join(winners, id_col).where(
+            F.array_contains("_wpos", F.col("pos"))
+        ).select(id_col, "pos", "chunk")
     kept = (
         survivors.groupBy(id_col)
         .agg(

@@ -1551,7 +1551,9 @@ def simple_query_profile_from_index(
         # to the candidate ids BEFORE any LWW resolution or instr scan.
         if allowed is not None and required:
             # the required-term conjunction is itself a subset of the
-            # positive-term candidates — reuse it, it is tighter
+            # positive-term candidates — reuse it, it is tighter.  It is
+            # referenced by several downstream consumers (per-phrase
+            # semi/anti-joins + the final filter), so materialize it once.
             allowed = allowed.localCheckpoint()
             cands = allowed
         else:
@@ -1577,7 +1579,15 @@ def simple_query_profile_from_index(
                     .where(F.col("field").isin(flds))
                     .select(id_col)
                 )
-            cands = pslice.select(id_col).distinct().localCheckpoint()
+            # the candidate set stays a LAZY expression: the old shape
+            # (checkpoint, then a second job collecting the dbuckets)
+            # spent two serial fixed job latencies before the serve's one
+            # real job (VERDICT r14 next-#4 — fuse to one action).  The
+            # recompute this trades in — the pruned postings distinct
+            # re-derived per phrase consumer INSIDE the final job — is
+            # candidate-sized executor work running at full parallelism
+            # (A/B'd at sf0.1 and sf1, OPTIMIZATION_r15.md).
+            cands = pslice.select(id_col).distinct()
         dbs = sorted(
             r["b"]
             for r in cands.select(
@@ -1585,7 +1595,7 @@ def simple_query_profile_from_index(
             )
             .distinct()
             .collect()
-        )  # bounded: at most n_buckets distinct values
+        )  # bounded: at most n_buckets distinct values — ONE job
         if psegs:
             from azuredatalakeindexer_spark.sources.profile_segments import (
                 BASE_SEG,

@@ -287,10 +287,20 @@ def live_field_term_slice(
 
 
 def _read_fieldstats(spark: SparkSession, path: str) -> dict:
-    return {
-        r["field"]: (int(r["n_docs"]), int(r["sum_dl"]))
-        for r in spark.read.parquet(f"{path}/fieldstats").collect()
-    }
+    """Per-field (n_docs, sum_dl) counters — an f-row relation, read
+    DRIVER-SIDE (``read_meta_parquet``: pyarrow over the Hadoop FS, no
+    Spark job; r15 — the write side went driver-side in r14, this is its
+    read twin).  Falls back to the ordinary Spark collect on any
+    surprise."""
+    from azuredatalakeindexer_spark.functions.localrel import read_meta_parquet
+
+    rows = read_meta_parquet(spark, f"{path}/fieldstats")
+    if rows is None:
+        rows = [
+            r.asDict()
+            for r in spark.read.parquet(f"{path}/fieldstats").collect()
+        ]
+    return {r["field"]: (int(r["n_docs"]), int(r["sum_dl"])) for r in rows}
 
 
 def _write_fieldstats_exact(
@@ -323,6 +333,7 @@ def upsert_profile_index_segmented(
     delta: DataFrame,
     *,
     id_col: str = "doc_id",
+    _known: "dict | None" = None,
 ) -> DataFrame:
     """MergeOrUpload into the multi-field index as a NEW SEGMENT —
     O(batch) writes, nothing rewritten.  Returns ``(id_col, status)``
@@ -331,7 +342,14 @@ def upsert_profile_index_segmented(
     test-pinned).  One batch-sized alive-lookup (dbucket-pruned doclens
     slices + tombstones) yields statuses AND the exact per-field stats
     deltas; the segment postings/doclens/docvals and the refreshed
-    fieldstats promote under one journal."""
+    fieldstats promote under one journal.
+
+    ``_known`` (private contract of ``run_stream_profile_index``, r15 —
+    VERDICT r14 next-#1): layout facts the streaming drain already
+    established and owns for its duration — ``recovered``, ``meta``
+    (the (n_buckets, fields, attrs) triple), ``has_pos``, ``has_store``,
+    and the live ``segments`` list the drain advances in-process.
+    Non-drain callers leave it None and every probe runs."""
     from azuredatalakeindexer_spark.sources.profile_index import (
         _dbucket,
         _dedupe_profile_delta,
@@ -345,8 +363,12 @@ def upsert_profile_index_segmented(
     )
     from azuredatalakeindexer_spark.sources.text_index import _lens_from_postings
 
-    recover_for_maintenance(spark, path)
-    n_buckets, idx_fields, idx_attrs = _read_meta(spark, path)
+    known = _known or {}
+    if not known.get("recovered"):
+        recover_for_maintenance(spark, path)
+    n_buckets, idx_fields, idx_attrs = (
+        known["meta"] if "meta" in known else _read_meta(spark, path)
+    )
     cols = list(dict.fromkeys(list(idx_fields) + list(idx_attrs)))
 
     from azuredatalakeindexer_spark.functions.parallel import run_concurrent
@@ -357,10 +379,20 @@ def upsert_profile_index_segmented(
     # through the segments too, r13: the batch's postings regenerate
     # positions, the doc-level max-segment rule serves the live lists)
     # and the segment listing are mutually independent — overlap them.
+    # A drain carrying ``_known`` (r15) resolved them once and skips the
+    # re-probes.
     deduped, has_pos, segs = run_concurrent(
         lambda: _dedupe_profile_delta(delta, id_col, cols).localCheckpoint(),
-        lambda: "pos" in spark.read.parquet(f"{path}/postings").columns,
-        lambda: list_segments(spark, path),
+        lambda: (
+            known["has_pos"]
+            if "has_pos" in known
+            else "pos" in spark.read.parquet(f"{path}/postings").columns
+        ),
+        lambda: (
+            known["segments"]
+            if "segments" in known
+            else list_segments(spark, path)
+        ),
     )
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
@@ -456,7 +488,11 @@ def upsert_profile_index_segmented(
     # until compaction folds them into the base
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
-    has_store = hadoop_path_exists(spark, f"{path}/docstore")
+    has_store = (
+        known["has_store"]
+        if "has_store" in known
+        else hadoop_path_exists(spark, f"{path}/docstore")
+    )
     # the segment relations are independent checkpointed/batch-sized
     # frames writing to disjoint staged dirs — submit them concurrently so
     # the per-write scheduling + dynamic-partition commit latencies
@@ -898,8 +934,19 @@ def run_stream_profile_index(
         .parquet(docs_dir)
     )
 
+    # Per-batch fixed work hoisted OUT of the landing (r15, VERDICT r14
+    # next-#1): the drain owns the directory for its whole run (single-
+    # writer lease; each promote completes in-process before the next
+    # batch), so layout facts are resolved once — by the build — and
+    # carried across batches instead of re-probed inside every ``handle``.
+    # ``known`` stays None for a resumed drain against a pre-existing
+    # index (full per-batch probes, exactly the old behavior).
+    state: dict = {"built": False, "known": None}
+
     def handle(batch: DataFrame, _batch_id: int) -> None:
-        if not hadoop_path_exists(batch.sparkSession, f"{index_dir}/meta"):
+        if not state["built"] and not hadoop_path_exists(
+            batch.sparkSession, f"{index_dir}/meta"
+        ):
             build_profile_index(
                 batch,
                 index_dir,
@@ -908,15 +955,35 @@ def run_stream_profile_index(
                 id_col=id_col,
                 n_buckets=n_buckets,
             )
+            state["built"] = True
+            # this drain just built the layout with these exact arguments
+            state["known"] = {
+                "recovered": True,
+                "meta": (n_buckets, list(field_cols), list(attr_cols)),
+                "has_pos": False,
+                "has_store": False,
+                "segments": [],
+            }
             return
+        state["built"] = True
+        known = state["known"]
         upsert_profile_index_segmented(
-            batch.sparkSession, index_dir, batch, id_col=id_col
+            batch.sparkSession, index_dir, batch, id_col=id_col, _known=known
         ).count()
-        if (
-            compact_every
-            and len(list_segments(batch.sparkSession, index_dir)) >= compact_every
-        ):
+        if known is not None:
+            segs = known["segments"]
+            known["segments"] = segs + [(segs[-1] if segs else BASE_SEG) + 1]
+            n_segs = len(known["segments"])
+        else:
+            n_segs = (
+                len(list_segments(batch.sparkSession, index_dir))
+                if compact_every
+                else 0
+            )
+        if compact_every and n_segs >= compact_every:
             compact_profile_index(batch.sparkSession, index_dir, id_col=id_col)
+            if known is not None:
+                known["segments"] = []
 
     (
         stream.writeStream.foreachBatch(handle)

@@ -518,6 +518,7 @@ def upsert_text_index(
     id_col: str = "doc_id",
     n_buckets: int = 64,
     broadcast_ids: bool = True,
+    _known: "dict | None" = None,
 ) -> DataFrame:
     """MergeOrUpload into the saved inverted index: new documents are
     inserted, existing ones replaced (their OLD postings disappear even
@@ -525,6 +526,17 @@ def upsert_text_index(
     continuous watch-lake→upsert-index loop (§3.1 + T1) applied to the
     full-text index this engine maintains instead of the search service.
     Returns ``(id_col, status)`` with 201=created / 200=modified.
+
+    ``_known`` (private contract of ``run_stream_text_index``): layout
+    facts the CALLER has already established and owns for the duration —
+    ``recovered`` (this drain already ran recovery and every promote since
+    completed in-process), ``unsegmented``/``n_buckets_ok`` (guards
+    verified), ``has_store`` (docstore tier present).  A streaming drain
+    lands dozens of batches against a directory it exclusively owns
+    (single-writer lease); re-probing the same immutable facts per batch
+    is pure fixed latency (VERDICT r14 next-#1: hoist per-batch fixed
+    work out of the foreachBatch landing).  Callers other than the drain
+    leave it None and every probe runs.
 
     Cost shape, deliberately NOT a rebuild:
 
@@ -561,9 +573,9 @@ def upsert_text_index(
 
     from azuredatalakeindexer_spark.functions.parallel import run_concurrent
 
-    recover_for_maintenance(spark, path)
-    _require_unsegmented(spark, path, "upsert_text_index")
-    _check_n_buckets(spark, path, n_buckets, "upsert_text_index")
+    known = _known or {}
+    if not known.get("recovered"):
+        recover_for_maintenance(spark, path)
     toks = tokens(F.col(text_col))
     # ONE batch materialization carries both consumers' columns: the
     # deduped (id, text) rows the docstore tier re-writes and the
@@ -593,8 +605,24 @@ def upsert_text_index(
     # Layer 1 — everything that needs only the checkpointed batch:
     # the delta postings checkpoint, the batch's id-hash partition list
     # (prunes the doclens alive-lookup, the vdir victim lookup, and every
-    # id-keyed tier rewrite below), and the two emptiness probes.
-    new_postings, delta_dbuckets, base_empty, doclens_empty = run_concurrent(
+    # id-keyed tier rewrite below), and the two emptiness probes.  The
+    # two layout GUARDS (segment listing, stats n_buckets pin) are
+    # read-only and independent of the batch chain — they ride the same
+    # concurrent layer (r15) instead of stacking two serial fixed
+    # latencies ahead of the first real job; nothing is staged until the
+    # whole layer (guards included) has passed.  A drain that already
+    # verified them skips both (``_known``).
+    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+
+    (
+        new_postings,
+        delta_dbuckets,
+        base_empty,
+        doclens_empty,
+        _g1,
+        _g2,
+        has_store,
+    ) = run_concurrent(
         lambda: _postings_from(
             base, id_col, n_buckets, positions="pos" in vcols
         ).localCheckpoint(),
@@ -612,6 +640,21 @@ def upsert_text_index(
         # and a whole-dir swap there would drop rows in unaffected dbuckets
         lambda: old_postings.isEmpty(),
         lambda: spark.read.parquet(doclens_path).isEmpty(),
+        lambda: (
+            None
+            if known.get("unsegmented")
+            else _require_unsegmented(spark, path, "upsert_text_index")
+        ),
+        lambda: (
+            None
+            if known.get("n_buckets_ok")
+            else _check_n_buckets(spark, path, n_buckets, "upsert_text_index")
+        ),
+        lambda: (
+            known["has_store"]
+            if "has_store" in known
+            else hadoop_path_exists(spark, f"{path}/docstore")
+        ),
     )
 
     # Layer 2 — three mutually independent chains over layer-1 outputs.
@@ -706,9 +749,6 @@ def upsert_text_index(
     # any earlier point leaves the live index byte-identical (the staged
     # dir is invisible to readers and GC'd by the next maintenance op)
     commit = StagedCommit(spark, path)
-    from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
-
-    has_store = hadoop_path_exists(spark, f"{path}/docstore")
 
     # every tier's staged write now derives from CHECKPOINTED batch-sized
     # frames (merged / dmerged / deduped / victims) or pre-promote live
@@ -1094,7 +1134,8 @@ def simple_query_from_index(
         # and semi-joined to the candidate ids, never scanned whole.
         if allowed is not None and required:
             # the required-term conjunction is a subset of the
-            # positive-term candidates — reuse it, it is tighter
+            # positive-term candidates — reuse it, it is tighter.  Several
+            # downstream consumers reference it — materialize once.
             allowed = allowed.localCheckpoint()
             cands = allowed
         else:
@@ -1117,7 +1158,11 @@ def simple_query_from_index(
                     )
                     .select(id_col)
                 )
-            cands = pslice.select(id_col).distinct().localCheckpoint()
+            # lazy candidate expression + ONE dbucket collect — the old
+            # checkpoint-then-collect shape spent two serial fixed job
+            # latencies before the serve's real job (VERDICT r14 next-#4;
+            # trade documented in the profile twin + OPTIMIZATION_r15.md)
+            cands = pslice.select(id_col).distinct()
         dbs = sorted(
             r["b"]
             for r in cands.select(
@@ -1125,7 +1170,7 @@ def simple_query_from_index(
             )
             .distinct()
             .collect()
-        )  # bounded: at most n_buckets distinct values
+        )  # bounded: at most n_buckets distinct values — ONE job
         if segs:
             def _slice(df, seg):
                 return (
@@ -1234,6 +1279,12 @@ def run_stream_text_index(
     continuously from a streaming-maintained LSM index.
     """
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
+    from azuredatalakeindexer_spark.sources.text_segments import (
+        BASE_SEG,
+        compact_text_index,
+        list_segments,
+        upsert_text_index_segmented,
+    )
 
     stream = (
         spark.readStream.schema(schema)
@@ -1241,11 +1292,26 @@ def run_stream_text_index(
         .parquet(docs_dir)
     )
 
+    # Per-batch fixed work hoisted OUT of the landing (r15, VERDICT r14
+    # next-#1): the drain owns the index directory for its whole run
+    # (single-writer lease; each batch's promote completes in-process
+    # before the next batch starts), so layout facts resolved once —
+    # recovery done, guards verified, docstore/positional tiers present,
+    # the live segment list — are carried across batches instead of
+    # re-probed inside every ``handle``.  ``state["known"]`` stays None
+    # for a RESUMED drain against a pre-existing index until the first
+    # landing has run its own probes; batch-split invariance is untouched
+    # (the carried facts are exactly what the per-batch probes would
+    # return — test-pinned).
+    state: dict = {"built": False, "known": None}
+
     def handle(batch: DataFrame, _batch_id: int) -> None:
         # Hadoop FS probe, not os.path — the index may live on abfss/s3/hdfs
         # where a local-path check is always False and every micro-batch
         # would take the build path, keeping only the last batch
-        if not hadoop_path_exists(batch.sparkSession, f"{index_dir}/stats"):
+        if not state["built"] and not hadoop_path_exists(
+            batch.sparkSession, f"{index_dir}/stats"
+        ):
             build_text_index(
                 batch,
                 index_dir,
@@ -1255,13 +1321,20 @@ def run_stream_text_index(
                 positions=positions,
                 store_text=store_text,
             )
-        elif segmented:
-            from azuredatalakeindexer_spark.sources.text_segments import (
-                compact_text_index,
-                list_segments,
-                upsert_text_index_segmented,
-            )
-
+            state["built"] = True
+            # this drain just built the layout with these exact arguments
+            state["known"] = {
+                "recovered": True,
+                "unsegmented": True,
+                "n_buckets_ok": True,
+                "has_store": store_text,
+                "has_pos": positions,
+                "segments": [],
+            }
+            return
+        state["built"] = True
+        known = state["known"]
+        if segmented:
             upsert_text_index_segmented(
                 batch.sparkSession,
                 index_dir,
@@ -1269,14 +1342,24 @@ def run_stream_text_index(
                 text_col=text_col,
                 id_col=id_col,
                 n_buckets=n_buckets,
+                _known=known,
             ).count()
-            if (
-                compact_every
-                and len(list_segments(batch.sparkSession, index_dir)) >= compact_every
-            ):
+            if known is not None:
+                segs = known["segments"]
+                known["segments"] = segs + [(segs[-1] if segs else BASE_SEG) + 1]
+                n_segs = len(known["segments"])
+            else:
+                n_segs = (
+                    len(list_segments(batch.sparkSession, index_dir))
+                    if compact_every
+                    else 0
+                )
+            if compact_every and n_segs >= compact_every:
                 compact_text_index(
                     batch.sparkSession, index_dir, id_col=id_col, n_buckets=n_buckets
                 )
+                if known is not None:
+                    known["segments"] = []
         else:
             upsert_text_index(
                 batch.sparkSession,
@@ -1285,7 +1368,18 @@ def run_stream_text_index(
                 text_col=text_col,
                 id_col=id_col,
                 n_buckets=n_buckets,
+                _known=known,
             )
+            if known is None:
+                # the landing just ran recovery and both guards against
+                # this directory; those facts now hold for the rest of
+                # the drain (the in-place upsert cannot create segments
+                # or change the n_buckets pin)
+                state["known"] = {
+                    "recovered": True,
+                    "unsegmented": True,
+                    "n_buckets_ok": True,
+                }
 
     q = (
         stream.writeStream.foreachBatch(handle)

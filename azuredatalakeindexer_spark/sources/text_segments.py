@@ -550,8 +550,18 @@ def upsert_text_index_segmented(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    _known: "dict | None" = None,
 ) -> DataFrame:
     """MergeOrUpload as a NEW SEGMENT: O(batch) writes, nothing rewritten.
+
+    ``_known`` (private contract of ``run_stream_text_index``, r15 —
+    VERDICT r14 next-#1): layout facts the streaming drain already
+    established and owns for its duration — ``recovered``,
+    ``n_buckets_ok``, ``has_store``, ``has_pos``, and the live
+    ``segments`` list (the drain advances it in-process after every
+    landing; compaction resets it).  Skips the per-batch re-probing of
+    immutable facts; non-drain callers leave it None and every probe
+    runs.
 
     Returns ``(id_col, status)`` with 201=created / 200=modified — the same
     contract as the in-place ``upsert_text_index`` (after either, queries
@@ -573,7 +583,9 @@ def upsert_text_index_segmented(
         _dedupe_delta,
     )
 
-    recover_for_maintenance(spark, path)
+    known = _known or {}
+    if not known.get("recovered"):
+        recover_for_maintenance(spark, path)
     from azuredatalakeindexer_spark.functions.parallel import run_concurrent
     from azuredatalakeindexer_spark.sources.ann_index import hadoop_path_exists
 
@@ -587,7 +599,11 @@ def upsert_text_index_segmented(
         # (live_docstore_slice) until compaction folds them into the base.
         # The probe gates whether the deduped rows need their own
         # checkpoint, so probe + checkpoint form one ordered thunk.
-        store = hadoop_path_exists(spark, f"{path}/docstore")
+        store = (
+            known["has_store"]
+            if "has_store" in known
+            else hadoop_path_exists(spark, f"{path}/docstore")
+        )
         d = deduped.localCheckpoint() if store else deduped
         b = d.select(
             F.col(id_col),
@@ -600,14 +616,27 @@ def upsert_text_index_segmented(
     # column existence, segment listing) are driver-side reads
     # independent of each other and of the batch-checkpoint chain —
     # overlap them instead of stacking five fixed latencies ahead of the
-    # first real job.
+    # first real job.  A drain carrying ``_known`` (r15) resolved every
+    # one of them once before the drain and skips the re-probes outright.
     (has_store, deduped, base), _check, segs, has_pos = run_concurrent(
         _probe_and_ckpt,
-        lambda: _check_n_buckets(
-            spark, path, n_buckets, "upsert_text_index_segmented"
+        lambda: (
+            None
+            if known.get("n_buckets_ok")
+            else _check_n_buckets(
+                spark, path, n_buckets, "upsert_text_index_segmented"
+            )
         ),
-        lambda: list_segments(spark, path),
-        lambda: "pos" in spark.read.parquet(f"{path}/postings").columns,
+        lambda: (
+            known["segments"]
+            if "segments" in known
+            else list_segments(spark, path)
+        ),
+        lambda: (
+            known["has_pos"]
+            if "has_pos" in known
+            else "pos" in spark.read.parquet(f"{path}/postings").columns
+        ),
     )
     new_seg = (segs[-1] if segs else BASE_SEG) + 1
 
