@@ -1,10 +1,29 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from azuredatalakeindexer_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run skips tests marked ``slow`` (the heavyweight lifecycle
+    integration sweeps) so ``pytest tests/ -q`` finishes well inside the
+    driver's verify budget — the full ~40-minute suite tripped the
+    driver's capture timeout at 82% in r14 (VERDICT r14 next-#6).  Set
+    ``SPARK_GRAFT_RUN_SLOW=1`` to run everything (the repo's own
+    end-of-round battery does)."""
+    if os.environ.get("SPARK_GRAFT_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow lifecycle integration test; set SPARK_GRAFT_RUN_SLOW=1"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")
