@@ -52,6 +52,69 @@ def test_tiny_df_survives_roundtrip_write(spark, tmp_path):
     assert (row["n"], row["s"], row["t"]) == (64, "x", None)
 
 
+def test_read_meta_parquet_roundtrip(spark, tmp_path):
+    """read_meta_parquet (r15) must be a DROP-IN for
+    ``spark.read.parquet(...).collect()`` on driver-sized relations: same
+    rows for a write_meta_parquet dir AND an executor-written dir, and
+    None (caller falls back to Spark) on anything it cannot serve."""
+    from azuredatalakeindexer_spark.functions.localrel import (
+        read_meta_parquet,
+        write_meta_parquet,
+    )
+
+    p = str(tmp_path / "stats")
+    write_meta_parquet(
+        spark,
+        [(200, 4.0, 800, 64)],
+        "n_docs bigint, avgdl double, sum_dl bigint, n_buckets int",
+        p,
+    )
+    assert read_meta_parquet(spark, p) == [
+        {"n_docs": 200, "avgdl": 4.0, "sum_dl": 800, "n_buckets": 64}
+    ]
+    # executor-written (committer part files + _SUCCESS), incl. nulls
+    q = str(tmp_path / "spark_written")
+    spark.createDataFrame(
+        [(1, None), (2, "x")], "k int, s string"
+    ).coalesce(1).write.parquet(q)
+    got = sorted(read_meta_parquet(spark, q), key=lambda r: r["k"])
+    assert got == [{"k": 1, "s": None}, {"k": 2, "s": "x"}]
+    # missing path -> None (fallback contract)
+    assert read_meta_parquet(spark, str(tmp_path / "nope")) is None
+    # partitioned layout -> None (not a meta relation)
+    r = str(tmp_path / "parted")
+    spark.range(4).withColumn("b", F.col("id") % 2).write.partitionBy(
+        "b"
+    ).parquet(r)
+    assert read_meta_parquet(spark, r) is None
+
+
+def test_check_n_buckets_uses_driver_side_read(spark, tmp_path):
+    """the stats n_buckets guard must not spend a Spark job (r15): pin
+    behavior on a real stats relation — match passes, mismatch raises,
+    pre-pin layouts (no n_buckets column) are accepted."""
+    from azuredatalakeindexer_spark.functions.localrel import write_meta_parquet
+    from azuredatalakeindexer_spark.sources.text_index import _check_n_buckets
+
+    import pytest as _pytest
+
+    p = str(tmp_path / "idx")
+    write_meta_parquet(
+        spark,
+        [(10, 2.0, 20, 8)],
+        "n_docs bigint, avgdl double, sum_dl bigint, n_buckets int",
+        f"{p}/stats",
+    )
+    _check_n_buckets(spark, p, 8, "t")  # match: no raise
+    with _pytest.raises(ValueError, match="n_buckets=8"):
+        _check_n_buckets(spark, p, 16, "t")
+    legacy = str(tmp_path / "legacy")
+    write_meta_parquet(
+        spark, [(10, 2.0)], "n_docs bigint, avgdl double", f"{legacy}/stats"
+    )
+    _check_n_buckets(spark, legacy, 999, "t")  # pre-pin: accepted
+
+
 def test_seg_union_prune_edges(spark, tmp_path):
     """prune on a column that is NOT in the schema falls back to a full
     read; prune values matching no partition dir yield an empty frame with
