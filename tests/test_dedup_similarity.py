@@ -20,6 +20,11 @@ from azuredatalakeindexer_spark.operators.similarity import (
 from azuredatalakeindexer_spark.sources.fixtures import load_table
 from tests.conftest import SF_DIR
 
+# Heavyweight lifecycle-integration suite: skipped in the default run so
+# 'pytest tests/ -q' fits the driver's verify budget (VERDICT r14 next-#6);
+# SPARK_GRAFT_RUN_SLOW=1 runs it (the repo's end-of-round battery does).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def near_dup_docs(spark):

@@ -23,6 +23,12 @@ SF = "/root/testdata/sf0.001"
 TERMS = ["merge", "query", "stream"]
 
 
+# Heavyweight lifecycle-integration suite: skipped in the default run so
+# 'pytest tests/ -q' fits the driver's verify budget (VERDICT r14 next-#6);
+# SPARK_GRAFT_RUN_SLOW=1 runs it (the repo's end-of-round battery does).
+pytestmark = pytest.mark.slow
+
+
 def _docs(spark):
     return load_table(spark, SF, "documents").select("doc_id", "text")
 

@@ -18,6 +18,12 @@ SF = "/root/testdata/sf0.001"
 PROFILE = {"text": (["merge", "query", "stream"], 2.0), "source": (["src1"], 1.0)}
 
 
+# Heavyweight lifecycle-integration suite: skipped in the default run so
+# 'pytest tests/ -q' fits the driver's verify budget (VERDICT r14 next-#6);
+# SPARK_GRAFT_RUN_SLOW=1 runs it (the repo's end-of-round battery does).
+pytestmark = pytest.mark.slow
+
+
 def _docs(spark):
     return load_table(spark, SF, "documents").select(
         "doc_id", "text", "source", "n_chars"

@@ -33,6 +33,12 @@ PROFILE = {"text": (["merge", "query", "stream"], 2.0), "source": (["src1"], 1.0
 BOOST = ("n_chars", 0.5, 200.0, 800.0)
 
 
+# Heavyweight lifecycle-integration suite: skipped in the default run so
+# 'pytest tests/ -q' fits the driver's verify budget (VERDICT r14 next-#6);
+# SPARK_GRAFT_RUN_SLOW=1 runs it (the repo's end-of-round battery does).
+pytestmark = pytest.mark.slow
+
+
 def _docs(spark):
     return load_table(spark, SF, "documents").select(
         "doc_id", "text", "source", "n_chars"

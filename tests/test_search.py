@@ -21,6 +21,11 @@ from azuredatalakeindexer_spark.operators.search import (
     rrf_fuse,
 )
 
+# Heavyweight lifecycle-integration suite: skipped in the default run so
+# 'pytest tests/ -q' fits the driver's verify budget (VERDICT r14 next-#6);
+# SPARK_GRAFT_RUN_SLOW=1 runs it (the repo's end-of-round battery does).
+pytestmark = pytest.mark.slow
+
 
 def _bm25_ref(tf, dl, n, avgdl, df, k1=1.2, b=0.75):
     idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))

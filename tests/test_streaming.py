@@ -3,6 +3,8 @@ batch-split invariance, idempotent re-run."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pyspark.sql.functions as F
@@ -10,6 +12,11 @@ import pyspark.sql.functions as F
 from azuredatalakeindexer_spark.sources.fixtures import build_blob_events, load_table
 from azuredatalakeindexer_spark.streaming.events import run_event_stream_upsert
 from tests.conftest import SF_DIR
+
+# Heavyweight lifecycle-integration suite: skipped in the default run so
+# 'pytest tests/ -q' fits the driver's verify budget (VERDICT r14 next-#6);
+# SPARK_GRAFT_RUN_SLOW=1 runs it (the repo's end-of-round battery does).
+pytestmark = pytest.mark.slow
 
 
 def _run(spark, tmp, n_files: int, suffix: str):
